@@ -1,0 +1,16 @@
+"""Signal-chain models: end-to-end modem and channelizer waveforms built
+from the primitive layers — the framework's "model zoo" equivalents of the
+reference's examples (modem loopback, waterfall)."""
+
+from . import modem
+from . import channelizer
+from .modem import Modem, ModemConfig, RxChain, RxChainConfig
+
+__all__ = [
+    "modem",
+    "channelizer",
+    "Modem",
+    "ModemConfig",
+    "RxChain",
+    "RxChainConfig",
+]

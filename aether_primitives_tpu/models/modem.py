@@ -1,0 +1,181 @@
+"""End-to-end modem chains — the framework's flagship models.
+
+Two tiers:
+
+- :class:`Modem` — the reference's QPSK loopback (reference
+  examples/modem.rs: bits → QPSK → AWGN → hard demod → bit-exact assert),
+  fully batched and jittable; the PR1 acceptance path.
+- :class:`RxChain` — the production receive chain from BASELINE.json's
+  multi-host config: FIR (channel-select) → decimate → blocked FFT →
+  demod, as one fused jitted step over sample blocks; shards over a time
+  axis with halo exchange via
+  :func:`aether_primitives_tpu.parallel.halo.sharded_fir`-style wrapping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fir as _fir
+from ..ops import modulation as _mod
+from ..ops import noise as _noise
+from ..ops import sampling as _sampling
+from ..ops.fft import Scale, plan as fft_plan
+from ..parallel import halo as _halo
+from ..parallel.mesh import TIME_AXIS
+from ..types import cf32
+
+P = jax.sharding.PartitionSpec
+
+
+@dataclass
+class ModemConfig:
+    modulation: str = "qpsk"  # "bpsk" | "qpsk"
+    noise_power: float = 0.01  # reference examples/modem.rs:25
+    seed: int = 815
+
+
+class Modem:
+    """QPSK/BPSK loopback modem (reference examples/modem.rs equivalent).
+
+    ``tx`` maps {0,1} bits to symbols; ``rx`` hard-demods symbols back to
+    bits; ``loopback`` runs tx → AWGN → rx in one jitted step and is
+    bit-exact at the reference's noise power.
+    """
+
+    def __init__(self, config: ModemConfig = ModemConfig()):
+        self.config = config
+        self.modulation = _mod.qpsk() if config.modulation == "qpsk" else _mod.bpsk()
+
+    def tx(self, bits) -> jnp.ndarray:
+        return self.modulation.modulate(bits)
+
+    def rx(self, symbols) -> jnp.ndarray:
+        return self.modulation.demod(symbols)
+
+    def loopback(self, bits, key=None) -> jnp.ndarray:
+        """bits -> modulate -> AWGN -> demod -> bits, one fused step."""
+        if key is None:
+            key = jax.random.key(self.config.seed)
+        symbols = self.tx(bits)
+        noisy = _noise.apply(key, symbols, self.config.noise_power)
+        return self.rx(noisy)
+
+
+@dataclass
+class RxChainConfig:
+    """FIR → decimate → blocked FFT → demod receive chain parameters."""
+
+    fir_taps: np.ndarray = field(
+        default_factory=lambda: np.asarray(
+            # 33-tap lowpass (Hamming-windowed sinc, cutoff 1/4) — the
+            # channel-select filter ahead of 4x decimation
+            _default_lowpass(33, 0.25),
+            dtype=np.complex64,
+        )
+    )
+    decimation: int = 4
+    fft_len: int = 2048
+    modulation: str = "qpsk"
+    fft_backend: Optional[str] = None
+    equalize: bool = True  # divide by channel spectrum estimate? kept simple: off-chain
+
+
+def _default_lowpass(ntaps: int, cutoff: float) -> np.ndarray:
+    n = np.arange(ntaps) - (ntaps - 1) / 2.0
+    h = 2 * cutoff * np.sinc(2 * cutoff * n)
+    h *= np.hamming(ntaps)
+    return (h / h.sum()).astype(np.complex64)
+
+
+class RxChain:
+    """The flagship receive chain: one fused jitted block step.
+
+    A block is ``[..., n]`` complex64 samples with
+    ``n % (decimation * fft_len) == 0``. The step:
+
+      1. causal FIR channel-select filter,
+      2. integer decimation,
+      3. blocked forward FFT (``Scale.SN``) — the OFDM-style symbol
+         transform (rows = time, cols = bins, like the reference's
+         waterfall channelizer, src/util/plot.rs:59-62),
+      4. hard demod of every bin to bits.
+
+    ``samples_per_block -> samples_per_block / decimation * bits_per_symbol``
+    bits out.
+    """
+
+    def __init__(self, config: RxChainConfig = RxChainConfig()):
+        self.config = config
+        self.modulation = (
+            _mod.qpsk() if config.modulation == "qpsk" else _mod.bpsk()
+        )
+        # taps stay host-side numpy: eager complex device arrays cannot be
+        # embedded as jit constants on backends without complex transfer
+        # (they become in-trace constants straight from host memory instead).
+        self.taps = np.asarray(config.fir_taps, dtype=np.complex64)
+        self._plan = fft_plan(config.fft_len, config.fft_backend)
+
+    def step(self, block) -> jnp.ndarray:
+        """The jittable single-device forward step (block -> bits)."""
+        cfg = self.config
+        x = jnp.asarray(block, dtype=cf32)
+        y = _fir.fir_filter(x, jnp.asarray(self.taps))
+        y = _sampling.downsample_by(y, cfg.decimation)
+        nsym = y.shape[-1] // cfg.fft_len
+        frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
+        spec = self._plan.fwd(frames, Scale.SN)
+        bits = self.modulation.demod(spec)
+        return bits.reshape(bits.shape[:-2] + (-1,))
+
+    def _sharded_step(self, block, mesh, axis_name):
+        cfg = self.config
+
+        def shard_fn(x):
+            k = self.taps.shape[-1]
+            ext = _halo.halo_left(x, k - 1, axis_name)
+            y = _fir.fir_filter(ext, jnp.asarray(self.taps))[..., k - 1 :]
+            y = _sampling.downsample_by(y, cfg.decimation)
+            nsym = y.shape[-1] // cfg.fft_len
+            frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
+            spec = self._plan.fwd(frames, Scale.SN)
+            bits = self.modulation.demod(spec)
+            return bits.reshape(bits.shape[:-2] + (-1,))
+
+        spec_in = P(*([None] * (jnp.ndim(block) - 1) + [axis_name]))
+        fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
+        return fn(block)
+
+    def sharded_step(self, block, mesh, axis_name: str = TIME_AXIS):
+        """Time-sharded step: the capture's last axis splits into contiguous
+        per-device spans; the FIR history crosses shard boundaries via an
+        ICI halo exchange, so the output is identical to :meth:`step`.
+
+        Each device span must be divisible by ``decimation * fft_len``.
+        """
+        return self._sharded_step(jnp.asarray(block, dtype=cf32), mesh, axis_name)
+
+    def step_split(self, block_split):
+        """:meth:`step` with an f32 :class:`~aether_primitives_tpu.boundary.Split`
+        input — the boundary-safe signature for backends that cannot transfer
+        complex arrays (bits out are uint8, already real)."""
+        from ..boundary import Split
+
+        if not isinstance(block_split, Split):
+            raise TypeError("step_split expects a boundary.Split block")
+        return self.step(block_split.to_complex())
+
+    def jitted(self, donate: bool = True, split_boundary: bool = False):
+        """Compile the step (optionally donating the input block's HBM).
+
+        ``split_boundary=True`` compiles :meth:`step_split` instead — use on
+        TPU runtimes without complex transfer support.
+        """
+        fn = self.step_split if split_boundary else self.step
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())

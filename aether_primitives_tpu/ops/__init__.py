@@ -1,0 +1,13 @@
+"""DSP kernels: element-wise vector ops, FFT, resampling, modulation,
+sequences, noise, and FIR/correlation — all batched jitted JAX / Pallas
+TPU kernels over complex64 sample blocks."""
+
+from . import vecops
+from . import fft
+from . import sampling
+from . import modulation
+from . import sequence
+from . import noise
+from . import fir
+
+__all__ = ["vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir"]

@@ -1,0 +1,275 @@
+"""FFT layer: scaling policy, backend protocol, and TPU-native backends.
+
+Mirrors the reference's three-part FFT design (reference src/fft.rs):
+
+- :class:`Scale` — the four-variant scaling policy (``None``, ``1/sqrt(N)``,
+  ``1/N``, user factor; src/fft.rs:5-38). Forward and backward transforms are
+  both **unnormalized**; all normalization comes only from the ``Scale``
+  argument (src/fft.rs:48-77).
+- :class:`Fft` — the backend-agnostic plan protocol (fixed length per
+  instance, ``fwd``/``bwd``; src/fft.rs:48-77). The reference's expensive
+  ``Cfft::with_len`` planning step (src/fft.rs:147-158) maps to XLA
+  compilation: a plan here is a cache of jitted transforms, so the
+  ``vec_fft`` (plan-per-call) vs ``vec_rfft`` (reuse) distinction collapses —
+  both hit the jit cache after first trace.
+- Backends: :class:`XlaFft` (XLA's FFT HLO via ``jnp.fft``) and
+  :class:`MatmulFft` — the TPU speed-of-light path: a four-step
+  Cooley-Tukey factorization computed as batched DFT-factor **matmuls on the
+  MXU** with precomputed twiddles, recursing over the second factor.
+  Matmul-based FFT wins on TPU because MXU flops are ~50x VPU flops and the
+  target workloads are all large-batch (SURVEY.md §7 hard part #2).
+
+Conventions: forward = ``e^{-i 2π k n / N}`` DFT; backward = unnormalized
+inverse (conjugate kernel), exactly like rustfft.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import cf32
+
+# --------------------------------------------------------------------------
+# Scale policy (reference src/fft.rs:5-38)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Scale:
+    """FFT scaling policy: ``NONE``, ``SN`` (1/sqrt(N)), ``N`` (1/N), ``X(f)``.
+
+    ``apply(x)`` scales the whole block; N is the transform length = the last
+    axis, matching ``Scale::scale`` (src/fft.rs:22-37).
+    """
+
+    kind: str  # "none" | "sn" | "n" | "x"
+    factor: Optional[float] = None
+
+    # NONE / SN / N singletons are attached after the class definition.
+
+    @staticmethod
+    def X(factor: float) -> "Scale":
+        return Scale("x", float(factor))
+
+    def factor_for(self, n: int) -> float:
+        if self.kind == "none":
+            return 1.0
+        if self.kind == "sn":
+            return 1.0 / float(np.sqrt(np.float32(n), dtype=np.float32))
+        if self.kind == "n":
+            return 1.0 / float(np.float32(n))
+        if self.kind == "x":
+            return float(self.factor)
+        raise ValueError(f"unknown scale kind {self.kind!r}")
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = self.factor_for(x.shape[-1])
+        if f == 1.0:
+            return x
+        return x * jnp.float32(f)
+
+
+# Pre-built singletons, used like the reference's enum variants.
+Scale.NONE = Scale("none")
+Scale.SN = Scale("sn")
+Scale.N = Scale("n")
+
+
+# --------------------------------------------------------------------------
+# Matmul (four-step Cooley-Tukey) kernel — trace-time recursive builder
+# --------------------------------------------------------------------------
+
+# Base-case DFT size: a full [n, n] DFT matmul is used once a factor is at
+# most this. 256 keeps the MXU on 128x128 tiles while bounding O(n^2) flops.
+_DFT_BASE = 256
+# Above this length a prime (unfactorable) size falls back to the XLA FFT.
+_DENSE_MAX = 4096
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrix(n: int, sign: int) -> np.ndarray:
+    """[n, k] DFT matrix W^{sign * nk}, computed in f64, stored complex64.
+
+    ``sign=-1`` is the forward kernel e^{-i2πnk/N}; ``+1`` the (unnormalized)
+    backward kernel.
+    """
+    k = np.arange(n, dtype=np.float64)
+    ang = (2.0 * np.pi / n) * np.outer(k, k)
+    m = np.exp(1j * sign * ang)
+    return m.astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle(n1: int, n2: int, sign: int) -> np.ndarray:
+    """[n1(k1), n2] twiddle W_N^{sign * n2 k1} with N = n1*n2 (f64 → c64)."""
+    k1 = np.arange(n1, dtype=np.float64)
+    n2i = np.arange(n2, dtype=np.float64)
+    ang = (2.0 * np.pi / (n1 * n2)) * np.outer(k1, n2i)
+    return np.exp(1j * sign * ang).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _best_factor(n: int) -> Optional[int]:
+    """Pick n1 | n, preferring MXU-friendly sizes (largest divisor ≤ 128)."""
+    best = None
+    for d in range(2, min(n, 257)):
+        if n % d == 0 and d <= 128:
+            best = d
+    if best is None:
+        return None
+    # prefer a divisor that is a multiple of 8 when available (sublane-aligned)
+    for d in range(best, 1, -1):
+        if n % d == 0 and d % 8 == 0:
+            return d
+    return best
+
+
+def mm_fft(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
+    """Batched DFT along the last axis via MXU matmuls (four-step FFT).
+
+    Recursive Cooley-Tukey: with n = n1*n2 and input index n = n1_idx*n2 +
+    n2_idx, output index k = k1 + n1*k2:
+
+      1. contract the n1 axis with a DFT_{n1} matrix (MXU matmul),
+      2. multiply by twiddles W_N^{n2 k1},
+      3. recurse: DFT_{n2} along the last axis,
+      4. transpose (k1, k2) -> (k2, k1) and flatten.
+
+    All matrices are f64-precomputed complex64 constants; matmuls run at
+    ``Precision.HIGHEST`` so f32 accuracy survives the MXU.
+    """
+    n = x.shape[-1]
+    x = jnp.asarray(x, dtype=cf32)
+    if n == 1:
+        return x
+    if n <= _DFT_BASE:
+        f = jnp.asarray(_dft_matrix(n, sign))
+        return jnp.matmul(x, f, precision=_PREC)
+    n1 = _best_factor(n)
+    if n1 is None:
+        if n <= _DENSE_MAX:
+            f = jnp.asarray(_dft_matrix(n, sign))
+            return jnp.matmul(x, f, precision=_PREC)
+        # large prime length: XLA's FFT (Bluestein) handles it
+        return _xla_raw(x, sign)
+    n2 = n // n1
+    batch = x.shape[:-1]
+    xv = x.reshape(batch + (n1, n2))
+    f1 = jnp.asarray(_dft_matrix(n1, sign))  # [n1, k1]
+    # A[..., k1, n2] = sum_{n1} x[..., n1, n2] * F1[n1, k1]
+    a = jnp.einsum("...nm,nk->...km", xv, f1, precision=_PREC)
+    a = a * jnp.asarray(_twiddle(n1, n2, sign))
+    b = mm_fft(a, sign)  # DFT_{n2} along last axis -> [..., k1, k2]
+    out = jnp.swapaxes(b, -1, -2)  # [..., k2, k1]; k = k1 + n1*k2
+    return out.reshape(batch + (n,))
+
+
+def _xla_raw(x: jnp.ndarray, sign: int) -> jnp.ndarray:
+    """Unnormalized DFT via the XLA FFT HLO (backward = conj∘fft∘conj)."""
+    if sign == -1:
+        return jnp.fft.fft(x).astype(cf32)
+    # unnormalized inverse without the 1/N that ifft applies
+    return jnp.conj(jnp.fft.fft(jnp.conj(x))).astype(cf32)
+
+
+# --------------------------------------------------------------------------
+# Plan protocol + backends (reference Fft trait, src/fft.rs:48-77)
+# --------------------------------------------------------------------------
+
+
+class Fft:
+    """A fixed-length FFT plan: ``fwd``/``bwd`` with a :class:`Scale` policy.
+
+    Both directions are unnormalized; scaling comes only from ``scale``.
+    Input length must equal the plan length (asserted, like reference
+    src/fft.rs:163-167). Batched over leading axes.
+    """
+
+    def __init__(self, n: int):
+        self.n = int(n)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def _check(self, x):
+        if x.shape[-1] != self.n:
+            raise ValueError(
+                f"Input and FFT must be the same length ({x.shape[-1]} vs {self.n})"
+            )
+
+    def _raw(self, x: jnp.ndarray, sign: int) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def fwd(self, x, scale: Scale = Scale.NONE) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=cf32)
+        self._check(x)
+        return scale.apply(self._raw(x, -1))
+
+    def bwd(self, x, scale: Scale = Scale.NONE) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=cf32)
+        self._check(x)
+        return scale.apply(self._raw(x, +1))
+
+
+class MatmulFft(Fft):
+    """Four-step MXU matmul FFT plan (see :func:`mm_fft`)."""
+
+    def _raw(self, x, sign):
+        return mm_fft(x, sign)
+
+
+class XlaFft(Fft):
+    """XLA FFT HLO plan (``jnp.fft``), unnormalized both directions."""
+
+    def _raw(self, x, sign):
+        return _xla_raw(x, sign)
+
+
+_BACKENDS = {"matmul": MatmulFft, "xla": XlaFft}
+_plan_cache: dict = {}
+
+
+def default_backend() -> str:
+    """Matmul FFT on TPU (MXU-bound, fastest); XLA FFT elsewhere."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "matmul" if platform == "tpu" else "xla"
+
+
+def plan(n: int, backend: Optional[str] = None) -> Fft:
+    """Get (or create) the cached FFT plan for length ``n``.
+
+    Equivalent of ``Cfft::with_len`` (reference src/fft.rs:147-158); cached
+    because a plan is just a pair of jit-cached transforms.
+    """
+    b = backend or default_backend()
+    key = (int(n), b)
+    p = _plan_cache.get(key)
+    if p is None:
+        p = _BACKENDS[b](n)
+        _plan_cache[key] = p
+    return p
+
+
+def fft(x, scale: Scale = Scale.NONE, backend: Optional[str] = None) -> jnp.ndarray:
+    """Forward FFT along the last axis (one-shot convenience, like
+    ``vec_fft``, reference src/vecops.rs:301-306 — but with no re-planning
+    cost thanks to the plan cache)."""
+    x = jnp.asarray(x, dtype=cf32)
+    return plan(x.shape[-1], backend).fwd(x, scale)
+
+
+def ifft(x, scale: Scale = Scale.NONE, backend: Optional[str] = None) -> jnp.ndarray:
+    """Unnormalized backward FFT along the last axis (``vec_ifft``)."""
+    x = jnp.asarray(x, dtype=cf32)
+    return plan(x.shape[-1], backend).bwd(x, scale)

@@ -1,0 +1,167 @@
+"""FIR filtering and frequency-domain correlation.
+
+The reference's ``src/fir.rs`` is a non-functional stub (SURVEY.md §2 #7);
+its only *working* correlator is the freq-domain composition in its benches
+(``vec_rfft -> vec_mul(conj) -> vec_rifft``, reference benches/benches.rs:
+410-417), and its README lists FIR and freq-domain convolution as TODO
+(reference README.md:95-96). This module supplies the finished capability,
+TPU-first:
+
+- :func:`fir_filter` — causal time-domain FIR. On TPU the fastest dense
+  form for moderate tap counts is a **matmul against a tap Toeplitz
+  operator is wasteful**; instead we convolve split re/im planes with
+  ``lax.conv_general_dilated`` (VPU/MXU-lowered convolution), batched over
+  leading axes.
+- :func:`fir_filter_os` — overlap-save block convolution through the FFT
+  backend: for long blocks the cost is two FFTs + one element-wise multiply
+  per block, the classic O(log L) per sample path. This is also the form
+  that shards across chips with a (taps-1)-sample halo exchange
+  (:mod:`aether_primitives_tpu.parallel.halo`).
+- :func:`correlate` — circular frequency-domain correlation
+  ``ifft(fft(x) * conj(fft(ref)))``, the cleaned-up semantics of the
+  reference bench correlator (which multiplied by the conjugated
+  *time-domain* reference; the intent per its own naming was spectral
+  correlation — we implement the mathematically meaningful op and test it
+  against a direct O(N^2) golden).
+
+Convention: ``y[n] = sum_k taps[k] * x[n - k]`` with zero initial state
+(causal, "same" length output).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import cf32
+from . import fft as _fft
+from .fft import Scale
+
+
+def _as_c64(x):
+    return jnp.asarray(x, dtype=cf32)
+
+
+def fir_filter(x, taps) -> jnp.ndarray:
+    """Causal FIR: ``y[n] = sum_k taps[k] x[n-k]``, output same length as x.
+
+    Complex convolution via three real convolutions (Karatsuba/Gauss trick):
+    with ``x = a + jb``, ``h = c + jd``::
+
+        re = a*c - b*d,  im = (a+b)*(c+d) - a*c - b*d
+
+    Each real conv is ``lax.conv_general_dilated`` over the last axis,
+    batched over all leading axes.
+    """
+    x = _as_c64(x)
+    taps = _as_c64(taps)
+    k = taps.shape[-1]
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    xr = jnp.real(x).reshape((-1, 1, n))
+    xi = jnp.imag(x).reshape((-1, 1, n))
+    # flip: conv_general_dilated computes correlation-style sliding dot with
+    # the kernel reversed relative to DSP convolution in its default layout,
+    # so feed reversed taps to realize sum_k taps[k] x[n-k].
+    hr = jnp.real(taps)[::-1].reshape((1, 1, k)).astype(jnp.float32)
+    hi = jnp.imag(taps)[::-1].reshape((1, 1, k)).astype(jnp.float32)
+
+    def conv(sig, ker):
+        return jax.lax.conv_general_dilated(
+            sig,
+            ker,
+            window_strides=(1,),
+            padding=[(k - 1, 0)],  # causal: left-pad with zeros
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    ac = conv(xr, hr)
+    bd = conv(xi, hi)
+    s = conv(xr + xi, hr + hi)
+    re = ac - bd
+    im = s - ac - bd
+    y = jax.lax.complex(re, im)
+    return y.reshape(batch + (n,)).astype(cf32)
+
+
+def fir_filter_os(
+    x,
+    taps,
+    block_len: Optional[int] = None,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Causal FIR via overlap-save block convolution (freq domain).
+
+    Splits the signal into blocks of ``block_len`` fresh samples, each
+    extended with the previous ``K-1`` samples (zero history before the
+    first block), multiplies the block spectrum by the precomputed tap
+    spectrum, inverse-transforms, and discards the first ``K-1`` outputs of
+    each block. Exactly equal (to rounding) to :func:`fir_filter`.
+
+    The input length must be divisible by ``block_len`` (default: a
+    power-of-two giving FFT size ``>= 8*K`` or 1024, clipped to the signal
+    length). All blocks are processed as one batched FFT — the TPU sweet
+    spot — so throughput is the batched-FFT rate.
+    """
+    x = _as_c64(x)
+    taps = _as_c64(taps)
+    n = x.shape[-1]
+    k = taps.shape[-1]
+    if block_len is None:
+        target = max(1024, 8 * k)
+        block_len = 1
+        while block_len * 2 <= target and n % (block_len * 2) == 0:
+            block_len *= 2
+        if n % block_len != 0:
+            block_len = n
+    block_len = int(block_len)
+    if n % block_len != 0:
+        raise ValueError(f"Signal length {n} not divisible by block_len {block_len}")
+    fft_len = int(2 ** np.ceil(np.log2(block_len + k - 1)))
+    nblocks = n // block_len
+
+    batch = x.shape[:-1]
+    xb = x.reshape(batch + (nblocks, block_len))
+    # history: last K-1 samples of the previous block (zeros before block 0)
+    hist_src = jnp.concatenate(
+        [jnp.zeros(batch + (1, block_len), dtype=cf32), xb[..., :-1, :]], axis=-2
+    )
+    hist = hist_src[..., -(k - 1):] if k > 1 else xb[..., :0]
+    ext = jnp.concatenate([hist, xb], axis=-1)  # [..., nblocks, K-1+block_len]
+    pad = fft_len - ext.shape[-1]
+    if pad:
+        ext = jnp.pad(ext, [(0, 0)] * (ext.ndim - 1) + [(0, pad)])
+
+    h = jnp.zeros((fft_len,), dtype=cf32).at[:k].set(taps)
+    plan = _fft.plan(fft_len, fft_backend)
+    spec = plan.fwd(ext, Scale.NONE) * plan.fwd(h, Scale.NONE)
+    y = plan.bwd(spec, Scale.N)
+    y = y[..., (k - 1) : (k - 1) + block_len] if k > 1 else y[..., :block_len]
+    return y.reshape(batch + (n,)).astype(cf32)
+
+
+def correlate(x, ref, fft_backend: Optional[str] = None) -> jnp.ndarray:
+    """Circular correlation via the spectrum: ``ifft(fft(x) * conj(fft(ref)))``.
+
+    ``ref`` shorter than ``x`` is zero-padded (as the reference bench pads
+    its 4-sample signature, benches/benches.rs:395-400). Output peaks mark
+    alignments of ``ref`` within ``x`` (peak value = energy of ref at lag 0).
+    The backward transform uses ``Scale.N`` so the result is the true
+    circular correlation ``sum_m x[m] conj(ref[m - n])`` (the reference
+    bench ran unscaled, leaving a factor of N — we return the meaningful
+    quantity; pass the spectra through :mod:`fft` manually for raw parity).
+    """
+    x = _as_c64(x)
+    ref = _as_c64(ref)
+    n = x.shape[-1]
+    if ref.shape[-1] < n:
+        ref = jnp.pad(ref, [(0, 0)] * (ref.ndim - 1) + [(0, n - ref.shape[-1])])
+    elif ref.shape[-1] > n:
+        raise ValueError("Reference longer than signal")
+    plan = _fft.plan(n, fft_backend)
+    spec = plan.fwd(x, Scale.NONE) * jnp.conj(plan.fwd(ref, Scale.NONE))
+    return plan.bwd(spec, Scale.N)

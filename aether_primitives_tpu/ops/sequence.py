@@ -1,0 +1,135 @@
+"""Pseudo-random / M-sequence generation.
+
+TPU-native re-design of reference ``src/sequence.rs``. The reference's
+``generate`` is a serial recurrence fed by an arbitrary closure — serial by
+definition (SURVEY.md §7 hard part #4). We provide three tiers:
+
+- :func:`expand` / :func:`generate` — exact API parity (host-side; fine for
+  the short init/config sequences these are used for);
+- :func:`lfsr_generate` — jittable ``lax.scan`` for any linear recurrence
+  ``x(n) = sum_k x(n - d_k) mod 2`` expressed by its delay taps;
+- :func:`lfsr_matrix_generate` — the TPU-parallel fast path: the recurrence
+  as a GF(2) companion-matrix system, generating whole blocks with one
+  integer matmul per block (exact in f32/int32 since row sums ≤ order) and
+  jumping the state with a precomputed matrix power. This is how a long
+  scrambling sequence is produced at HBM speed instead of bit-at-a-time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def expand(seed: int, length: int) -> np.ndarray:
+    """LSB-first bit-unpack of ``seed`` into a {0,1} uint8 vector
+    (reference ``expand``, src/sequence.rs:18-21)."""
+    i = np.arange(length, dtype=np.uint64)
+    return ((np.uint64(seed) >> i) & np.uint64(1)).astype(np.uint8)
+
+
+def generate(
+    init: Sequence[int], generator: Callable[[int, np.ndarray], int], length: int
+) -> np.ndarray:
+    """Grow ``init`` with ``generator(pos, seq_so_far)`` until ``length``
+    (exact semantics of reference ``generate``, src/sequence.rs:47-53).
+
+    Host-side and serial — use :func:`lfsr_generate` /
+    :func:`lfsr_matrix_generate` for device-rate linear recurrences.
+    """
+    seq = np.asarray(init, dtype=np.uint8).tolist()
+    while len(seq) < length:
+        seq.append(np.uint8(generator(len(seq), np.asarray(seq, dtype=np.uint8))))
+    return np.asarray(seq, dtype=np.uint8)
+
+
+def lfsr_generate(init, delays: Sequence[int], length: int) -> jnp.ndarray:
+    """Jittable LFSR: ``x(n) = sum_k x(n - d_k) mod 2`` via ``lax.scan``.
+
+    ``init`` must have length ``order = max(delays)``. Example — the LTE
+    TS36.211 §7.2 x1 recurrence ``x(n) = (x(n-28) + x(n-31)) mod 2`` from
+    the reference's doc example (src/sequence.rs:31-46)::
+
+        x1 = lfsr_generate(expand(1, 31), delays=(28, 31), length=1600)
+    """
+    delays = tuple(int(d) for d in delays)
+    order = max(delays)
+    init = jnp.asarray(init, dtype=jnp.uint8)
+    if init.shape[-1] != order:
+        raise ValueError(f"init length {init.shape[-1]} != max delay {order}")
+    if length <= order:
+        return init[:length]
+    picks = jnp.asarray([order - d for d in delays], dtype=jnp.int32)
+
+    def step(state, _):
+        new = (jnp.sum(state[picks]) % 2).astype(jnp.uint8)
+        return jnp.concatenate([state[1:], new[None]]), new
+
+    _, out = jax.lax.scan(step, init, None, length=length - order)
+    return jnp.concatenate([init, out])
+
+
+@functools.lru_cache(maxsize=None)
+def _lfsr_block_matrices(delays: tuple, order: int, block: int):
+    """Precompute (out_matrix [block, order], jump_matrix [order, order]) mod 2.
+
+    With state ``s_n = [x(n), ..., x(n+order-1)]``: ``out = M_out @ s_n`` are
+    the next ``block`` outputs ``x(n)..x(n+block-1)`` and
+    ``s_{n+block} = M_jump @ s_n`` — both over GF(2), computed here with
+    exact numpy int arithmetic.
+    """
+    comp = np.zeros((order, order), dtype=np.int64)
+    comp[:-1, 1:] = np.eye(order - 1, dtype=np.int64)
+    for d in delays:
+        comp[order - 1, order - d] = 1  # x(n+order) = sum x(n + order - d)
+    rows = []
+    power = np.eye(order, dtype=np.int64)
+    for j in range(block):
+        # x(n+j) = (C^j s_n)[0]
+        rows.append(power[0])
+        power = (power @ comp) % 2
+    m_out = np.stack(rows).astype(np.float32)  # [block, order]
+    # jump: s_{n+block} = C^block s_n
+    jump = np.eye(order, dtype=np.int64)
+    base = comp.copy()
+    e = block
+    while e:
+        if e & 1:
+            jump = (jump @ base) % 2
+        base = (base @ base) % 2
+        e >>= 1
+    return m_out, jump.astype(np.float32)
+
+
+def lfsr_matrix_generate(
+    init, delays: Sequence[int], length: int, block: int = 1024
+) -> jnp.ndarray:
+    """Block-parallel LFSR via GF(2) matrix powers (device fast path).
+
+    Produces the same sequence as :func:`lfsr_generate` but ``block`` bits at
+    a time with two small f32 matmuls per block (exact: every dot product is
+    an integer ≤ order < 2^24 before the mod). For long scrambling sequences
+    this runs at matmul rate instead of one scan step per bit.
+    """
+    delays = tuple(int(d) for d in delays)
+    order = max(delays)
+    init = jnp.asarray(init, dtype=jnp.uint8)
+    if init.shape[-1] != order:
+        raise ValueError(f"init length {init.shape[-1]} != max delay {order}")
+    n_blocks = -(-length // block)
+    m_out, m_jump = _lfsr_block_matrices(delays, order, block)
+    m_out = jnp.asarray(m_out)
+    m_jump = jnp.asarray(m_jump)
+
+    def step(state, _):
+        out = jnp.mod(m_out @ state, 2.0)
+        new_state = jnp.mod(m_jump @ state, 2.0)
+        return new_state, out
+
+    state0 = init.astype(jnp.float32)
+    _, blocks = jax.lax.scan(step, state0, None, length=n_blocks)
+    return blocks.reshape(-1)[:length].astype(jnp.uint8)

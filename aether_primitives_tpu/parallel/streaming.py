@@ -1,0 +1,299 @@
+"""Sharded streaming graph executor and HBM block pool.
+
+TPU-native re-imagination of the reference's two concurrency components
+(SURVEY.md §2 #10-#11, §5):
+
+- the thread-per-stage mpsc **Pipeline** (reference src/pipeline.rs) becomes
+  a :class:`Pipeline` of named jitted block transforms. Stages fuse into one
+  XLA computation per block (a stage boundary is a compiler hint, not a
+  thread+channel hop); blocks stream through with **bounded in-flight
+  depth** — double buffering instead of the reference's unbounded channels
+  (whose OOM backlog risk its own example documents,
+  examples/pipeline.rs:61-66). Per-stage throughput/utilisation metrics
+  mirror the reference's once-a-second reports;
+- the mutex-guarded object **Pool** (reference src/pool.rs) becomes
+  :class:`BlockPool`: preallocated host staging buffers with the same
+  ``take`` / ``take_or_make`` / ``len`` / ``cap`` surface (RAII guard
+  included), while on-device reuse comes from **buffer donation** — the
+  executor donates each block's device buffer back to XLA so HBM blocks are
+  recycled without any lock (SPMD ownership replaces the mutex).
+
+The same pipeline runs single-chip or sharded: pass a mesh + partition spec
+and every block is laid out across devices before the (pjit-compiled) chain
+runs; stages may contain collectives (e.g. :func:`..halo.halo_left` in a
+``shard_map`` stage).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.metrics import StageStats
+
+
+@dataclass
+class Stage:
+    name: str
+    op: Callable[[Any], Any]
+
+
+class Pipeline:
+    """Builder for a streaming chain of named block transforms.
+
+    Mirrors the reference's builder (``pipeline::new(name, op)`` →
+    ``add_stage`` → ``finish``, src/pipeline.rs:26-48,123-137)::
+
+        pipe = Pipeline("Abs", lambda b: jnp.abs(b))
+        pipe = pipe.add_stage("Mul 20", lambda b: b * 20.0)
+        ex = pipe.finish(depth=2)
+        for block in blocks:
+            ex.send(block)
+        ex.close()
+        results = list(ex)
+    """
+
+    def __init__(self, name: str, op: Callable[[Any], Any]):
+        self.stages: List[Stage] = [Stage(name, op)]
+
+    def add_stage(self, name: str, op: Callable[[Any], Any]) -> "Pipeline":
+        self.stages.append(Stage(name, op))
+        return self
+
+    def composed(self) -> Callable[[Any], Any]:
+        """The fused chain as a single callable (for jit / shard_map)."""
+        stages = list(self.stages)
+
+        def chain(x):
+            for s in stages:
+                x = s.op(x)
+            return x
+
+        return chain
+
+    def finish(
+        self,
+        depth: int = 2,
+        donate: bool = True,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        profile: bool = False,
+        report_every_s: float = 1.0,
+        printer: Optional[Callable[[str], None]] = print,
+    ) -> "StreamExecutor":
+        """Compile the chain and return the executor (the analog of the
+        reference's ``finish() -> (Sender, Receiver)``)."""
+        return StreamExecutor(
+            self.stages,
+            depth=depth,
+            donate=donate,
+            sharding=sharding,
+            profile=profile,
+            report_every_s=report_every_s,
+            printer=printer,
+        )
+
+
+def new(name: str, op: Callable[[Any], Any]) -> Pipeline:
+    """Create a pipeline (API parity with reference ``pipeline::new``)."""
+    return Pipeline(name, op)
+
+
+class StreamExecutor:
+    """Runs blocks through the compiled chain with bounded in-flight depth.
+
+    ``send`` enqueues a block (blocking once ``depth`` blocks are in flight —
+    that is the backpressure); ``recv`` returns the oldest finished result.
+    JAX dispatch is asynchronous, so while the device computes block *i* the
+    host stages and transfers block *i+1* — double buffering without
+    explicit DMA management.
+
+    ``profile=True`` compiles each stage separately and synchronizes between
+    stages to attribute time per stage (slower; for tuning only). The
+    default mode fuses everything and attributes time to the chain.
+    """
+
+    def __init__(
+        self,
+        stages: List[Stage],
+        depth: int = 2,
+        donate: bool = True,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        profile: bool = False,
+        report_every_s: float = 1.0,
+        printer: Optional[Callable[[str], None]] = print,
+    ):
+        self.stages = stages
+        self.depth = max(1, int(depth))
+        self.sharding = sharding
+        self.profile = profile
+        self._inflight: deque = deque()
+        self._closed = False
+        donate_args = (0,) if donate else ()
+        if profile:
+            self._stage_fns = [
+                jax.jit(s.op, donate_argnums=donate_args if i == 0 else ())
+                for i, s in enumerate(stages)
+            ]
+            self._chain = None
+        else:
+            def chain(x):
+                for s in stages:
+                    x = s.op(x)
+                return x
+
+            self._chain = jax.jit(chain, donate_argnums=donate_args)
+            self._stage_fns = None
+        self.stats = [
+            StageStats(s.name, report_every_s=report_every_s, printer=printer)
+            for s in stages
+        ]
+        self.chain_stats = StageStats(
+            "chain", report_every_s=report_every_s, printer=printer
+        )
+        self._started = time.monotonic()
+
+    # -- feeding -----------------------------------------------------------
+    def send(self, block) -> None:
+        """Feed one block; blocks the host when ``depth`` are in flight."""
+        if self._closed:
+            raise RuntimeError("Executor is closed")
+        while len(self._inflight) >= self.depth:
+            self._inflight[0][0].block_until_ready()
+            break  # ready-oldest guarantees a slot frees on recv; keep depth
+        t0 = time.monotonic()
+        x = jnp.asarray(block)
+        if self.sharding is not None:
+            x = jax.device_put(x, self.sharding)
+        if self.profile:
+            y = x
+            for fn, st in zip(self._stage_fns, self.stats):
+                s0 = time.monotonic()
+                y = fn(y)
+                jax.block_until_ready(y)
+                st.record(time.monotonic() - s0, samples=int(np.prod(x.shape)))
+        else:
+            y = self._chain(x)
+        self._inflight.append((y, t0, int(np.prod(x.shape))))
+
+    def recv(self):
+        """Wait for and return the oldest in-flight result."""
+        if not self._inflight:
+            raise IndexError("No blocks in flight")
+        y, t0, nsamp = self._inflight.popleft()
+        y = jax.block_until_ready(y)
+        self.chain_stats.record(time.monotonic() - t0, samples=nsamp)
+        return y
+
+    def close(self) -> None:
+        self._closed = True
+
+    def __iter__(self):
+        while self._inflight:
+            yield self.recv()
+
+    # -- convenience -------------------------------------------------------
+    def run(self, blocks) -> list:
+        """Push all blocks through and return all results (keeps at most
+        ``depth`` blocks in flight)."""
+        out = []
+        for b in blocks:
+            if len(self._inflight) >= self.depth:
+                out.append(self.recv())
+            self.send(b)
+        out.extend(self)
+        return out
+
+
+# --------------------------------------------------------------------------
+# Block pool (reference src/pool.rs)
+# --------------------------------------------------------------------------
+
+
+class PoolElem:
+    """RAII guard: derefs to the buffer via ``.value``; returning happens on
+    ``release()`` or context-manager exit (reference ``Elem``,
+    src/pool.rs:189-221)."""
+
+    def __init__(self, pool: "BlockPool", value):
+        self._pool = pool
+        self.value = value
+        self._returned = False
+
+    def release(self) -> None:
+        if not self._returned:
+            self._returned = True
+            self._pool._give_back(self.value)
+
+    def __enter__(self):
+        return self.value
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+class BlockPool:
+    """Thread-safe pool of reusable host staging buffers.
+
+    Same surface as the reference pool (``make``/``take``/``take_or_make``/
+    ``len``/``cap``, src/pool.rs:43-160): ``maker`` builds a buffer,
+    ``resetter`` runs when one is returned. On-device HBM reuse is the
+    executor's job (donation); this pool amortizes *host* allocation for
+    staging numpy blocks.
+    """
+
+    def __init__(self, initial_len: int, maker: Callable[[], Any], resetter=None):
+        self._maker = maker
+        self._resetter = resetter or (lambda buf: None)
+        self._lock = threading.Lock()
+        self._elems = []
+        for _ in range(int(initial_len)):
+            e = maker()
+            self._resetter(e)
+            self._elems.append(e)
+        self._cap = len(self._elems)
+
+    def take(self) -> Optional[PoolElem]:
+        """Bounded checkout: ``None`` when empty (reference ``take``)."""
+        with self._lock:
+            if not self._elems:
+                return None
+            return PoolElem(self, self._elems.pop())
+
+    def take_or_make(self) -> PoolElem:
+        """Growing checkout (reference ``take_or_make``)."""
+        with self._lock:
+            if self._elems:
+                return PoolElem(self, self._elems.pop())
+            self._cap += 1
+        return PoolElem(self, self._maker())
+
+    def _give_back(self, value) -> None:
+        self._resetter(value)
+        with self._lock:
+            self._elems.append(value)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._elems)
+
+    def len(self) -> int:
+        return len(self)
+
+    def cap(self) -> int:
+        with self._lock:
+            return self._cap
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+
+def make(initial_len: int, maker: Callable[[], Any], resetter=None) -> BlockPool:
+    """Create a pool (API parity with reference ``pool::make``)."""
+    return BlockPool(initial_len, maker, resetter)

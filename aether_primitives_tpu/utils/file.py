@@ -1,0 +1,138 @@
+"""Sample-capture file I/O (reference src/util/file.rs).
+
+The reference's interchange format is back-to-back ``repr(C)`` structs in
+native byte order (src/util/file.rs:10-11,28); for ``cf32`` that is
+interleaved ``(re: f32, im: f32)`` pairs — **exactly** numpy's complex64
+layout, so files written by the Rust crate read here bit-for-bit and vice
+versa. Readers/writers are thin, zero-copy numpy wrappers (numpy's
+``fromfile``/``tofile`` are C loops; no Python per-sample cost), plus
+headerless CSV like the reference's serde-backed csv module.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def count_structs_in_file(filepath, dtype=np.complex64) -> int:
+    """Number of ``dtype`` items that exactly fill the file; raises if the
+    size is not an integer multiple (reference src/util/file.rs:12-25)."""
+    size = os.path.getsize(filepath)
+    itemsize = np.dtype(dtype).itemsize
+    if size % itemsize != 0:
+        raise ValueError(
+            "File does not contain an integer number of the requested struct"
+        )
+    return size // itemsize
+
+
+class BinaryReader:
+    """Sequential reader of packed ``dtype`` samples
+    (reference ``BinaryReader``, src/util/file.rs:29-73)."""
+
+    def __init__(self, filepath, dtype=np.complex64):
+        self.dtype = np.dtype(dtype)
+        count_structs_in_file(filepath, self.dtype)  # validate like the reference
+        self._f = open(filepath, "rb")
+
+    def read(self, n: int) -> np.ndarray:
+        """Read exactly ``n`` items (raises EOFError if short)."""
+        buf = self._f.read(n * self.dtype.itemsize)
+        if len(buf) != n * self.dtype.itemsize:
+            raise EOFError("File ended before the requested number of items")
+        return np.frombuffer(buf, dtype=self.dtype).copy()
+
+    def read_all(self) -> np.ndarray:
+        data = self._f.read()
+        return np.frombuffer(data, dtype=self.dtype).copy()
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BinaryWriter:
+    """Sequential writer of packed ``dtype`` samples; truncates on open
+    (reference ``BinaryWriter``, src/util/file.rs:78-107)."""
+
+    def __init__(self, filepath, dtype=np.complex64):
+        self.dtype = np.dtype(dtype)
+        self._f = open(filepath, "wb")
+
+    def write(self, data) -> None:
+        arr = np.ascontiguousarray(np.asarray(data, dtype=self.dtype))
+        self._f.write(arr.tobytes())
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def binary_reader(filepath, dtype=np.complex64) -> BinaryReader:
+    return BinaryReader(filepath, dtype)
+
+
+def binary_writer(filepath, dtype=np.complex64) -> BinaryWriter:
+    return BinaryWriter(filepath, dtype)
+
+
+def load(filepath, dtype=np.complex64, mmap: bool = False) -> np.ndarray:
+    """Load a whole capture. ``mmap=True`` maps the file instead of copying —
+    the zero-copy path for feeding long captures into the streaming executor.
+    """
+    if mmap:
+        return np.memmap(filepath, dtype=dtype, mode="r")
+    return np.fromfile(filepath, dtype=dtype)
+
+
+def save(filepath, data, dtype=np.complex64) -> None:
+    np.ascontiguousarray(np.asarray(data, dtype=dtype)).tofile(str(filepath))
+
+
+# -- headerless CSV (reference src/util/file.rs:112-124) --------------------
+
+
+def csv_writer(filepath):
+    """Write complex samples as headerless ``re,im`` rows."""
+    return _CsvWriter(filepath)
+
+
+class _CsvWriter:
+    def __init__(self, filepath):
+        self._f = open(filepath, "w", newline="")
+
+    def write(self, data) -> None:
+        arr = np.asarray(data, dtype=np.complex64).reshape(-1)
+        buf = io.StringIO()
+        for c in arr:
+            buf.write(f"{c.real},{c.imag}\n")
+        self._f.write(buf.getvalue())
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def csv_reader(filepath) -> np.ndarray:
+    """Read headerless ``re,im`` rows into a complex64 vector."""
+    raw = np.loadtxt(str(filepath), delimiter=",", dtype=np.float32, ndmin=2)
+    return (raw[:, 0] + 1j * raw[:, 1]).astype(np.complex64)
