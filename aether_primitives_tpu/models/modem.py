@@ -161,6 +161,35 @@ class RxChain:
         """
         return self._sharded_step(jnp.asarray(block, dtype=cf32), mesh, axis_name)
 
+    def sharded_step_2d(
+        self,
+        block,
+        mesh,
+        channel_axis: str = "channel",
+        time_axis: str = TIME_AXIS,
+    ):
+        """Two-axis sharding: independent channels (leading axis, pure data
+        parallel) x contiguous time spans (last axis, halo exchange) — the
+        full production layout for a multi-stream capture.
+        """
+        cfg = self.config
+
+        def shard_fn(x):
+            k = self.taps.shape[-1]
+            ext = _halo.halo_left(x, k - 1, time_axis)
+            y = _fir.fir_filter(ext, jnp.asarray(self.taps))[..., k - 1 :]
+            y = _sampling.downsample_by(y, cfg.decimation)
+            nsym = y.shape[-1] // cfg.fft_len
+            frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
+            spec = self._plan.fwd(frames, Scale.SN)
+            bits = self.modulation.demod(spec)
+            return bits.reshape(bits.shape[:-2] + (-1,))
+
+        nd = jnp.ndim(block)
+        spec_in = P(*([channel_axis] + [None] * (nd - 2) + [time_axis]))
+        fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
+        return fn(block)
+
     def step_split(self, block_split):
         """:meth:`step` with an f32 :class:`~aether_primitives_tpu.boundary.Split`
         input — the boundary-safe signature for backends that cannot transfer

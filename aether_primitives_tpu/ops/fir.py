@@ -93,6 +93,7 @@ def fir_filter_os(
     taps,
     block_len: Optional[int] = None,
     fft_backend: Optional[str] = None,
+    history=None,
 ) -> jnp.ndarray:
     """Causal FIR via overlap-save block convolution (freq domain).
 
@@ -102,9 +103,14 @@ def fir_filter_os(
     spectrum, inverse-transforms, and discards the first ``K-1`` outputs of
     each block. Exactly equal (to rounding) to :func:`fir_filter`.
 
+    ``history``: optional ``[..., K-1]`` samples preceding ``x`` (the halo
+    received from the left-neighbor shard in the sharded chain); defaults to
+    zeros — the causal initial state.
+
     The input length must be divisible by ``block_len`` (default: a
     power-of-two giving FFT size ``>= 8*K`` or 1024, clipped to the signal
-    length). All blocks are processed as one batched FFT — the TPU sweet
+    length), and ``block_len >= K-1`` so one previous block covers the
+    history. All blocks are processed as one batched FFT — the TPU sweet
     spot — so throughput is the batched-FFT rate.
     """
     x = _as_c64(x)
@@ -121,16 +127,27 @@ def fir_filter_os(
     block_len = int(block_len)
     if n % block_len != 0:
         raise ValueError(f"Signal length {n} not divisible by block_len {block_len}")
+    if k > 1 and block_len < k - 1:
+        raise ValueError(f"block_len {block_len} must be >= taps-1 ({k - 1})")
     fft_len = int(2 ** np.ceil(np.log2(block_len + k - 1)))
     nblocks = n // block_len
 
     batch = x.shape[:-1]
     xb = x.reshape(batch + (nblocks, block_len))
-    # history: last K-1 samples of the previous block (zeros before block 0)
-    hist_src = jnp.concatenate(
-        [jnp.zeros(batch + (1, block_len), dtype=cf32), xb[..., :-1, :]], axis=-2
-    )
-    hist = hist_src[..., -(k - 1):] if k > 1 else xb[..., :0]
+    if k > 1:
+        # history rows: external history for block 0, then each previous
+        # block's last K-1 samples
+        if history is None:
+            h0 = jnp.zeros(batch + (1, k - 1), dtype=cf32)
+        else:
+            h0 = _as_c64(history)
+            if h0.shape[-1] != k - 1:
+                raise ValueError(f"history must have K-1 = {k - 1} samples")
+            h0 = jnp.broadcast_to(h0, batch + (k - 1,))[..., None, :]
+        prev_tails = xb[..., :-1, -(k - 1):]
+        hist = jnp.concatenate([h0, prev_tails], axis=-2)
+    else:
+        hist = xb[..., :0]
     ext = jnp.concatenate([hist, xb], axis=-1)  # [..., nblocks, K-1+block_len]
     pad = fft_len - ext.shape[-1]
     if pad:

@@ -28,6 +28,21 @@ from .mesh import TIME_AXIS
 P = jax.sharding.PartitionSpec
 
 
+def left_tail(x: jnp.ndarray, overlap: int, axis_name: str = TIME_AXIS) -> jnp.ndarray:
+    """The left neighbor's trailing ``overlap`` samples (zeros on the first
+    shard). Must run inside ``shard_map`` over ``axis_name``.
+
+    Returns ``[..., overlap]`` — the halo itself.
+    """
+    size = jax.lax.axis_size(axis_name)
+    tail = x[..., -overlap:]
+    # right-shift: shard i sends its tail to shard i+1; shard 0's incoming
+    # slot has no source => ppermute fills it with zeros (the causal initial
+    # state).
+    perm = [(i, i + 1) for i in range(size - 1)]
+    return jax.lax.ppermute(tail, axis_name, perm=perm)
+
+
 def halo_left(x: jnp.ndarray, overlap: int, axis_name: str = TIME_AXIS) -> jnp.ndarray:
     """Prepend the left neighbor's trailing ``overlap`` samples (zeros on the
     first shard). Must run inside ``shard_map`` over ``axis_name``.
@@ -36,24 +51,18 @@ def halo_left(x: jnp.ndarray, overlap: int, axis_name: str = TIME_AXIS) -> jnp.n
     """
     if overlap <= 0:
         return x
-    size = jax.lax.axis_size(axis_name)
-    tail = x[..., -overlap:]
-    # right-shift: shard i sends its tail to shard i+1; shard 0's incoming
-    # slot has no source => ppermute fills it with zeros (the causal initial
-    # state).
-    perm = [(i, i + 1) for i in range(size - 1)]
-    halo = jax.lax.ppermute(tail, axis_name, perm=perm)
-    return jnp.concatenate([halo, x], axis=-1)
+    return jnp.concatenate([left_tail(x, overlap, axis_name), x], axis=-1)
 
 
 def _fir_shard(x_local, taps, axis_name, use_os, block_len):
     k = taps.shape[-1]
-    ext = halo_left(x_local, k - 1, axis_name)
     if use_os:
-        y = _fir.fir_filter_os(ext, taps, block_len=block_len)
-    else:
-        y = _fir.fir_filter(ext, taps)
-    return y[..., k - 1 :]
+        # the halo becomes overlap-save's external history — local length
+        # stays divisible by block_len
+        h = left_tail(x_local, k - 1, axis_name) if k > 1 else None
+        return _fir.fir_filter_os(x_local, taps, block_len=block_len, history=h)
+    ext = halo_left(x_local, k - 1, axis_name)
+    return _fir.fir_filter(ext, taps)[..., k - 1 :]
 
 
 def sharded_fir(

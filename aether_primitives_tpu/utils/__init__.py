@@ -11,12 +11,10 @@ def __getattr__(name):
     # plot pulls in matplotlib; import lazily so headless/compute-only
     # environments never pay for it (the reference gates plotting behind a
     # cargo feature, Cargo.toml:39-46 — this is the Python analog).
-    if name == "plot":
-        from . import plot
+    if name in ("plot", "metrics"):
+        import importlib
 
-        return plot
-    if name == "metrics":
-        from . import metrics
-
-        return metrics
+        mod = importlib.import_module("." + name, __name__)
+        globals()[name] = mod
+        return mod
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,151 @@
+"""Visualization — matplotlib equivalents of the reference's five gnuplot
+plots (reference src/util/plot.rs): constellation, waterfall, spectrum,
+time, compare. Signatures mirror the reference (``file=None`` shows the
+figure; a filename saves it — the analog of the gnuplot/pdfcairo switch).
+
+Compute cores (blocked FFT, fftshift, magnitudes) come from the ops layer;
+this module only renders. Uses the Agg backend when saving so headless
+compute nodes never need a display.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..ops.fft import Scale, plan as fft_plan
+from ..ops import vecops as _vecops
+from .db import DB
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _finish(fig, file: Optional[str]):
+    if file is not None:
+        fig.savefig(file, bbox_inches="tight")
+        _plt().close(fig)
+    else:  # pragma: no cover - interactive path
+        _plt().show()
+
+
+def constellation(symbols, title: str, file: Optional[str] = None):
+    """Scatter of I/Q points (reference ``constellation``, src/util/plot.rs:10-33)."""
+    plt = _plt()
+    s = np.asarray(symbols).reshape(-1)
+    fig, ax = plt.subplots()
+    ax.plot(s.real, s.imag, ".", color="blue", label="Constellation")
+    ax.set_title(title)
+    ax.set_xlabel("I")
+    ax.set_ylabel("Q")
+    ax.legend(loc="upper left")
+    ax.grid(True, alpha=0.3)
+    _finish(fig, file)
+
+
+def waterfall(
+    symbols,
+    fft_len: int,
+    use_db: bool,
+    title: str,
+    file: Optional[str] = None,
+    fft_backend: Optional[str] = None,
+):
+    """Time-frequency map: per-chunk ``fft(SN)`` + fftshift + magnitude
+    (reference ``waterfall``, src/util/plot.rs:36-99 — zero-pads the capture
+    to a whole number of rows)."""
+    from ..models.channelizer import waterfall_spectra
+
+    plt = _plt()
+    levels = np.asarray(
+        waterfall_spectra(np.asarray(symbols), fft_len, use_db=use_db, fft_backend=fft_backend)
+    )
+    fig, ax = plt.subplots()
+    im = ax.imshow(levels, aspect="auto", origin="lower", cmap="viridis")
+    ax.set_title(title)
+    ax.set_xlabel("bin")
+    ax.set_ylabel("row (time)")
+    fig.colorbar(im, ax=ax, label="Magnitude [dB]" if use_db else "Magnitude")
+    _finish(fig, file)
+
+
+def spectrum(
+    symbols,
+    fft_len: int,
+    use_db: bool,
+    title: str,
+    file: Optional[str] = None,
+    fft_backend: Optional[str] = None,
+):
+    """Magnitude spectrum of the **first** fft_len chunk only, like the
+    reference (``spectrum``, src/util/plot.rs:102-154)."""
+    plt = _plt()
+    s = np.asarray(symbols).reshape(-1)
+    if len(s) < fft_len:
+        s = np.pad(s, (0, fft_len - len(s)))
+    spec = np.asarray(fft_plan(fft_len, fft_backend).fwd(s[:fft_len].astype(np.complex64), Scale.SN))
+    mag = np.abs(spec)
+    if use_db:
+        mag = 10.0 * np.log10(mag)
+    fig, ax = plt.subplots()
+    ax.plot(np.arange(fft_len), mag, "-o", color="green", markersize=2, label="Spectrum")
+    ax.set_title(title)
+    ax.set_xlim(0, fft_len)
+    ax.set_xlabel("bin")
+    ax.set_ylabel("Magnitude [dB]" if use_db else "Magnitude")
+    ax.legend(loc="upper left")
+    _finish(fig, file)
+
+
+def time(symbol, title: str, file: Optional[str] = None):
+    """Real/imag traces with a magnitude subplot (reference ``time``,
+    src/util/plot.rs:157-225)."""
+    plt = _plt()
+    s = np.asarray(symbol).reshape(-1)
+    x = np.arange(len(s))
+    mx = float(np.abs(s).max()) * 1.1 if len(s) else 1.0
+    fig, (ax0, ax1) = plt.subplots(
+        2, 1, sharex=True, gridspec_kw={"height_ratios": [3, 1]}
+    )
+    ax0.plot(x, s.real, "-o", color="blue", markersize=2, label="Real")
+    ax0.plot(x, s.imag, "-o", color="red", markersize=2, label="Imaginary")
+    ax0.set_xlim(0, len(s))
+    ax0.set_ylim(-mx, mx)
+    ax0.set_title(title)
+    ax0.legend(loc="upper left", ncols=2)
+    ax1.plot(x, np.abs(s), color="green", label="Magnitude")
+    ax1.set_ylim(0, mx)
+    ax1.legend(loc="upper left")
+    _finish(fig, file)
+
+
+def compare(symbols1, symbols2, title: str, file: Optional[str] = None):
+    """Two signals overlaid + |error| subplot (reference ``compare``,
+    src/util/plot.rs:229-325). Lengths must match."""
+    plt = _plt()
+    a = np.asarray(symbols1).reshape(-1)
+    b = np.asarray(symbols2).reshape(-1)
+    if len(a) != len(b):
+        raise ValueError("Can only plot vectors of equal length")
+    x = np.arange(len(a))
+    err = np.abs(a - b)
+    fig, (ax0, ax1) = plt.subplots(
+        2, 1, sharex=True, gridspec_kw={"height_ratios": [3, 1]}
+    )
+    ax0.plot(x, a.real, "-", color="green", label="Input 0: real")
+    ax0.plot(x, a.imag, ":", color="green", label="Input 0: imaginary")
+    ax0.plot(x, b.real, "-", color="blue", label="Input 1: real")
+    ax0.plot(x, b.imag, ":", color="blue", label="Input 1: imaginary")
+    ax0.set_xlim(0, len(a))
+    ax0.set_title(title)
+    ax0.legend(loc="upper left", fontsize=7, ncols=2)
+    ax1.plot(x, err, "-.", color="red", label="Deviation")
+    ax1.legend(loc="upper left")
+    _finish(fig, file)

@@ -1,0 +1,47 @@
+"""Plot demo — the equivalent of the reference's examples/plotting.rs:
+seeded noise through all five plots (constellation, time, compare,
+spectrum, waterfall). Writes PNGs to the given prefix (default /tmp/aeth).
+
+Run: python examples/plotting.py [prefix]
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    try:
+        jax.devices()
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aether_primitives_tpu.ops import noise
+    from aether_primitives_tpu.utils import plot
+
+    prefix = sys.argv[1] if len(sys.argv) > 1 else "/tmp/aeth"
+    gen = noise.new(1.0, 815)
+
+    print("Generating noise and plotting constellation")
+    plot.constellation(np.asarray(gen.fill(2048)), "2048 Noise Values", f"{prefix}_constellation.png")
+
+    print("Generating noise and plotting time signal")
+    plot.time(np.asarray(gen.fill(200)), "200 Noise Values", f"{prefix}_time.png")
+
+    print("Generating noise and plotting comparison")
+    nv = np.asarray(gen.fill(400))
+    plot.compare(nv[:200], nv[200:], "200 Noise Values", f"{prefix}_compare.png")
+
+    print("Generating noise and plotting spectrum")
+    plot.spectrum(np.asarray(gen.fill(2048)), 2048, True, "Noise Spectrum", f"{prefix}_spectrum.png")
+
+    print("Generating noise and waterfall (500 x 2048)")
+    cap = np.asarray(gen.fill(2048 * 500))
+    plot.waterfall(cap, 2048, True, "500*2048 Noise Values", f"{prefix}_waterfall.png")
+    print(f"Wrote plots with prefix {prefix}_")
+
+
+if __name__ == "__main__":
+    main()

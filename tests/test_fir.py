@@ -1,0 +1,89 @@
+"""FIR / correlation tests: f64 convolution goldens, overlap-save equality,
+correlator peak semantics (the finished capability behind the reference's
+stub fir.rs and bench correlator, benches/benches.rs:382-423)."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.evm import evm_rms_db
+from aether_primitives_tpu.ops import fir
+
+
+def rand_c(rng, n):
+    return (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+
+
+@pytest.mark.parametrize("n,k", [(256, 9), (1024, 33), (4096, 65), (1000, 17)])
+def test_fir_vs_numpy_golden(n, k):
+    rng = np.random.default_rng(n + k)
+    x, taps = rand_c(rng, n), rand_c(rng, k)
+    got = np.asarray(fir.fir_filter(x, taps))
+    gold = np.convolve(x.astype(np.complex128), taps.astype(np.complex128))[:n]
+    assert evm_rms_db(got, gold) < -120
+
+
+def test_fir_batched():
+    rng = np.random.default_rng(0)
+    x = rand_c(rng, 512).reshape(4, 128)
+    taps = rand_c(rng, 9)
+    got = np.asarray(fir.fir_filter(x, taps))
+    assert got.shape == (4, 128)
+    for i in range(4):
+        gold = np.convolve(x[i].astype(np.complex128), taps.astype(np.complex128))[:128]
+        assert evm_rms_db(got[i], gold) < -120
+
+
+@pytest.mark.parametrize("block_len", [None, 256, 1024])
+def test_overlap_save_equals_direct(block_len):
+    rng = np.random.default_rng(3)
+    x, taps = rand_c(rng, 4096), rand_c(rng, 33)
+    direct = np.asarray(fir.fir_filter(x, taps))
+    os_ = np.asarray(fir.fir_filter_os(x, taps, block_len=block_len))
+    assert evm_rms_db(os_, direct.astype(np.complex128)) < -115
+
+
+def test_overlap_save_single_tap():
+    rng = np.random.default_rng(4)
+    x = rand_c(rng, 1024)
+    taps = np.array([2.0 + 1.0j], np.complex64)
+    os_ = np.asarray(fir.fir_filter_os(x, taps, block_len=256))
+    assert evm_rms_db(os_, (x * taps[0]).astype(np.complex128)) < -115
+
+
+def test_overlap_save_indivisible_raises():
+    with pytest.raises(ValueError, match="divisible"):
+        fir.fir_filter_os(np.zeros(1000, np.complex64), np.ones(9, np.complex64), block_len=256)
+
+
+def test_correlator_peak():
+    # a 4-sample signature repeated every 4 samples, like the reference
+    # bench setup (benches/benches.rs:388-400): circular correlation peaks
+    # at every alignment
+    sig = np.array([-1 + 1j, 0, 1 - 1j, 1 - 1j], np.complex64)
+    x = np.tile(sig, 128)  # len 512
+    c = np.asarray(fir.correlate(x, sig))
+    peaks = np.where(np.abs(c) > 0.9 * np.abs(c).max())[0]
+    assert (peaks % 4 == 0).all() and len(peaks) == 128
+
+
+def test_correlator_vs_direct_golden():
+    rng = np.random.default_rng(5)
+    x = rand_c(rng, 256)
+    ref = rand_c(rng, 256)
+    got = np.asarray(fir.correlate(x, ref))
+    # direct circular correlation: c[lag] = sum_m x[m] conj(ref[m - lag])
+    xm = x.astype(np.complex128)
+    rm = ref.astype(np.complex128)
+    gold = np.array(
+        [np.sum(xm * np.conj(np.roll(rm, lag))) for lag in range(256)]
+    )
+    assert evm_rms_db(got, gold) < -110
+
+
+def test_correlate_embedded_pattern_offset():
+    rng = np.random.default_rng(6)
+    pattern = rand_c(rng, 64)
+    x = 0.01 * rand_c(rng, 1024)
+    x[300:364] += pattern
+    c = np.asarray(fir.correlate(x, pattern))
+    assert int(np.argmax(np.abs(c))) == 300

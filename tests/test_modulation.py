@@ -1,0 +1,80 @@
+"""Modulation tests — exact symbol-table vectors and seeded round trips
+(reference src/modulation.rs:151-197)."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.ops import modulation as mod
+
+
+def test_generic_bpsk_table():
+    # reference generic_bpsk test: bits [0,1,0,1]
+    out = np.asarray(mod.bpsk().modulate(np.array([0, 1, 0, 1], np.uint8)))
+    expect = np.array([1 + 1j, -1 - 1j, 1 + 1j, -1 - 1j], np.complex64)
+    assert (out == expect).all()
+
+
+def test_generic_qpsk_table():
+    # reference generic_qpsk test: bits [0,0, 1,0, 0,1, 1,1] -> the 4 table
+    # entries in order (LSB-first: pair (b0,b1) -> idx b0 + 2*b1)
+    bits = np.array([0, 0, 1, 0, 0, 1, 1, 1], np.uint8)
+    out = np.asarray(mod.qpsk().modulate(bits))
+    assert (out == mod.GENERIC_QPSK_TABLE).all()
+
+
+def test_qpsk_index_lsb_first():
+    m = mod.qpsk()
+    # (bits[1] << 1) + bits[0] (reference src/modulation.rs:22-25)
+    assert int(m.index(np.array([1, 0]))) == 1
+    assert int(m.index(np.array([0, 1]))) == 2
+
+
+@pytest.mark.parametrize("seed", [815, 234354654543, 18324357])
+@pytest.mark.parametrize("name", ["bpsk", "qpsk"])
+def test_seeded_roundtrip(seed, name):
+    # reference naive_demod test structure — but with real {0,1} bits (its
+    # gen_range(0,1) only ever produced zeros, SURVEY.md §2 quirk 3)
+    rng = np.random.default_rng(seed)
+    m = mod.qpsk() if name == "qpsk" else mod.bpsk()
+    bits = rng.integers(0, 2, 100 * m.bits_per_symbol).astype(np.uint8)
+    syms = m.modulate(bits)
+    back = np.asarray(m.demod(syms))
+    assert (back == bits).all()
+
+
+def test_demod_noisy_still_exact():
+    rng = np.random.default_rng(1)
+    m = mod.qpsk()
+    bits = rng.integers(0, 2, 2000).astype(np.uint8)
+    syms = np.asarray(m.modulate(bits))
+    noisy = syms + 0.1 * (rng.normal(size=syms.shape) + 1j * rng.normal(size=syms.shape))
+    assert (np.asarray(m.demod(noisy.astype(np.complex64))) == bits).all()
+
+
+def test_demod_scans_full_constellation():
+    # 16-point constellation: the reference's blanket demod would only scan
+    # 8 points (2*bits) and mis-demod half the symbols (quirk 4); ours scans
+    # 2**bits and round-trips exactly.
+    rng = np.random.default_rng(2)
+    table = (rng.normal(size=16) + 1j * rng.normal(size=16)).astype(np.complex64)
+    m = mod.Modulation(table, name="16qam-ish")
+    assert m.bits_per_symbol == 4
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    assert (np.asarray(m.demod(m.modulate(bits))) == bits).all()
+
+
+def test_modulate_batched():
+    m = mod.qpsk()
+    bits = np.zeros((3, 8), np.uint8)
+    out = m.modulate(bits)
+    assert out.shape == (3, 4)
+
+
+def test_partial_chunk_rejected():
+    with pytest.raises(ValueError, match="not divisible"):
+        mod.qpsk().modulate(np.array([0, 1, 0], np.uint8))
+
+
+def test_non_power_of_two_table_rejected():
+    with pytest.raises(ValueError, match="power of two"):
+        mod.Modulation(np.ones(3, np.complex64))

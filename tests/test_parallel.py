@@ -1,0 +1,99 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh: halo exchange
+correctness (sharded == gathered single-device result), sharded waterfall,
+sharded RX chain (SURVEY.md §4 multi-device strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.evm import evm_rms_db
+from aether_primitives_tpu.ops import fir
+from aether_primitives_tpu.parallel import halo, mesh as mesh_mod
+
+
+def rand_c(rng, n):
+    return (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return mesh_mod.make_mesh({"time": 8})
+
+
+def test_make_mesh_infer():
+    m = mesh_mod.make_mesh({"time": -1})
+    assert m.shape["time"] == len(jax.devices())
+
+
+def test_make_mesh_two_axes(mesh8):
+    m = mesh_mod.make_mesh({"channel": 2, "time": 4})
+    assert m.shape == {"channel": 2, "time": 4}
+
+
+def test_make_mesh_bad_sizes():
+    with pytest.raises(ValueError, match="devices"):
+        mesh_mod.make_mesh({"time": 3})
+
+
+def test_halo_left_is_previous_tail(mesh8):
+    # shard i must see shard i-1's tail; shard 0 sees zeros
+    n = 8 * 16
+    x = jnp.arange(n).astype(jnp.float32)
+
+    def fn(xs):
+        return halo.halo_left(xs, 4, "time")
+
+    out = jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh8,
+            in_specs=jax.sharding.PartitionSpec("time"),
+            out_specs=jax.sharding.PartitionSpec("time"),
+        )
+    )(x)
+    out = np.asarray(out).reshape(8, 20)
+    assert (out[0, :4] == 0).all()
+    for i in range(1, 8):
+        assert (out[i, :4] == np.arange(i * 16 - 4, i * 16)).all()
+        assert (out[i, 4:] == np.arange(i * 16, (i + 1) * 16)).all()
+
+
+@pytest.mark.parametrize("use_os", [False, True])
+def test_sharded_fir_matches_single_device(mesh8, use_os):
+    rng = np.random.default_rng(0)
+    n = 8 * 1024
+    x = rand_c(rng, n)
+    taps = rand_c(rng, 33)
+    single = np.asarray(fir.fir_filter(x, taps))
+    sharded = np.asarray(
+        halo.sharded_fir(x, taps, mesh8, use_os=use_os, block_len=256 if use_os else None)
+    )
+    assert evm_rms_db(sharded, single.astype(np.complex128)) < -110
+
+
+def test_sharded_waterfall_matches_single(mesh8):
+    from aether_primitives_tpu.models import channelizer
+
+    rng = np.random.default_rng(1)
+    cap = rand_c(rng, 8 * 4 * 256)  # 32 rows of 256 across 8 devices
+    single = np.asarray(channelizer.waterfall_spectra(cap, 256))
+    m = mesh_mod.make_mesh({"channel": 8})
+    sharded = np.asarray(channelizer.sharded_waterfall(cap, 256, m))
+    assert np.allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_rx_chain_matches_single(mesh8):
+    from aether_primitives_tpu.models import RxChain, RxChainConfig
+
+    cfg = RxChainConfig(fft_len=256, decimation=4)
+    chain = RxChain(cfg)
+    rng = np.random.default_rng(2)
+    n = 8 * 4 * 256 * 2  # per-device span divisible by decimation*fft_len
+    x = rand_c(rng, n)
+    single = np.asarray(chain.step(x))
+    sharded = np.asarray(chain.sharded_step(x, mesh8))
+    agree = (single == sharded).mean()
+    assert agree == 1.0, f"bit agreement {agree}"

@@ -1,0 +1,49 @@
+"""Plot rendering smoke tests (file output; compute cores are tested via
+the channelizer/fft tests — here we check the figures render and save)."""
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+
+from aether_primitives_tpu.utils import plot
+
+
+@pytest.fixture
+def sig(rng):
+    return (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+
+
+def test_constellation(sig, tmp_path):
+    p = tmp_path / "c.png"
+    plot.constellation(sig, "2048 Noise Values", str(p))
+    assert p.stat().st_size > 0
+
+
+def test_waterfall(sig, tmp_path):
+    p = tmp_path / "w.png"
+    plot.waterfall(sig, 128, True, "waterfall", str(p))
+    assert p.stat().st_size > 0
+
+
+def test_spectrum(sig, tmp_path):
+    p = tmp_path / "s.png"
+    plot.spectrum(sig, 256, False, "spectrum", str(p))
+    assert p.stat().st_size > 0
+
+
+def test_time(sig, tmp_path):
+    p = tmp_path / "t.png"
+    plot.time(sig[:200], "200 Noise Values", str(p))
+    assert p.stat().st_size > 0
+
+
+def test_compare(sig, tmp_path):
+    p = tmp_path / "cmp.png"
+    plot.compare(sig[:200], sig[200:400], "200 Noise Values", str(p))
+    assert p.stat().st_size > 0
+
+
+def test_compare_length_mismatch(sig):
+    with pytest.raises(ValueError, match="equal length"):
+        plot.compare(sig[:10], sig[:20], "x")

@@ -1,0 +1,70 @@
+"""Resampling tests — the reference's exact ramp/decimation vectors
+(reference src/sampling.rs:64-170)."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.ops import sampling
+
+
+def cvec(vals):
+    return np.asarray([complex(v, v) for v in vals], dtype=np.complex64)
+
+
+def test_interpolate_2_between():
+    src = cvec([0, 3, 6, 9])
+    out = np.asarray(sampling.interpolate(src, 2))
+    check = cvec([0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+    assert len(out) == len(src) + (len(src) - 1) * 2
+    assert (out == check).all()
+
+
+def test_interpolate_1_between():
+    src = cvec([0, 2, 4, 6])
+    out = np.asarray(sampling.interpolate(src, 1))
+    assert (out == cvec([0, 1, 2, 3, 4, 5, 6])).all()
+
+
+def test_interpolate_imaginary_uses_im_base():
+    # the deliberate fix of the reference's im-ramp bug (src/sampling.rs:19):
+    # a signal with re != im must interpolate both components independently
+    src = np.array([0 + 10j, 2 + 12j], np.complex64)
+    out = np.asarray(sampling.interpolate(src, 1))
+    assert (out == np.array([0 + 10j, 1 + 11j, 2 + 12j], np.complex64)).all()
+
+
+def test_interpolate_zero_between_is_identity():
+    src = cvec([1, 2, 3])
+    assert (np.asarray(sampling.interpolate(src, 0)) == src).all()
+
+
+def test_downsample_21_v_7():
+    src = np.arange(21).astype(np.complex64)
+    out = np.asarray(sampling.downsample(src, 7))
+    assert (out == (np.arange(7) * 3).astype(np.complex64)).all()
+
+
+def test_downsample_16_v_4():
+    src = np.arange(16).astype(np.complex64)
+    out = np.asarray(sampling.downsample(src, 4))
+    assert (out == (np.arange(4) * 4).astype(np.complex64)).all()
+
+
+def test_downsample_7_v_3_fails():
+    with pytest.raises(ValueError, match="even decimations"):
+        sampling.downsample(np.zeros(7, np.complex64), 3)
+
+
+def test_downsample_by_factor():
+    src = np.arange(12).astype(np.complex64)
+    assert (np.asarray(sampling.downsample_by(src, 3)) == src[::3]).all()
+    with pytest.raises(ValueError):
+        sampling.downsample_by(np.zeros(7, np.complex64), 3)
+
+
+def test_batched():
+    src = np.stack([np.arange(16), np.arange(16) + 100]).astype(np.complex64)
+    out = np.asarray(sampling.downsample(src, 4))
+    assert out.shape == (2, 4)
+    up = np.asarray(sampling.interpolate(src, 1))
+    assert up.shape == (2, 31)

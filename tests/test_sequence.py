@@ -1,0 +1,55 @@
+"""Sequence generation tests (reference src/sequence.rs doc examples and
+unit test) plus equality of the three generation tiers."""
+
+import numpy as np
+
+from aether_primitives_tpu.ops import sequence
+
+
+def test_expand_doc_example():
+    # reference doctest: seed 1+4+16 -> bits 1,0,1,0,1 then zeros, len 32
+    out = sequence.expand(1 + 4 + 16, 32)
+    expect = np.zeros(32, np.uint8)
+    expect[:5] = [1, 0, 1, 0, 1]
+    assert (out == expect).all()
+    assert len(out) == 32
+
+
+def test_simple_sequence():
+    # reference unit test: gen = s[n-1]+s[n-2] mod 2, seed [1,0], len 6
+    gen = lambda n, s: (s[n - 1] + s[n - 2]) % 2
+    out = sequence.generate([1, 0], gen, 6)
+    assert (out == np.array([1, 0, 1, 1, 0, 1], np.uint8)).all()
+
+
+def test_lte_x1_doc_example():
+    # reference doctest: LTE TS36.211 7.2 x1 over 1600 elements
+    gen = lambda n, s: (s[n - 28] + s[n - 31]) % 2
+    init = sequence.expand(1, 31)
+    ref = sequence.generate(init, gen, 1600)
+    assert len(ref) == 1600
+
+    scan = np.asarray(sequence.lfsr_generate(init, (28, 31), 1600))
+    assert (scan == ref).all()
+
+    fast = np.asarray(sequence.lfsr_matrix_generate(init, (28, 31), 1600))
+    assert (fast == ref).all()
+
+
+def test_lfsr_matrix_block_sizes():
+    init = sequence.expand(0b1011, 4)  # x(n) = x(n-3) + x(n-4)
+    ref = np.asarray(sequence.lfsr_generate(init, (3, 4), 257))
+    for block in (7, 64, 300):
+        fast = np.asarray(sequence.lfsr_matrix_generate(init, (3, 4), 257, block=block))
+        assert (fast == ref).all(), f"block={block}"
+
+
+def test_lfsr_short_request():
+    init = sequence.expand(1, 31)
+    out = np.asarray(sequence.lfsr_generate(init, (28, 31), 10))
+    assert (out == init[:10]).all()
+
+
+def test_generate_already_long_enough():
+    out = sequence.generate([1, 0, 1], lambda n, s: 0, 2)
+    assert (out == np.array([1, 0, 1], np.uint8)).all()

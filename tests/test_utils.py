@@ -1,0 +1,91 @@
+"""util tests: dB conversion (reference src/util/mod.rs) and sample file I/O
+(reference src/util/file.rs tests, /tmp-backed)."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.utils import DB, file as f
+from aether_primitives_tpu.utils.db import from_db, to_db
+
+
+def test_db_doc_example():
+    # reference doctest: ratio 100 -> 20 dB
+    db = DB.from_ratio(100)
+    assert db.ratio() == pytest.approx(100.0)
+    assert db.db() == pytest.approx(20.0)
+
+
+def test_db_to_ratio():
+    assert DB(30.0).ratio() == pytest.approx(1000.0)
+    assert DB(0.0).ratio() == pytest.approx(1.0)
+
+
+def test_ratio_to_db():
+    assert DB.from_ratio(100.0).db() == pytest.approx(20.0)
+    assert DB.from_ratio(1 / 10).db() == pytest.approx(-10.0)
+
+
+def test_vectorized_db():
+    assert np.allclose(to_db(np.array([1.0, 10.0, 100.0])), [0.0, 10.0, 20.0])
+    assert np.allclose(from_db(np.array([0.0, 10.0])), [1.0, 10.0])
+
+
+def test_binary_writer_and_reader(tmp_path):
+    # mirrors the reference's binary roundtrip test (src/util/file.rs:131-170)
+    p = tmp_path / "aether_primitives_binary_test.bin"
+    seq = (np.arange(200) + 1j * np.arange(200)).astype(np.complex64)
+    with f.binary_writer(p) as w:
+        w.write(seq)
+    assert p.stat().st_size == 200 * 8  # two f32 per sample
+    assert f.count_structs_in_file(p) == 200
+    with f.binary_reader(p) as r:
+        back = r.read(200)
+    assert (back == seq).all()
+
+
+def test_binary_reader_partial_and_eof(tmp_path):
+    p = tmp_path / "x.bin"
+    seq = np.arange(10).astype(np.complex64)
+    f.save(p, seq)
+    with f.binary_reader(p) as r:
+        first = r.read(4)
+        assert (first == seq[:4]).all()
+        rest = r.read(6)
+        assert (rest == seq[4:]).all()
+        with pytest.raises(EOFError):
+            r.read(1)
+
+
+def test_count_structs_rejects_remainder(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"\x00" * 13)
+    with pytest.raises(ValueError, match="integer number"):
+        f.count_structs_in_file(p)
+
+
+def test_interleaved_layout_is_reference_repr_c(tmp_path):
+    # the repr(C) contract: back-to-back (re, im) f32 pairs, native order
+    p = tmp_path / "layout.bin"
+    data = np.array([1 + 2j, 3 + 4j], np.complex64)
+    f.save(p, data)
+    raw = np.fromfile(p, dtype=np.float32)
+    assert (raw == [1, 2, 3, 4]).all()
+
+
+def test_mmap_load(tmp_path):
+    p = tmp_path / "m.bin"
+    data = (np.arange(64) * (1 - 1j)).astype(np.complex64)
+    f.save(p, data)
+    m = f.load(p, mmap=True)
+    assert (np.asarray(m) == data).all()
+
+
+def test_csv_roundtrip(tmp_path):
+    # mirrors the reference csv roundtrip (src/util/file.rs:175-215)
+    p = tmp_path / "aether_primitives_csv_test.csv"
+    seq = (np.arange(200) + 1j * np.arange(200)).astype(np.complex64)
+    with f.csv_writer(p) as w:
+        w.write(seq)
+    back = f.csv_reader(p)
+    assert len(back) == 200
+    assert (back == seq).all()
