@@ -126,8 +126,7 @@ class RxChain:
         """The jittable single-device forward step (block -> bits)."""
         cfg = self.config
         x = jnp.asarray(block, dtype=cf32)
-        y = _fir.fir_filter(x, jnp.asarray(self.taps))
-        y = _sampling.downsample_by(y, cfg.decimation)
+        y = _fir.fir_filter_decimate(x, jnp.asarray(self.taps), cfg.decimation)
         nsym = y.shape[-1] // cfg.fft_len
         frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
         spec = self._plan.fwd(frames, Scale.SN)
@@ -140,8 +139,9 @@ class RxChain:
         def shard_fn(x):
             k = self.taps.shape[-1]
             ext = _halo.halo_left(x, k - 1, axis_name)
-            y = _fir.fir_filter(ext, jnp.asarray(self.taps))[..., k - 1 :]
-            y = _sampling.downsample_by(y, cfg.decimation)
+            y = _fir.fir_filter_decimate(
+                ext, jnp.asarray(self.taps), cfg.decimation, padding="valid"
+            )
             nsym = y.shape[-1] // cfg.fft_len
             frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
             spec = self._plan.fwd(frames, Scale.SN)
@@ -177,8 +177,9 @@ class RxChain:
         def shard_fn(x):
             k = self.taps.shape[-1]
             ext = _halo.halo_left(x, k - 1, time_axis)
-            y = _fir.fir_filter(ext, jnp.asarray(self.taps))[..., k - 1 :]
-            y = _sampling.downsample_by(y, cfg.decimation)
+            y = _fir.fir_filter_decimate(
+                ext, jnp.asarray(self.taps), cfg.decimation, padding="valid"
+            )
             nsym = y.shape[-1] // cfg.fft_len
             frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
             spec = self._plan.fwd(frames, Scale.SN)

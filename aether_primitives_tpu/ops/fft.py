@@ -238,7 +238,16 @@ _plan_cache: dict = {}
 
 
 def default_backend() -> str:
-    """Matmul FFT on TPU (MXU-bound, fastest); XLA FFT elsewhere."""
+    """Matmul FFT on TPU (MXU-bound, fastest); XLA FFT elsewhere.
+
+    Overridable with ``AETHER_FFT_BACKEND=matmul|xla`` (the analog of the
+    reference's swappable-backend feature flags, Cargo.toml:39-46).
+    """
+    import os
+
+    env = os.environ.get("AETHER_FFT_BACKEND")
+    if env in _BACKENDS:
+        return env
     try:
         platform = jax.devices()[0].platform
     except Exception:

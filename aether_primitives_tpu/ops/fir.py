@@ -56,6 +56,23 @@ def fir_filter(x, taps) -> jnp.ndarray:
     Each real conv is ``lax.conv_general_dilated`` over the last axis,
     batched over all leading axes.
     """
+    return fir_filter_decimate(x, taps, 1)
+
+
+def fir_filter_decimate(x, taps, factor: int, padding: str = "causal") -> jnp.ndarray:
+    """Fused causal FIR + decimation: ``y[m] = sum_k taps[k] x[m*factor - k]``.
+
+    The polyphase identity the TPU chain leans on: filtering then keeping
+    every ``factor``-th sample computes (and discards) ``factor-1`` of every
+    ``factor`` outputs — a strided convolution computes only the survivors,
+    cutting FIR work by ``factor`` with bit-identical results to
+    ``downsample(fir_filter(x, taps), n/factor)``.
+
+    ``padding="causal"`` left-pads ``taps-1`` zeros (fresh stream);
+    ``padding="valid"`` assumes the input is already extended with its
+    ``taps-1``-sample history (the sharded halo path) and emits
+    ``(n - taps + 1) / factor`` outputs aligned to the first fresh sample.
+    """
     x = _as_c64(x)
     taps = _as_c64(taps)
     k = taps.shape[-1]
@@ -68,13 +85,14 @@ def fir_filter(x, taps) -> jnp.ndarray:
     # so feed reversed taps to realize sum_k taps[k] x[n-k].
     hr = jnp.real(taps)[::-1].reshape((1, 1, k)).astype(jnp.float32)
     hi = jnp.imag(taps)[::-1].reshape((1, 1, k)).astype(jnp.float32)
+    pad = [(k - 1, 0)] if padding == "causal" else [(0, 0)]
 
     def conv(sig, ker):
         return jax.lax.conv_general_dilated(
             sig,
             ker,
-            window_strides=(1,),
-            padding=[(k - 1, 0)],  # causal: left-pad with zeros
+            window_strides=(int(factor),),
+            padding=pad,
             dimension_numbers=("NCH", "OIH", "NCH"),
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -85,7 +103,8 @@ def fir_filter(x, taps) -> jnp.ndarray:
     re = ac - bd
     im = s - ac - bd
     y = jax.lax.complex(re, im)
-    return y.reshape(batch + (n,)).astype(cf32)
+    out_n = y.shape[-1]
+    return y.reshape(batch + (out_n,)).astype(cf32)
 
 
 def fir_filter_os(

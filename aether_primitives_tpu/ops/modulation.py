@@ -61,6 +61,10 @@ class Modulation:
             raise ValueError("Constellation size must be a power of two")
         object.__setattr__(self, "table", table)
         object.__setattr__(self, "bits_per_symbol", bps)
+        sign_fast = (
+            self.name == "bpsk" and np.array_equal(table, GENERIC_BPSK_TABLE)
+        ) or (self.name == "qpsk" and np.array_equal(table, GENERIC_QPSK_TABLE))
+        object.__setattr__(self, "_sign_fast", sign_fast)
 
     # -- reference API surface --------------------------------------------
     def symbol(self, idx):
@@ -107,6 +111,8 @@ class Modulation:
         size demands.
         """
         s = jnp.asarray(symbols, dtype=cf32)
+        if self._sign_fast:
+            return self._demod_sign(s)
         table = jnp.asarray(self.table)
         # score[..., n_sym, n_const]
         score = (
@@ -119,6 +125,30 @@ class Modulation:
         bits = (idx[..., None] >> shifts) & 1
         out_len = s.shape[-1] * self.bits_per_symbol
         return bits.reshape(s.shape[:-1] + (out_len,)).astype(jnp.uint8)
+
+    def _demod_sign(self, s: jnp.ndarray) -> jnp.ndarray:
+        """Closed-form nearest-neighbor demod for the generic Gray tables.
+
+        The generic constellations are axis-aligned, so the argmin collapses
+        to sign tests (the TPU analog of the reference's hand-unrolled QPSK
+        demod that "cuts demod time by roughly 20%", src/modulation.rs:31-56
+        — here it removes the whole distance tensor):
+
+        - QPSK: bit0 = Re(s) < 0, bit1 = Im(s) < 0 (table rows 0..3 are
+          (+,+),(-,+),(+,-),(-,-));
+        - BPSK: bit = Re(s) + Im(s) < 0 (decision boundary of +-(1+1j)).
+
+        Tie behavior matches the argmin path: at a boundary the lower index
+        (bit 0) wins because the comparison is strict.
+        """
+        re, im = jnp.real(s), jnp.imag(s)
+        if self.name == "bpsk":
+            bits = (re + im < 0).astype(jnp.uint8)
+            return bits.reshape(s.shape[:-1] + (s.shape[-1],))
+        b0 = (re < 0).astype(jnp.uint8)
+        b1 = (im < 0).astype(jnp.uint8)
+        out = jnp.stack([b0, b1], axis=-1)
+        return out.reshape(s.shape[:-1] + (2 * s.shape[-1],))
 
     # alias matching the reference method name
     demod_naive = demod

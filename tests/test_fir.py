@@ -33,6 +33,30 @@ def test_fir_batched():
         assert evm_rms_db(got[i], gold) < -120
 
 
+@pytest.mark.parametrize("factor", [1, 2, 4])
+def test_fir_filter_decimate_equals_filter_then_downsample(factor):
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(11)
+    x, taps = rand_c(rng, 1024), rand_c(rng, 33)
+    fused = np.asarray(fir.fir_filter_decimate(x, taps, factor))
+    ref = np.asarray(sampling.downsample_by(fir.fir_filter(x, taps), factor))
+    assert fused.shape == ref.shape == (1024 // factor,)
+    assert (fused == ref).all()  # identical compute graph per output
+
+
+def test_fir_filter_decimate_valid_with_history():
+    # the sharded-halo form: input pre-extended with its K-1 history
+    rng = np.random.default_rng(12)
+    x, taps = rand_c(rng, 1024), rand_c(rng, 17)
+    full = np.asarray(fir.fir_filter_decimate(x, taps, 4))
+    # split x into two halves; second half processed with history halo
+    h1 = np.asarray(fir.fir_filter_decimate(x[:512], taps, 4))
+    ext = np.concatenate([x[512 - 16 : 512], x[512:]])
+    h2 = np.asarray(fir.fir_filter_decimate(ext, taps, 4, padding="valid"))
+    assert (np.concatenate([h1, h2]) == full).all()
+
+
 @pytest.mark.parametrize("block_len", [None, 256, 1024])
 def test_overlap_save_equals_direct(block_len):
     rng = np.random.default_rng(3)
