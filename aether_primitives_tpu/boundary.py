@@ -60,8 +60,22 @@ class Split:
 
 
 def split(x) -> Split:
-    """Host-side: complex array-like -> :class:`Split` f32 planes."""
+    """Host-side: complex array-like -> :class:`Split` f32 planes.
+
+    Large contiguous complex64 blocks go through the native deinterleave
+    hot loop (:mod:`aether_primitives_tpu.native`) — this runs once per
+    staged block in the streaming feeder.
+    """
     arr = np.asarray(x)
+    if (
+        arr.dtype == np.complex64
+        and arr.size >= (1 << 16)
+        and arr.flags.c_contiguous
+    ):
+        from . import native
+
+        re, im = native.deinterleave(arr)
+        return Split(re, im)
     return Split(
         np.ascontiguousarray(arr.real, dtype=np.float32),
         np.ascontiguousarray(arr.imag, dtype=np.float32),

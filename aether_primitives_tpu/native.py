@@ -1,0 +1,155 @@
+"""Native host-extension loader (csrc/hostops.cpp).
+
+Compiles the C++ host hot-loops on first use (g++ -O3, cached in
+``build/``) and exposes them through ctypes. Every entry point has a numpy
+fallback so the framework works without a toolchain; ``available()`` tells
+you which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parent.parent
+_SRC = _REPO / "csrc" / "hostops.cpp"
+_BUILD = _REPO / "build"
+_LIB_PATH = _BUILD / "libaether_hostops.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[Path]:
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB_PATH
+    _BUILD.mkdir(exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-march=native", "-funroll-loops",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _SRC.exists():
+            return None
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(str(path))
+        fp = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.deinterleave_c64.argtypes = [fp, fp, fp, ctypes.c_size_t]
+        lib.interleave_c64.argtypes = [fp, fp, fp, ctypes.c_size_t]
+        lib.peak_c64.argtypes = [
+            fp, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.pack_bits_lsb.argtypes = [u8p, u8p, ctypes.c_size_t]
+        lib.unpack_bits_lsb.argtypes = [u8p, u8p, ctypes.c_size_t]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the compiled host extension is loaded."""
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def deinterleave(x: np.ndarray):
+    """complex64 [n] -> (re, im) f32 planes (native when available)."""
+    x = np.ascontiguousarray(x, dtype=np.complex64)
+    lib = _load()
+    flat = x.reshape(-1)
+    n = flat.size
+    re = np.empty(x.shape, np.float32)
+    im = np.empty(x.shape, np.float32)
+    if lib is not None:
+        lib.deinterleave_c64(
+            _fptr(flat.view(np.float32)), _fptr(re.reshape(-1)), _fptr(im.reshape(-1)), n
+        )
+    else:
+        re[...] = x.real
+        im[...] = x.imag
+    return re, im
+
+
+def interleave(re: np.ndarray, im: np.ndarray) -> np.ndarray:
+    """(re, im) f32 planes -> complex64 (native when available)."""
+    re = np.ascontiguousarray(re, dtype=np.float32)
+    im = np.ascontiguousarray(im, dtype=np.float32)
+    out = np.empty(re.shape, np.complex64)
+    lib = _load()
+    if lib is not None:
+        lib.interleave_c64(
+            _fptr(re.reshape(-1)), _fptr(im.reshape(-1)),
+            _fptr(out.reshape(-1).view(np.float32)), re.size,
+        )
+    else:
+        out.real = re
+        out.imag = im
+    return out
+
+
+def peak(x: np.ndarray):
+    """(argmax index, |x|^2 at it) over a complex64 vector."""
+    x = np.ascontiguousarray(x, dtype=np.complex64).reshape(-1)
+    lib = _load()
+    if lib is not None:
+        idx = ctypes.c_size_t()
+        mag2 = ctypes.c_float()
+        lib.peak_c64(_fptr(x.view(np.float32)), x.size, ctypes.byref(idx), ctypes.byref(mag2))
+        return int(idx.value), float(mag2.value)
+    m = np.abs(x) ** 2
+    i = int(np.argmax(m))
+    return i, float(m[i])
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """{0,1} uint8 vector -> LSB-first packed bytes."""
+    bits = np.ascontiguousarray(bits, dtype=np.uint8).reshape(-1)
+    out = np.zeros((bits.size + 7) // 8, np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.pack_bits_lsb(_u8ptr(bits), _u8ptr(out), bits.size)
+    else:
+        out[...] = np.packbits(bits, bitorder="little")
+    return out
+
+
+def unpack_bits(packed: np.ndarray, n_bits: int) -> np.ndarray:
+    """LSB-first packed bytes -> {0,1} uint8 vector of length n_bits."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+    out = np.empty(n_bits, np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.unpack_bits_lsb(_u8ptr(packed), _u8ptr(out), n_bits)
+    else:
+        out[...] = np.unpackbits(packed, count=n_bits, bitorder="little")
+    return out
