@@ -15,7 +15,6 @@ Two tiers:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Optional
 
 import jax
@@ -25,8 +24,7 @@ import numpy as np
 from ..ops import fir as _fir
 from ..ops import modulation as _mod
 from ..ops import noise as _noise
-from ..ops import sampling as _sampling
-from ..ops.fft import Scale, plan as fft_plan
+from ..ops.fft import Scale, fft_of_decimated, plan as fft_plan
 from ..parallel import halo as _halo
 from ..parallel.mesh import TIME_AXIS
 from ..types import cf32
@@ -84,7 +82,6 @@ class RxChainConfig:
     fft_len: int = 2048
     modulation: str = "qpsk"
     fft_backend: Optional[str] = None
-    equalize: bool = True  # divide by channel spectrum estimate? kept simple: off-chain
 
 
 def _default_lowpass(ntaps: int, cutoff: float) -> np.ndarray:
@@ -126,10 +123,14 @@ class RxChain:
         """The jittable single-device forward step (block -> bits)."""
         cfg = self.config
         x = jnp.asarray(block, dtype=cf32)
-        y = _fir.fir_filter_decimate(x, jnp.asarray(self.taps), cfg.decimation)
-        nsym = y.shape[-1] // cfg.fft_len
-        frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
-        spec = self._plan.fwd(frames, Scale.SN)
+        # stride-1 FIR (shift-and-add, VPU-fast) at full rate; decimation
+        # then folds into the FFT's second-stage matrices (fft_of_decimated)
+        # so no strided memory access ever happens on device.
+        y = _fir.fir_filter(x, jnp.asarray(self.taps))
+        span = cfg.fft_len * cfg.decimation
+        nsym = y.shape[-1] // span
+        frames = y.reshape(y.shape[:-1] + (nsym, span))
+        spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
         bits = self.modulation.demod(spec)
         return bits.reshape(bits.shape[:-2] + (-1,))
 
@@ -140,11 +141,12 @@ class RxChain:
             k = self.taps.shape[-1]
             ext = _halo.halo_left(x, k - 1, axis_name)
             y = _fir.fir_filter_decimate(
-                ext, jnp.asarray(self.taps), cfg.decimation, padding="valid"
+                ext, jnp.asarray(self.taps), 1, padding="valid"
             )
-            nsym = y.shape[-1] // cfg.fft_len
-            frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
-            spec = self._plan.fwd(frames, Scale.SN)
+            span = cfg.fft_len * cfg.decimation
+            nsym = y.shape[-1] // span
+            frames = y.reshape(y.shape[:-1] + (nsym, span))
+            spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
             bits = self.modulation.demod(spec)
             return bits.reshape(bits.shape[:-2] + (-1,))
 
@@ -178,11 +180,12 @@ class RxChain:
             k = self.taps.shape[-1]
             ext = _halo.halo_left(x, k - 1, time_axis)
             y = _fir.fir_filter_decimate(
-                ext, jnp.asarray(self.taps), cfg.decimation, padding="valid"
+                ext, jnp.asarray(self.taps), 1, padding="valid"
             )
-            nsym = y.shape[-1] // cfg.fft_len
-            frames = y.reshape(y.shape[:-1] + (nsym, cfg.fft_len))
-            spec = self._plan.fwd(frames, Scale.SN)
+            span = cfg.fft_len * cfg.decimation
+            nsym = y.shape[-1] // span
+            frames = y.reshape(y.shape[:-1] + (nsym, span))
+            spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
             bits = self.modulation.demod(spec)
             return bits.reshape(bits.shape[:-2] + (-1,))
 

@@ -172,6 +172,78 @@ def mm_fft(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
     return out.reshape(batch + (n,))
 
 
+@functools.lru_cache(maxsize=None)
+def _decim_stage2(n1: int, n2: int, dec: int, sign: int):
+    """Matrices for the decimating second FFT stage.
+
+    ``t_full [n1, n2*dec]``: twiddles placed at the decimated positions
+    (zeros elsewhere); ``d0 [n2*dec, n2]``: DFT_{n2} rows at decimated
+    positions (zeros elsewhere). Together they realize
+    ``B[k1,k2] = sum_{m2} A[k1, dec*m2] * W_N^{m2 k1} * W_{n2}^{m2 k2}``
+    as one dense elementwise multiply + one dense matmul — no strided
+    memory access (strided lane slicing is pathological on TPU).
+    """
+    tw = _twiddle(n1, n2, sign)  # [n1, n2]
+    f2 = _dft_matrix(n2, sign)  # [n2, n2]
+    t_full = np.zeros((n1, n2 * dec), np.complex64)
+    d0 = np.zeros((n2 * dec, n2), np.complex64)
+    idx = dec * np.arange(n2)
+    t_full[:, idx] = tw
+    d0[idx, :] = f2
+    return t_full, d0
+
+
+def mm_fft_decimate(x: jnp.ndarray, dec: int, sign: int = -1) -> jnp.ndarray:
+    """DFT of the ``dec``-decimated last axis, without ever materializing
+    the decimated signal: ``mm_fft_decimate(x, d) == mm_fft(x[..., ::d])``.
+
+    The polyphase trick behind the TPU receive chain: with output length
+    ``N = x.shape[-1]/dec = n1*n2``, decimated sample ``m = m1*n2 + m2``
+    lives at full-rate index ``j = m1*(n2*dec) + dec*m2`` — so the
+    *major*-axis reshape ``[..., n1, n2*dec]`` already isolates ``m1``, the
+    first-stage DFT matmul is untouched, and phase selection folds into the
+    second-stage matrices as a zero pattern (one extra ``dec`` factor of
+    flops on the cheap stage). Every access is dense; the strided gather
+    that makes ``x[..., ::d]`` slow on TPU never happens.
+
+    Requires ``n1 = _best_factor(N)`` to exist and ``n2*dec <= 256``; falls
+    back to slice-then-FFT otherwise.
+    """
+    if dec == 1:
+        return mm_fft(x, sign)
+    n_full = x.shape[-1]
+    if n_full % dec != 0:
+        raise ValueError(f"length {n_full} not divisible by decimation {dec}")
+    n = n_full // dec
+    x = jnp.asarray(x, dtype=cf32)
+    n1 = _best_factor(n)
+    if n1 is None or (n // n1) * dec > _DFT_BASE:
+        return mm_fft(x[..., ::dec], sign)  # rare fallback
+    n2 = n // n1
+    batch = x.shape[:-1]
+    xv = x.reshape(batch + (n1, n2 * dec))
+    f1 = jnp.asarray(_dft_matrix(n1, sign))
+    a = jnp.einsum("...nm,nk->...km", xv, f1, precision=_PREC)
+    t_full, d0 = _decim_stage2(n1, n2, dec, sign)
+    a = a * jnp.asarray(t_full)
+    b = jnp.matmul(a, jnp.asarray(d0), precision=_PREC)  # [..., k1, k2]
+    out = jnp.swapaxes(b, -1, -2)
+    return out.reshape(batch + (n,))
+
+
+def fft_of_decimated(
+    frames_full_rate, dec: int, scale: Scale = Scale.NONE, backend: Optional[str] = None
+) -> jnp.ndarray:
+    """Forward FFT of the decimated last axis (``fft(x[..., ::dec])``),
+    using the fused matmul path on the matmul backend and slice-then-FFT on
+    others. ``scale`` applies at the output length."""
+    x = jnp.asarray(frames_full_rate, dtype=cf32)
+    b = backend or default_backend()
+    if b == "matmul":
+        return scale.apply(mm_fft_decimate(x, dec, -1))
+    return plan(x.shape[-1] // dec, b).fwd(x[..., ::dec], scale)
+
+
 def _xla_raw(x: jnp.ndarray, sign: int) -> jnp.ndarray:
     """Unnormalized DFT via the XLA FFT HLO (backward = conj∘fft∘conj)."""
     if sign == -1:
@@ -217,6 +289,16 @@ class Fft:
         x = jnp.asarray(x, dtype=cf32)
         self._check(x)
         return scale.apply(self._raw(x, +1))
+
+    # Parity aliases for the reference's in-place / into-temp method family
+    # (ifwd/ibwd overwrite input, tfwd/tbwd return the internal temp buffer,
+    # reference src/fft.rs:57-73). In a functional framework every variant
+    # is the same pure transform; under jit with donated inputs, XLA reuses
+    # the input HBM — the in-place behavior — without aliasing hazards.
+    ifwd = fwd
+    ibwd = bwd
+    tfwd = fwd
+    tbwd = bwd
 
 
 class MatmulFft(Fft):

@@ -72,39 +72,43 @@ def fir_filter_decimate(x, taps, factor: int, padding: str = "causal") -> jnp.nd
     ``padding="valid"`` assumes the input is already extended with its
     ``taps-1``-sample history (the sharded halo path) and emits
     ``(n - taps + 1) / factor`` outputs aligned to the first fresh sample.
+
+    Implementation note (TPU): this is a **shift-and-add** over K static
+    strided slices, not ``lax.conv`` — a batch-1/channel-1 strided conv
+    lowers catastrophically on the TPU backend (minutes of compile, scalar
+    code), while K fused multiply-adds on lane-contiguous slices stay on
+    the VPU at full rate and fuse into one kernel.
     """
     x = _as_c64(x)
     taps = _as_c64(taps)
     k = taps.shape[-1]
-    batch = x.shape[:-1]
-    n = x.shape[-1]
-    xr = jnp.real(x).reshape((-1, 1, n))
-    xi = jnp.imag(x).reshape((-1, 1, n))
-    # flip: conv_general_dilated computes correlation-style sliding dot with
-    # the kernel reversed relative to DSP convolution in its default layout,
-    # so feed reversed taps to realize sum_k taps[k] x[n-k].
-    hr = jnp.real(taps)[::-1].reshape((1, 1, k)).astype(jnp.float32)
-    hi = jnp.imag(taps)[::-1].reshape((1, 1, k)).astype(jnp.float32)
-    pad = [(k - 1, 0)] if padding == "causal" else [(0, 0)]
+    s = int(factor)
+    if padding == "causal":
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k - 1, 0)])
+    n_ext = x.shape[-1]
+    n_out = (n_ext - k) // s + 1
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    tr = jnp.real(taps)
+    ti = jnp.imag(taps)
 
-    def conv(sig, ker):
-        return jax.lax.conv_general_dilated(
-            sig,
-            ker,
-            window_strides=(int(factor),),
-            padding=pad,
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST,
+    def tap_slice(plane, t):
+        # column for tap t: ext[m*s + (k-1) - t], m = 0..n_out-1
+        start = k - 1 - t
+        return jax.lax.slice_in_dim(
+            plane, start, start + (n_out - 1) * s + 1, stride=s, axis=-1
         )
 
-    ac = conv(xr, hr)
-    bd = conv(xi, hi)
-    s = conv(xr + xi, hr + hi)
-    re = ac - bd
-    im = s - ac - bd
-    y = jax.lax.complex(re, im)
-    out_n = y.shape[-1]
-    return y.reshape(batch + (out_n,)).astype(cf32)
+    yr = jnp.zeros(xr.shape[:-1] + (n_out,), jnp.float32)
+    yi = jnp.zeros_like(yr)
+    for t in range(k):
+        sr = tap_slice(xr, t)
+        si = tap_slice(xi, t)
+        a = tr[t]
+        b = ti[t]
+        yr = yr + a * sr - b * si
+        yi = yi + a * si + b * sr
+    return jax.lax.complex(yr, yi).astype(cf32)
 
 
 def fir_filter_os(

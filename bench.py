@@ -43,6 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # NOTE: do NOT enable the persistent compilation cache here — on the
+    # axon remote-compile backend the cache write path hangs compiles
+    # (observed empirically; plain compiles take ~15 s and work).
+
     from aether_primitives_tpu.boundary import Split
     from aether_primitives_tpu.models import RxChain, RxChainConfig
 
