@@ -82,6 +82,11 @@ class RxChainConfig:
     fft_len: int = 2048
     modulation: str = "qpsk"
     fft_backend: Optional[str] = None
+    # FIR realization: "os" (overlap-save through the matmul FFT — the TPU
+    # path: every op is dense/MXU; time-domain shift-add chains and convs
+    # are pathological on the TPU backend) or "shift_add" (exact time
+    # domain, the CPU default). None = auto by platform.
+    fir_mode: Optional[str] = None
 
 
 def _default_lowpass(ntaps: int, cutoff: float) -> np.ndarray:
@@ -118,15 +123,37 @@ class RxChain:
         # (they become in-trace constants straight from host memory instead).
         self.taps = np.asarray(config.fir_taps, dtype=np.complex64)
         self._plan = fft_plan(config.fft_len, config.fft_backend)
+        mode = config.fir_mode
+        if mode is None:
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            mode = "os" if platform == "tpu" else "shift_add"
+        self.fir_mode = mode
+
+    def _fir(self, x, history=None):
+        taps = jnp.asarray(self.taps)
+        if self.fir_mode == "os":
+            span = self.config.fft_len * self.config.decimation
+            block_len = span if x.shape[-1] % span == 0 else None
+            return _fir.fir_filter_os(
+                x, taps, block_len=block_len,
+                fft_backend=self.config.fft_backend, history=history,
+            )
+        if history is not None:
+            ext = jnp.concatenate([history, x], axis=-1)
+            return _fir.fir_filter_decimate(ext, taps, 1, padding="valid")
+        return _fir.fir_filter(x, taps)
 
     def step(self, block) -> jnp.ndarray:
         """The jittable single-device forward step (block -> bits)."""
         cfg = self.config
         x = jnp.asarray(block, dtype=cf32)
-        # stride-1 FIR (shift-and-add, VPU-fast) at full rate; decimation
-        # then folds into the FFT's second-stage matrices (fft_of_decimated)
-        # so no strided memory access ever happens on device.
-        y = _fir.fir_filter(x, jnp.asarray(self.taps))
+        # full-rate FIR (overlap-save on TPU, shift-and-add elsewhere);
+        # decimation folds into the FFT's second-stage matrices
+        # (fft_of_decimated) so no strided memory access happens on device.
+        y = self._fir(x)
         span = cfg.fft_len * cfg.decimation
         nsym = y.shape[-1] // span
         frames = y.reshape(y.shape[:-1] + (nsym, span))
@@ -139,10 +166,8 @@ class RxChain:
 
         def shard_fn(x):
             k = self.taps.shape[-1]
-            ext = _halo.halo_left(x, k - 1, axis_name)
-            y = _fir.fir_filter_decimate(
-                ext, jnp.asarray(self.taps), 1, padding="valid"
-            )
+            h = _halo.left_tail(x, k - 1, axis_name) if k > 1 else None
+            y = self._fir(x, history=h)
             span = cfg.fft_len * cfg.decimation
             nsym = y.shape[-1] // span
             frames = y.reshape(y.shape[:-1] + (nsym, span))
@@ -178,10 +203,8 @@ class RxChain:
 
         def shard_fn(x):
             k = self.taps.shape[-1]
-            ext = _halo.halo_left(x, k - 1, time_axis)
-            y = _fir.fir_filter_decimate(
-                ext, jnp.asarray(self.taps), 1, padding="valid"
-            )
+            h = _halo.left_tail(x, k - 1, time_axis) if k > 1 else None
+            y = self._fir(x, history=h)
             span = cfg.fft_len * cfg.decimation
             nsym = y.shape[-1] // span
             frames = y.reshape(y.shape[:-1] + (nsym, span))

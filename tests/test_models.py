@@ -88,6 +88,33 @@ def test_rx_chain_decodes_clean_signal():
     assert (out == bits).all()
 
 
+def test_rx_chain_fir_modes_agree():
+    # the TPU overlap-save realization must produce the same bits as the
+    # exact time-domain path (same filter, different factorization)
+    rng = np.random.default_rng(7)
+    n = 4 * 256 * 4
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    a = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="shift_add"))
+    b = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="os"))
+    bits_a = np.asarray(a.step(x))
+    bits_b = np.asarray(b.step(x))
+    assert (bits_a == bits_b).mean() == 1.0
+
+
+def test_rx_chain_os_mode_sharded_matches_single(eight_devices):
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"time": 8})
+    cfg = RxChainConfig(fft_len=256, decimation=4, fir_mode="os")
+    chain = RxChain(cfg)
+    rng = np.random.default_rng(8)
+    n = 8 * 4 * 256 * 2
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    single = np.asarray(chain.step(x))
+    sharded = np.asarray(chain.sharded_step(x, mesh))
+    assert (single == sharded).mean() == 1.0
+
+
 def test_waterfall_matches_direct_math():
     rng = np.random.default_rng(5)
     cap = (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(np.complex64)

@@ -54,6 +54,43 @@ def test_stats_reporting(capsys=None):
     assert any("chain" in m and "Utilisation" in m for m in msgs)
 
 
+def test_executor_with_sharding():
+    # blocks laid out across the 8-device CPU mesh before the chain runs
+    import jax
+
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    mesh = mesh_mod.make_mesh({"time": 8})
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("time"))
+    ex = streaming.new("x2", lambda b: b * 2.0).finish(
+        depth=2, donate=False, sharding=sharding, printer=None
+    )
+    out = ex.run([np.arange(64, dtype=np.float32) for _ in range(3)])
+    assert np.allclose(np.asarray(out[0]), np.arange(64) * 2.0)
+
+
+def test_executor_runs_rx_chain_blocks():
+    # the flagship chain as a streaming stage: pipeline-of-model integration
+    from aether_primitives_tpu.models import RxChain, RxChainConfig
+
+    chain = RxChain(RxChainConfig(fft_len=128, decimation=4))
+    ex = streaming.new("rx", chain.step).finish(depth=2, donate=False, printer=None)
+    rng = np.random.default_rng(0)
+    n = 4 * 128 * 2
+    blocks = [
+        (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        for _ in range(4)
+    ]
+    outs = ex.run(blocks)
+    assert len(outs) == 4
+    for b, o in zip(blocks, outs):
+        assert (np.asarray(o) == np.asarray(chain.step(b))).all()
+
+
 # -- pool (reference src/pool.rs:223-297 tests) -----------------------------
 
 
