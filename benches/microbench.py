@@ -14,10 +14,13 @@ Usage: python benches/microbench.py [--cpu] [--json out.json]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -39,17 +42,47 @@ def main():
     from aether_primitives_tpu.ops.fft import Scale, plan as fft_plan
 
     platform = jax.devices()[0].platform
+    dev = jax.devices()[0]
     rng = np.random.default_rng(815)
     results = []
 
+    # digest jits per output structure: forcing a host fetch through a tiny
+    # jitted reduction is the only reliable completion barrier on the axon
+    # relay (block_until_ready can ack early; eager ops hang) — DEVNOTES.md
+    _digs = {}
+
+    def _digest(o):
+        leaves = jax.tree_util.tree_leaves(o)
+        key = tuple((l.shape, str(l.dtype)) for l in leaves)
+        f = _digs.get(key)
+        if f is None:
+            def _d(x):
+                ls = jax.tree_util.tree_leaves(x)
+                return sum(jnp.sum(l.astype(jnp.float32).ravel()[:256]) for l in ls)
+            f = jax.jit(_d)
+            _digs[key] = f
+        return float(np.asarray(f(o)))
+
     def timed(name, fn, blk, samples, iters=args.iters):
         fn = jax.jit(fn)
-        out = jax.block_until_ready(fn(blk))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(blk)
+        blk = jax.device_put(blk, dev)
+        out = fn(blk)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        _digest(out)
+
+        def run(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = fn(blk)
+            _digest(o)
+            return time.perf_counter() - t0
+
+        run(2)
+        k1, k2 = max(2, iters // 5), iters
+        t1 = min(run(k1) for _ in range(2))
+        t2 = min(run(k2) for _ in range(2))
+        dt = max((t2 - t1) / (k2 - k1), 1e-9)
         msps = samples / dt / 1e6
         results.append(
             {"bench": name, "us_per_call": dt * 1e6, "msamples_per_s": msps}
@@ -103,11 +136,11 @@ def main():
 
     # freq-domain correlator (reference benches/benches.rs:382-423)
     for nfft in (512, 1024, 2048):
-        sig = rsplit((nfft,))
+        sig_c = rsplit((nfft,)).numpy()  # host numpy complex: trace constant
         blk = rsplit((B, nfft))
         timed(
             f"correlator {nfft} [batch]",
-            f32_boundary(lambda x, s=sig: fir.correlate(x, s.to_complex())),
+            f32_boundary(lambda x, s=sig_c: fir.correlate(x, s)),
             blk,
             B * nfft,
         )
