@@ -154,6 +154,40 @@ class Modulation:
     demod_naive = demod
 
 
+    def demod_soft(self, symbols, noise_var=1.0) -> jnp.ndarray:
+        """Soft-decision demod: per-bit log-likelihood ratios, LSB-first.
+
+        Beyond the reference's capability surface (it only hard-demods) but
+        standard for any coded system downstream. Max-log approximation::
+
+            LLR(b_i) = (min_{c: b_i=1} |s-c|^2 - min_{c: b_i=0} |s-c|^2)
+                       / noise_var
+
+        Positive LLR => bit more likely 0 (matching the hard decision:
+        ``hard = (llr < 0)``). Batched like :meth:`demod`; returns f32
+        ``[..., n_sym * bits_per_symbol]``.
+        """
+        s = jnp.asarray(symbols, dtype=cf32)
+        table = jnp.asarray(self.table)
+        d2 = (
+            jnp.abs(jnp.real(s)[..., None] - jnp.real(table)) ** 2
+            + jnp.abs(jnp.imag(s)[..., None] - jnp.imag(table)) ** 2
+        )  # [..., n_sym, n_const]
+        llrs = []
+        idx = np.arange(table.shape[0])
+        for i in range(self.bits_per_symbol):
+            bit_is_1 = ((idx >> i) & 1).astype(bool)
+            d1 = jnp.min(d2[..., bit_is_1], axis=-1)
+            d0 = jnp.min(d2[..., ~bit_is_1], axis=-1)
+            llrs.append((d1 - d0) / jnp.float32(noise_var))
+        out = jnp.stack(llrs, axis=-1)  # [..., n_sym, bits]
+        return out.reshape(s.shape[:-1] + (s.shape[-1] * self.bits_per_symbol,))
+
+    def hard_from_soft(self, llrs) -> jnp.ndarray:
+        """Collapse LLRs to hard bits (``llr < 0`` => 1)."""
+        return (jnp.asarray(llrs) < 0).astype(jnp.uint8)
+
+
 def bpsk() -> Modulation:
     """Generic BPSK (reference src/modulation.rs:61-63)."""
     return Modulation(GENERIC_BPSK_TABLE, name="bpsk")

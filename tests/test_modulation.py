@@ -78,3 +78,32 @@ def test_partial_chunk_rejected():
 def test_non_power_of_two_table_rejected():
     with pytest.raises(ValueError, match="power of two"):
         mod.Modulation(np.ones(3, np.complex64))
+
+
+def test_soft_demod_signs_match_hard():
+    rng = np.random.default_rng(3)
+    m = mod.qpsk()
+    s = (rng.normal(size=5000) + 1j * rng.normal(size=5000)).astype(np.complex64)
+    hard = np.asarray(m.demod(s))
+    llr = np.asarray(m.demod_soft(s, noise_var=0.5))
+    assert (np.asarray(m.hard_from_soft(llr)) == hard).all()
+
+
+def test_soft_demod_magnitude_scales_with_confidence():
+    m = mod.bpsk()
+    near = np.array([1.0 + 1.0j], np.complex64)  # on the constellation point
+    far = np.array([0.1 + 0.1j], np.complex64)  # near the boundary
+    llr_near = float(np.asarray(m.demod_soft(near))[0])
+    llr_far = float(np.asarray(m.demod_soft(far))[0])
+    assert llr_near < 0 or abs(llr_near) > abs(llr_far)
+    assert abs(llr_near) > abs(llr_far)
+
+
+def test_soft_demod_16point():
+    rng = np.random.default_rng(4)
+    table = (rng.normal(size=16) + 1j * rng.normal(size=16)).astype(np.complex64)
+    m = mod.Modulation(table)
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    syms = m.modulate(bits)
+    llr = m.demod_soft(syms, noise_var=1.0)
+    assert (np.asarray(m.hard_from_soft(llr)) == bits).all()

@@ -68,3 +68,42 @@ def test_batched():
     assert out.shape == (2, 4)
     up = np.asarray(sampling.interpolate(src, 1))
     assert up.shape == (2, 31)
+
+
+def test_resample_fft_vs_scipy():
+    pytest.importorskip("scipy")
+    from scipy import signal
+
+    from aether_primitives_tpu.evm import evm_rms_db
+    from aether_primitives_tpu.ops.sampling import resample_fft
+
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(2, 512)) + 1j * rng.normal(size=(2, 512))).astype(
+        np.complex64
+    )
+    for out_len in (1024, 256, 384, 511, 513):
+        got = np.asarray(resample_fft(x, out_len))
+        ref = signal.resample(x.astype(np.complex128), out_len, axis=-1)
+        assert evm_rms_db(got, ref) < -120, out_len
+
+
+def test_resample_fft_identity():
+    from aether_primitives_tpu.ops.sampling import resample_fft
+
+    x = np.arange(16).astype(np.complex64)
+    assert (np.asarray(resample_fft(x, 16)) == x).all()
+
+
+def test_resample_fft_roundtrip_bandlimited():
+    # up 2x then back down recovers a bandlimited signal exactly
+    from aether_primitives_tpu.evm import evm_rms_db
+    from aether_primitives_tpu.ops.sampling import resample_fft
+
+    rng = np.random.default_rng(1)
+    spec = np.zeros(256, np.complex128)
+    spec[:40] = rng.normal(size=40) + 1j * rng.normal(size=40)
+    spec[-40:] = rng.normal(size=40) + 1j * rng.normal(size=40)
+    x = np.fft.ifft(spec).astype(np.complex64)
+    up = resample_fft(x, 512)
+    back = np.asarray(resample_fft(up, 256))
+    assert evm_rms_db(back, x.astype(np.complex128)) < -110
