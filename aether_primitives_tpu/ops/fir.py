@@ -45,6 +45,29 @@ def _as_c64(x):
     return jnp.asarray(x, dtype=cf32)
 
 
+def _good_fft_size(n: int) -> int:
+    """Smallest 7-smooth integer >= n (factors only 2/3/5/7).
+
+    7-smooth sizes always factor into <=128 chunks for the matmul FFT, and
+    choosing the smallest such size instead of the next power of two nearly
+    halves overlap-save FFT work for block lengths just past a power of two
+    (e.g. 8224 -> 8232 instead of 16384).
+    """
+    best = 1
+    while best < n:
+        best *= 2
+    # exhaustive smooth search up to the power-of-two bound
+    smooth = [1]
+    for p in (2, 3, 5, 7):
+        smooth = sorted(
+            {s * p**e for s in smooth for e in range(0, 20) if s * p**e <= best}
+        )
+    for s in smooth:
+        if s >= n:
+            return int(s)
+    return int(best)
+
+
 def fir_filter(x, taps) -> jnp.ndarray:
     """Causal FIR: ``y[n] = sum_k taps[k] x[n-k]``, output same length as x.
 
@@ -152,7 +175,7 @@ def fir_filter_os(
         raise ValueError(f"Signal length {n} not divisible by block_len {block_len}")
     if k > 1 and block_len < k - 1:
         raise ValueError(f"block_len {block_len} must be >= taps-1 ({k - 1})")
-    fft_len = int(2 ** np.ceil(np.log2(block_len + k - 1)))
+    fft_len = _good_fft_size(block_len + k - 1)
     nblocks = n // block_len
 
     batch = x.shape[:-1]

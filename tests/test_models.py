@@ -134,3 +134,42 @@ def test_waterfall_db_mode():
     assert out.shape == (2, 256)
     # DC bin of all-ones with SN scale: sqrt(256) = 16 -> 10*log10(16) dB
     assert abs(out[0, 128] - 10 * np.log10(16.0)) < 1e-3
+
+
+def test_waterfall_windowed_overlap():
+    from aether_primitives_tpu.models.channelizer import Channelizer, waterfall_spectra
+
+    rng = np.random.default_rng(9)
+    cap = (rng.normal(size=1024) + 1j * rng.normal(size=1024)).astype(np.complex64)
+    # hop = fft_len/2 doubles the rows (minus edge padding effects)
+    out = np.asarray(waterfall_spectra(cap, 256, window="hann", hop=128))
+    assert out.shape[0] == (1024 - 256) // 128 + 1
+    assert out.shape[1] == 256
+    # frame content: frame m spans samples [m*hop, m*hop + fft_len) windowed
+    w = np.hanning(256)
+    frame3 = cap[3 * 128 : 3 * 128 + 256] * w
+    spec = np.fft.fft(frame3.astype(np.complex128)) / np.sqrt(np.float32(256))
+    expect = np.abs(np.roll(spec, 128))
+    assert np.allclose(out[3], expect, atol=2e-5)
+
+
+def test_waterfall_hop_must_divide():
+    from aether_primitives_tpu.models.channelizer import waterfall_spectra
+
+    with pytest.raises(ValueError, match="multiple of hop"):
+        waterfall_spectra(np.zeros(512, np.complex64), 256, hop=100)
+
+
+def test_channelizer_as_pipeline_stage():
+    from aether_primitives_tpu.models.channelizer import Channelizer
+    from aether_primitives_tpu.parallel import streaming
+
+    ch = Channelizer(128, use_db=False, window="hamming")
+    ex = streaming.new("chan", ch).finish(depth=2, donate=False, printer=None)
+    rng = np.random.default_rng(10)
+    blocks = [
+        (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+        for _ in range(3)
+    ]
+    outs = ex.run(blocks)
+    assert all(np.asarray(o).shape == (4, 128) for o in outs)
