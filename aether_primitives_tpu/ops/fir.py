@@ -140,6 +140,7 @@ def fir_filter_os(
     block_len: Optional[int] = None,
     fft_backend: Optional[str] = None,
     history=None,
+    fft_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Causal FIR via overlap-save block convolution (freq domain).
 
@@ -175,7 +176,10 @@ def fir_filter_os(
         raise ValueError(f"Signal length {n} not divisible by block_len {block_len}")
     if k > 1 and block_len < k - 1:
         raise ValueError(f"block_len {block_len} must be >= taps-1 ({k - 1})")
-    fft_len = _good_fft_size(block_len + k - 1)
+    if fft_len is None:
+        fft_len = _good_fft_size(block_len + k - 1)
+    elif fft_len < block_len + k - 1:
+        raise ValueError(f"fft_len {fft_len} < block_len + taps - 1")
     nblocks = n // block_len
 
     batch = x.shape[:-1]

@@ -1,0 +1,37 @@
+"""Pallas kernel tests (interpret mode on CPU; the real-TPU path is driven
+by the bench/verify flows)."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.ops.pallas import cmul as pk
+from aether_primitives_tpu.ops.pallas import stream as st
+
+
+@pytest.mark.parametrize("shape", [(128,), (8, 256), (3, 5, 128)])
+@pytest.mark.parametrize("conj_b,scale", [(False, 1.0), (True, 0.5)])
+def test_cmul_matches_reference(rng, shape, conj_b, scale):
+    args = [rng.normal(size=shape).astype(np.float32) for _ in range(4)]
+    got = pk.cmul(*args, conj_b=conj_b, scale=scale, interpret=True)
+    ref = pk.cmul_reference(*args, conj_b=conj_b, scale=scale)
+    assert np.allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-6)
+    assert np.allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-6)
+
+
+def test_streamed_cmul_double_buffered(rng):
+    rows, lanes, chunk = 1024, 256, 256
+    xr = rng.normal(size=(rows, lanes)).astype(np.float32)
+    xi = rng.normal(size=(rows, lanes)).astype(np.float32)
+    rr = rng.normal(size=(chunk, lanes)).astype(np.float32)
+    ri = rng.normal(size=(chunk, lanes)).astype(np.float32)
+    got = st.streamed_cmul(xr, xi, rr, ri, chunk_rows=chunk, interpret=True)
+    ref = st.streamed_cmul_reference(xr, xi, rr, ri)
+    assert np.allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+    assert np.allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
+
+
+def test_streamed_cmul_rejects_indivisible(rng):
+    x = rng.normal(size=(100, 128)).astype(np.float32)
+    r = rng.normal(size=(64, 128)).astype(np.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        st.streamed_cmul(x, x, r, r, chunk_rows=64, interpret=True)
