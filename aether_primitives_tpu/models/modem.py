@@ -135,8 +135,15 @@ class RxChain:
     def _fir(self, x, history=None):
         taps = jnp.asarray(self.taps)
         if self.fir_mode == "os":
+            # measured sweet spot on v5e: ~4k blocks (FFT work per sample
+            # grows with block size; per-block overhead dominates below ~2k)
             span = self.config.fft_len * self.config.decimation
-            block_len = span if x.shape[-1] % span == 0 else None
+            k = taps.shape[-1]
+            block_len = None
+            for cand in (4096, span):
+                if cand >= k - 1 and x.shape[-1] % cand == 0:
+                    block_len = cand
+                    break
             return _fir.fir_filter_os(
                 x, taps, block_len=block_len,
                 fft_backend=self.config.fft_backend, history=history,
