@@ -211,6 +211,35 @@ def fir_filter_os(
     return y.reshape(batch + (n,)).astype(cf32)
 
 
+def matched_filter(
+    x,
+    ref,
+    block_len: Optional[int] = None,
+    fft_backend: Optional[str] = None,
+    history=None,
+) -> jnp.ndarray:
+    """Linear (sliding) correlation against ``ref`` via overlap-save.
+
+    ``y[n] = sum_m x[n - m] conj(ref[M-1 - m])`` — i.e. an FIR whose taps
+    are the conjugated, time-reversed reference, run through
+    :func:`fir_filter_os`. ``|y|`` peaks at index ``n = offset + M - 1``
+    when ``ref`` appears at ``offset`` (the causal end-of-pattern
+    convention). Unlike :func:`correlate` this is linear, streams over
+    blocks, and shards with a ``M-1`` halo — the production correlator for
+    long captures (BASELINE config: "freq-domain correlation via
+    overlap-save").
+    """
+    if isinstance(ref, (np.ndarray, list, tuple)):
+        # host references stay numpy so the taps embed as trace constants
+        # (no eager complex device arrays — DEVNOTES.md)
+        taps = np.conj(np.asarray(ref, dtype=np.complex64))[..., ::-1]
+    else:
+        taps = jnp.conj(jnp.asarray(ref, dtype=cf32))[..., ::-1]
+    return fir_filter_os(
+        x, taps, block_len=block_len, fft_backend=fft_backend, history=history
+    )
+
+
 def correlate(x, ref, fft_backend: Optional[str] = None) -> jnp.ndarray:
     """Circular correlation via the spectrum: ``ifft(fft(x) * conj(fft(ref)))``.
 

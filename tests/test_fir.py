@@ -111,3 +111,37 @@ def test_correlate_embedded_pattern_offset():
     x[300:364] += pattern
     c = np.asarray(fir.correlate(x, pattern))
     assert int(np.argmax(np.abs(c))) == 300
+
+
+def test_matched_filter_peak_position():
+    rng = np.random.default_rng(13)
+    pattern = rand_c(rng, 64)
+    x = (0.01 * rand_c(rng, 2048)).astype(np.complex64)
+    x[500:564] += pattern
+    y = np.asarray(fir.matched_filter(x, pattern))
+    # causal convention: peak at offset + M - 1
+    assert int(np.argmax(np.abs(y))) == 500 + 63
+    # peak value ~ ref energy
+    assert abs(np.abs(y[563]) - np.sum(np.abs(pattern) ** 2)) < 1.0
+
+
+def test_matched_filter_vs_direct():
+    rng = np.random.default_rng(14)
+    x = rand_c(rng, 512)
+    ref = rand_c(rng, 32)
+    got = np.asarray(fir.matched_filter(x, ref))
+    taps = np.conj(ref[::-1]).astype(np.complex128)
+    gold = np.convolve(x.astype(np.complex128), taps)[:512]
+    assert evm_rms_db(got, gold) < -110
+
+
+def test_matched_filter_streaming_with_history():
+    rng = np.random.default_rng(15)
+    x = rand_c(rng, 1024)
+    ref = rand_c(rng, 17)
+    full = np.asarray(fir.matched_filter(x, ref, block_len=256))
+    h1 = np.asarray(fir.matched_filter(x[:512], ref, block_len=256))
+    h2 = np.asarray(
+        fir.matched_filter(x[512:], ref, block_len=256, history=x[512 - 16 : 512])
+    )
+    assert evm_rms_db(np.concatenate([h1, h2]), full.astype(np.complex128)) < -120
