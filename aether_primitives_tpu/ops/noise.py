@@ -87,6 +87,13 @@ class Awgn:
         """A length-``n`` noise vector (reference ``fill``, src/noise.rs:62-66)."""
         return self.next_block((int(n),))
 
+    def iter(self, block: int = 4096):
+        """Infinite generator of noise blocks — the block-vectorized
+        equivalent of the reference's per-sample ``NoiseIter``
+        (src/noise.rs:68-85)."""
+        while True:
+            yield self.next_block((int(block),))
+
 
 def generator() -> Awgn:
     """Default AWGN generator: power 1, seed 815 (reference src/noise.rs:8-11)."""

@@ -293,6 +293,10 @@ class BlockPool:
     def is_empty(self) -> bool:
         return len(self) == 0
 
+    # the reference ships this method name with a typo (``is_emtpy``,
+    # src/pool.rs:145); alias kept so ported call sites keep working
+    is_emtpy = is_empty
+
 
 def make(initial_len: int, maker: Callable[[], Any], resetter=None) -> BlockPool:
     """Create a pool (API parity with reference ``pool::make``)."""
