@@ -31,15 +31,20 @@ def _build() -> Optional[Path]:
     if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB_PATH
     _BUILD.mkdir(exist_ok=True)
+    # build to a temp path and rename into place: a concurrent process must
+    # never dlopen a half-written .so
+    tmp = _LIB_PATH.with_suffix(f".tmp.{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         "-march=native", "-funroll-loops",
-        str(_SRC), "-o", str(_LIB_PATH),
+        str(_SRC), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception:
+        tmp.unlink(missing_ok=True)
         return None
 
 

@@ -267,6 +267,7 @@ class Fft:
 
     def __init__(self, n: int):
         self.n = int(n)
+        self._jits: dict = {}
 
     def __len__(self) -> int:
         return self.n
@@ -280,15 +281,26 @@ class Fft:
     def _raw(self, x: jnp.ndarray, sign: int) -> jnp.ndarray:
         raise NotImplementedError
 
+    def _apply(self, x, sign: int, scale: Scale) -> jnp.ndarray:
+        # the jit IS the plan: each (direction, scale) pair compiles once
+        # per input shape and replays from the executable cache; when called
+        # inside an outer trace the jit inlines transparently
+        key = (sign, scale)
+        f = self._jits.get(key)
+        if f is None:
+            f = jax.jit(lambda v: scale.apply(self._raw(v, sign)))
+            self._jits[key] = f
+        return f(x)
+
     def fwd(self, x, scale: Scale = Scale.NONE) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=cf32)
         self._check(x)
-        return scale.apply(self._raw(x, -1))
+        return self._apply(x, -1, scale)
 
     def bwd(self, x, scale: Scale = Scale.NONE) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=cf32)
         self._check(x)
-        return scale.apply(self._raw(x, +1))
+        return self._apply(x, +1, scale)
 
     # Parity aliases for the reference's in-place / into-temp method family
     # (ifwd/ibwd overwrite input, tfwd/tbwd return the internal temp buffer,

@@ -7,11 +7,12 @@ its only *working* correlator is the freq-domain composition in its benches
 (reference README.md:95-96). This module supplies the finished capability,
 TPU-first:
 
-- :func:`fir_filter` — causal time-domain FIR. On TPU the fastest dense
-  form for moderate tap counts is a **matmul against a tap Toeplitz
-  operator is wasteful**; instead we convolve split re/im planes with
-  ``lax.conv_general_dilated`` (VPU/MXU-lowered convolution), batched over
-  leading axes.
+- :func:`fir_filter` / :func:`fir_filter_decimate` — causal time-domain
+  FIR as a shift-and-add over K static stride-1 slices of split re/im
+  planes (fused VPU FMA chain). ``lax.conv`` is deliberately not used: a
+  batch-1/channel-1 conv lowers catastrophically on the TPU backend
+  (DEVNOTES.md), and strided slicing is equally pathological — decimation
+  instead fuses into the FFT (:func:`..fft.mm_fft_decimate`).
 - :func:`fir_filter_os` — overlap-save block convolution through the FFT
   backend: for long blocks the cost is two FFTs + one element-wise multiply
   per block, the classic O(log L) per sample path. This is also the form
@@ -71,13 +72,10 @@ def _good_fft_size(n: int) -> int:
 def fir_filter(x, taps) -> jnp.ndarray:
     """Causal FIR: ``y[n] = sum_k taps[k] x[n-k]``, output same length as x.
 
-    Complex convolution via three real convolutions (Karatsuba/Gauss trick):
-    with ``x = a + jb``, ``h = c + jd``::
-
-        re = a*c - b*d,  im = (a+b)*(c+d) - a*c - b*d
-
-    Each real conv is ``lax.conv_general_dilated`` over the last axis,
-    batched over all leading axes.
+    Realized as :func:`fir_filter_decimate` with factor 1 — a shift-and-add
+    over K static stride-1 slices on split re/im planes (see that function's
+    TPU note on why ``lax.conv`` is avoided). Batched over leading axes.
+    For long tap counts or TPU deployment prefer :func:`fir_filter_os`.
     """
     return fir_filter_decimate(x, taps, 1)
 
@@ -169,7 +167,9 @@ def fir_filter_os(
         block_len = 1
         while block_len * 2 <= target and n % (block_len * 2) == 0:
             block_len *= 2
-        if n % block_len != 0:
+        if n % block_len != 0 or (k > 1 and block_len < k - 1):
+            # no suitable power-of-two divisor: one block over the whole
+            # signal is always valid
             block_len = n
     block_len = int(block_len)
     if n % block_len != 0:

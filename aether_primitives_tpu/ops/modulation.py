@@ -46,9 +46,14 @@ GENERIC_QPSK_TABLE = np.array(
 )
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Modulation:
-    """A constellation-table modulation (2**bits_per_symbol points)."""
+    """A constellation-table modulation (2**bits_per_symbol points).
+
+    ``eq=False`` keeps object-identity equality/hash (the table is an
+    ndarray, which a field-generated ``__hash__`` would choke on) so a
+    Modulation works as a static jit argument or dict key.
+    """
 
     table: np.ndarray
     name: str = "custom"

@@ -54,10 +54,10 @@ class Pipeline:
         pipe = Pipeline("Abs", lambda b: jnp.abs(b))
         pipe = pipe.add_stage("Mul 20", lambda b: b * 20.0)
         ex = pipe.finish(depth=2)
-        for block in blocks:
-            ex.send(block)
-        ex.close()
-        results = list(ex)
+        results = ex.run(blocks)   # keeps at most `depth` blocks in flight
+
+    (or interleave ``send``/``recv`` by hand — ``recv`` must drain what
+    ``send`` produces; the executor refuses to grow an unbounded backlog.)
     """
 
     def __init__(self, name: str, op: Callable[[Any], Any]):
@@ -136,12 +136,20 @@ class StreamExecutor:
         self._inflight: deque = deque()
         self._closed = False
         donate_args = (0,) if donate else ()
+        # donation is only safe for buffers the executor itself creates on
+        # device (host numpy blocks staged via asarray/device_put); a block
+        # that arrives as a jax.Array is caller-owned and must go through
+        # the non-donating executable or the caller's buffer would be
+        # silently invalidated
+        self._donate = donate
         if profile:
             self._stage_fns = [
                 jax.jit(s.op, donate_argnums=donate_args if i == 0 else ())
                 for i, s in enumerate(stages)
             ]
+            self._stage_fns_nodonate = [jax.jit(s.op) for s in stages]
             self._chain = None
+            self._chain_nodonate = None
         else:
             def chain(x):
                 for s in stages:
@@ -149,7 +157,9 @@ class StreamExecutor:
                 return x
 
             self._chain = jax.jit(chain, donate_argnums=donate_args)
+            self._chain_nodonate = jax.jit(chain)
             self._stage_fns = None
+            self._stage_fns_nodonate = None
         self.stats = [
             StageStats(s.name, report_every_s=report_every_s, printer=printer)
             for s in stages
@@ -160,26 +170,46 @@ class StreamExecutor:
         self._started = time.monotonic()
 
     # -- feeding -----------------------------------------------------------
+    #: hard cap on dispatched-but-uncollected results; beyond this, send
+    #: raises instead of letting device memory grow without bound
+    MAX_BACKLOG_FACTOR = 8
+
     def send(self, block) -> None:
-        """Feed one block; blocks the host when ``depth`` are in flight."""
+        """Feed one block.
+
+        Backpressure: when ``depth`` computations are pending, waits for the
+        oldest to finish before dispatching more (bounding the device work
+        queue). Collected results must still be drained with :meth:`recv`
+        (or :meth:`run`, which interleaves automatically); the executor
+        raises once ``depth * MAX_BACKLOG_FACTOR`` results are waiting.
+        """
         if self._closed:
             raise RuntimeError("Executor is closed")
-        while len(self._inflight) >= self.depth:
-            self._inflight[0][0].block_until_ready()
-            break  # ready-oldest guarantees a slot frees on recv; keep depth
+        if len(self._inflight) >= self.depth * self.MAX_BACKLOG_FACTOR:
+            raise RuntimeError(
+                "in-flight backlog exceeded: drain results with recv() "
+                "(or use run(), which interleaves send/recv)"
+            )
+        if len(self._inflight) >= self.depth:
+            jax.block_until_ready(self._inflight[-self.depth][0])
         t0 = time.monotonic()
+        caller_owned = isinstance(block, jax.Array)
         x = jnp.asarray(block)
         if self.sharding is not None:
             x = jax.device_put(x, self.sharding)
+            caller_owned = False  # device_put produced a fresh buffer
+        use_donate = self._donate and not caller_owned
         if self.profile:
+            fns = self._stage_fns if use_donate else self._stage_fns_nodonate
             y = x
-            for fn, st in zip(self._stage_fns, self.stats):
+            for fn, st in zip(fns, self.stats):
                 s0 = time.monotonic()
                 y = fn(y)
                 jax.block_until_ready(y)
                 st.record(time.monotonic() - s0, samples=int(np.prod(x.shape)))
         else:
-            y = self._chain(x)
+            chain = self._chain if use_donate else self._chain_nodonate
+            y = chain(x)
         self._inflight.append((y, t0, int(np.prod(x.shape))))
 
     def recv(self):

@@ -145,3 +145,13 @@ def test_matched_filter_streaming_with_history():
         fir.matched_filter(x[512:], ref, block_len=256, history=x[512 - 16 : 512])
     )
     assert evm_rms_db(np.concatenate([h1, h2]), full.astype(np.complex128)) < -120
+
+
+def test_overlap_save_odd_lengths_default_blocking():
+    # lengths with no usable power-of-two divisor fall back to one block
+    rng = np.random.default_rng(16)
+    for n in (1001, 4098):
+        x, taps = rand_c(rng, n), rand_c(rng, 33)
+        direct = np.asarray(fir.fir_filter(x, taps))
+        os_ = np.asarray(fir.fir_filter_os(x, taps))
+        assert evm_rms_db(os_, direct.astype(np.complex128)) < -110, n

@@ -107,3 +107,19 @@ def test_soft_demod_16point():
     syms = m.modulate(bits)
     llr = m.demod_soft(syms, noise_var=1.0)
     assert (np.asarray(m.hard_from_soft(llr)) == bits).all()
+
+
+def test_modulation_hashable_and_static_jit_arg():
+    import functools
+
+    import jax
+
+    m = mod.qpsk()
+    hash(m)  # frozen config object must be usable as dict key
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def demod_static(modu, s):
+        return modu.demod(s)
+
+    s = np.asarray(m.modulate(np.array([0, 1, 1, 0], np.uint8)))
+    assert (np.asarray(demod_static(m, s)) == [0, 1, 1, 0]).all()

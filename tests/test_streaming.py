@@ -147,3 +147,26 @@ def test_pool_is_empty_and_threads():
     assert pool.cap() == 1 and pool.len() == 0
     out[0].release()
     assert pool.len() == 1
+
+
+def test_send_does_not_donate_caller_arrays():
+    import jax.numpy as jnp
+
+    ex = streaming.new("x2", lambda b: b * 2.0).finish(depth=2, donate=True, printer=None)
+    b = jnp.ones(8, jnp.float32)
+    ex.send(b)
+    ex.recv()
+    assert float(b.sum()) == 8.0  # caller's buffer must survive
+
+
+def test_send_backlog_cap():
+    import pytest
+
+    ex = streaming.new("id", lambda b: b).finish(depth=1, donate=False, printer=None)
+    cap = ex.depth * ex.MAX_BACKLOG_FACTOR
+    for i in range(cap):
+        ex.send(np.zeros(4, np.float32))
+    with pytest.raises(RuntimeError, match="backlog"):
+        ex.send(np.zeros(4, np.float32))
+    for _ in range(cap):
+        ex.recv()
