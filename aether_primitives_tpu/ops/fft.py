@@ -118,18 +118,25 @@ def _twiddle(n1: int, n2: int, sign: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _best_factor(n: int) -> Optional[int]:
-    """Pick n1 | n, preferring MXU-friendly sizes (largest divisor ≤ 128)."""
-    best = None
-    for d in range(2, min(n, 257)):
-        if n % d == 0 and d <= 128:
-            best = d
-    if best is None:
-        return None
-    # prefer a divisor that is a multiple of 8 when available (sublane-aligned)
-    for d in range(best, 1, -1):
-        if n % d == 0 and d % 8 == 0:
-            return d
-    return best
+    """Pick n1 | n for the first Cooley-Tukey stage.
+
+    Measured on v5e (DEVNOTES.md): *balanced* factors win decisively —
+    2048 as 64x32 runs ~5x faster than 128x16. Heuristic: the smallest
+    multiple-of-8 divisor >= ceil(sqrt(n)) (so both stages stay near
+    sqrt(n)), capped at 128; fall back to the largest divisor <= 128.
+    """
+    root = int(np.ceil(np.sqrt(n)))
+    best_balanced = None
+    best_any = None
+    for d in range(2, min(n, 129)):
+        if n % d:
+            continue
+        best_any = d
+        if d % 8 == 0 and d >= root and best_balanced is None:
+            best_balanced = d
+    if best_balanced is not None:
+        return best_balanced
+    return best_any
 
 
 def mm_fft(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
