@@ -4,7 +4,8 @@ reference's examples (modem loopback, waterfall)."""
 
 from . import modem
 from . import channelizer
-from .modem import Modem, ModemConfig, RxChain, RxChainConfig
+from .modem import Modem, ModemConfig, RxChain, RxChainConfig, TxChain, loopback_delay
+from .channelizer import Channelizer
 
 __all__ = [
     "modem",
@@ -13,4 +14,7 @@ __all__ = [
     "ModemConfig",
     "RxChain",
     "RxChainConfig",
+    "TxChain",
+    "loopback_delay",
+    "Channelizer",
 ]

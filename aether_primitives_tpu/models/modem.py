@@ -82,6 +82,12 @@ class RxChainConfig:
     fft_len: int = 2048
     modulation: str = "qpsk"
     fft_backend: Optional[str] = None
+    # OFDM-style occupied-subcarrier count (even; None = all bins). The
+    # active bins are the center of the band: FFT indices [0, a/2) and
+    # [fft_len - a/2, fft_len) — guard bands keep symbols inside the
+    # pulse-shaping filters' flat region so a TxChain->RxChain loopback is
+    # bit-exact.
+    active_bins: Optional[int] = None
     # FIR realization: "os" (overlap-save through the matmul FFT — the TPU
     # path: every op is dense/MXU; time-domain shift-add chains and convs
     # are pathological on the TPU backend) or "shift_add" (exact time
@@ -153,6 +159,17 @@ class RxChain:
             return _fir.fir_filter_decimate(ext, taps, 1, padding="valid")
         return _fir.fir_filter(x, taps)
 
+    def _demod_frames(self, spec) -> jnp.ndarray:
+        a = self.config.active_bins
+        if a:
+            half = a // 2
+            n = spec.shape[-1]
+            spec = jnp.concatenate(
+                [spec[..., :half], spec[..., n - (a - half):]], axis=-1
+            )
+        bits = self.modulation.demod(spec)
+        return bits.reshape(bits.shape[:-2] + (-1,))
+
     def step(self, block) -> jnp.ndarray:
         """The jittable single-device forward step (block -> bits)."""
         cfg = self.config
@@ -165,8 +182,7 @@ class RxChain:
         nsym = y.shape[-1] // span
         frames = y.reshape(y.shape[:-1] + (nsym, span))
         spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-        bits = self.modulation.demod(spec)
-        return bits.reshape(bits.shape[:-2] + (-1,))
+        return self._demod_frames(spec)
 
     def _sharded_step(self, block, mesh, axis_name):
         cfg = self.config
@@ -179,8 +195,7 @@ class RxChain:
             nsym = y.shape[-1] // span
             frames = y.reshape(y.shape[:-1] + (nsym, span))
             spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-            bits = self.modulation.demod(spec)
-            return bits.reshape(bits.shape[:-2] + (-1,))
+            return self._demod_frames(spec)
 
         spec_in = P(*([None] * (jnp.ndim(block) - 1) + [axis_name]))
         fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
@@ -216,8 +231,7 @@ class RxChain:
             nsym = y.shape[-1] // span
             frames = y.reshape(y.shape[:-1] + (nsym, span))
             spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-            bits = self.modulation.demod(spec)
-            return bits.reshape(bits.shape[:-2] + (-1,))
+            return self._demod_frames(spec)
 
         nd = jnp.ndim(block)
         spec_in = P(*([channel_axis] + [None] * (nd - 2) + [time_axis]))
@@ -242,3 +256,93 @@ class RxChain:
         """
         fn = self.step_split if split_boundary else self.step
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+class TxChain:
+    """The transmit chain: bits -> OFDM-style frames -> upsample + pulse
+    shape -> complex samples; the exact inverse structure of :class:`RxChain`
+    (share one :class:`RxChainConfig` for a matched pair).
+
+    Per step: modulate bits onto the active subcarriers of each
+    ``fft_len``-bin frame (guard bands zero), inverse-transform
+    (``Scale.SN`` so the RX forward ``Scale.SN`` round-trips to identity),
+    zero-stuff by ``decimation`` (a dense reshape, no strided scatter) and
+    interpolate with the shared pulse-shaping FIR (gain ``decimation`` to
+    preserve amplitude).
+
+    Group delay: each symmetric length-K filter delays by ``(K-1)/2``
+    full-rate samples; a TX->RX loopback therefore sees a total shift of
+    ``(K_tx - 1)/2 + (K_rx - 1)/2`` that the receiver must skip before
+    framing (see :func:`loopback_delay` and the loopback test).
+    """
+
+    def __init__(self, config: RxChainConfig = RxChainConfig()):
+        self.config = config
+        self.modulation = (
+            _mod.qpsk() if config.modulation == "qpsk" else _mod.bpsk()
+        )
+        self.taps = np.asarray(config.fir_taps, dtype=np.complex64)
+        self._plan = fft_plan(config.fft_len, config.fft_backend)
+        mode = config.fir_mode
+        if mode is None:
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            mode = "os" if platform == "tpu" else "shift_add"
+        self.fir_mode = mode
+
+    def bits_per_frame(self) -> int:
+        a = self.config.active_bins or self.config.fft_len
+        return a * self.modulation.bits_per_symbol
+
+    def step(self, bits) -> jnp.ndarray:
+        """[..., n_bits] {0,1} -> [..., n_frames * fft_len * decimation]
+        complex samples (``n_bits`` divisible by :meth:`bits_per_frame`)."""
+        cfg = self.config
+        a = cfg.active_bins or cfg.fft_len
+        bits = jnp.asarray(bits)
+        bpf = self.bits_per_frame()
+        if bits.shape[-1] % bpf:
+            raise ValueError(
+                f"bit count {bits.shape[-1]} not divisible by bits/frame {bpf}"
+            )
+        nframes = bits.shape[-1] // bpf
+        syms = self.modulation.modulate(bits)
+        syms = syms.reshape(syms.shape[:-1] + (nframes, a))
+        if a != cfg.fft_len:
+            half = a // 2
+            guard = jnp.zeros(
+                syms.shape[:-1] + (cfg.fft_len - a,), dtype=cf32
+            )
+            spec = jnp.concatenate(
+                [syms[..., :half], guard, syms[..., half:]], axis=-1
+            )
+        else:
+            spec = syms
+        tf = self._plan.bwd(spec, Scale.SN)
+        x = tf.reshape(tf.shape[:-2] + (nframes * cfg.fft_len,))
+        if cfg.decimation > 1:
+            # zero-stuff via dense reshape: [..., n] -> [..., n, dec] -> flat
+            z = jnp.zeros(x.shape + (cfg.decimation - 1,), dtype=cf32)
+            up = jnp.concatenate([x[..., None], z], axis=-1)
+            up = up.reshape(x.shape[:-1] + (x.shape[-1] * cfg.decimation,))
+            taps = jnp.asarray(self.taps) * jnp.float32(cfg.decimation)
+            if self.fir_mode == "os":
+                x = _fir.fir_filter_os(up, taps, fft_backend=cfg.fft_backend)
+            else:
+                x = _fir.fir_filter(up, taps)
+        return x
+
+    def jitted(self, donate: bool = False):
+        return jax.jit(self.step, donate_argnums=(0,) if donate else ())
+
+
+def loopback_delay(tx: "TxChain", rx: RxChain) -> int:
+    """Full-rate sample delay of a TX->RX cascade (sum of the two symmetric
+    filters' group delays); skip this many samples before RX framing."""
+    d = 0
+    if tx.config.decimation > 1:
+        d += (tx.taps.shape[-1] - 1) // 2
+    d += (rx.taps.shape[-1] - 1) // 2
+    return d

@@ -173,3 +173,52 @@ def test_channelizer_as_pipeline_stage():
     ]
     outs = ex.run(blocks)
     assert all(np.asarray(o).shape == (4, 128) for o in outs)
+
+
+def test_tx_rx_chain_loopback_bit_exact():
+    # full modem loopback THROUGH the pulse-shaping filters: TX (OFDM
+    # frames on active bins, zero-stuff, interpolate) -> RX (filter,
+    # decimate, FFT, demod). With guard bands inside the filters' flat
+    # region and group-delay compensation, interior frames are bit-exact.
+    from aether_primitives_tpu.models.modem import TxChain, loopback_delay
+
+    cfg = RxChainConfig(fft_len=256, decimation=4, active_bins=128)
+    tx = TxChain(cfg)
+    rx = RxChain(cfg)
+    rng = np.random.default_rng(21)
+    nframes = 6
+    bits = rng.integers(0, 2, nframes * tx.bits_per_frame()).astype(np.uint8)
+    x = np.asarray(tx.step(bits))
+    d = loopback_delay(tx, rx)
+    rx_in = np.concatenate([x[d:], np.zeros(d, np.complex64)])
+    out = np.asarray(rx.step(rx_in))
+    bpf = tx.bits_per_frame()
+    # skip the first and last frame (filter transients / zero-padding)
+    assert (out[bpf : (nframes - 1) * bpf] == bits[bpf : (nframes - 1) * bpf]).all()
+
+
+def test_tx_rx_chain_loopback_with_noise():
+    from aether_primitives_tpu.models.modem import TxChain, loopback_delay
+    from aether_primitives_tpu.ops import noise as _noise
+
+    cfg = RxChainConfig(fft_len=256, decimation=4, active_bins=128)
+    tx = TxChain(cfg)
+    rx = RxChain(cfg)
+    rng = np.random.default_rng(22)
+    nframes = 6
+    bits = rng.integers(0, 2, nframes * tx.bits_per_frame()).astype(np.uint8)
+    x = np.asarray(tx.step(bits))
+    x = np.asarray(_noise.new(1e-6, 815).apply(x))
+    d = loopback_delay(tx, rx)
+    rx_in = np.concatenate([x[d:], np.zeros(d, np.complex64)])
+    out = np.asarray(rx.step(rx_in))
+    bpf = tx.bits_per_frame()
+    assert (out[bpf : (nframes - 1) * bpf] == bits[bpf : (nframes - 1) * bpf]).all()
+
+
+def test_tx_chain_bad_bit_count():
+    from aether_primitives_tpu.models.modem import TxChain
+
+    tx = TxChain(RxChainConfig(fft_len=256, decimation=1, active_bins=64))
+    with pytest.raises(ValueError, match="divisible"):
+        tx.step(np.zeros(100, np.uint8))
