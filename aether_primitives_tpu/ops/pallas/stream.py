@@ -106,6 +106,12 @@ def streamed_cmul(xr, xi, rr, ri, chunk_rows: int = 256, interpret: bool = False
     rows, lanes = xr.shape
     if rows % chunk_rows:
         raise ValueError(f"rows {rows} not divisible by chunk_rows {chunk_rows}")
+    vmem_bytes = (2 * N_BUFFERS * 2 + 2) * chunk_rows * lanes * 4
+    if vmem_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"chunk_rows {chunk_rows} x lanes {lanes} needs ~{vmem_bytes >> 20} MiB "
+            "of VMEM scratch (limit ~12); use a smaller chunk"
+        )
     n_chunks = rows // chunk_rows
     kernel = functools.partial(
         _stream_kernel, chunk_rows=chunk_rows, n_chunks=n_chunks

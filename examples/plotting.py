@@ -5,17 +5,21 @@ spectrum, waterfall). Writes PNGs to the given prefix (default /tmp/aeth).
 Run: python examples/plotting.py [prefix]
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     import jax
 
-    try:
-        jax.devices()
-    except Exception:
+    # demos use eager complex ops, which cannot cross the host<->device
+    # boundary on TPU runtimes without complex transfer (DEVNOTES.md) —
+    # run on CPU unless the user opts in with --tpu
+    if "--tpu" not in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
     from aether_primitives_tpu.ops import noise
