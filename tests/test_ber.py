@@ -1,0 +1,26 @@
+"""BER simulation vs closed-form theory — end-to-end statistical
+validation of modulate -> AWGN -> demod."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.models import ber
+
+
+def test_q_function():
+    assert ber.q_function(0.0) == pytest.approx(0.5)
+    assert ber.q_function(1.0) == pytest.approx(0.158655, abs=1e-5)
+
+
+@pytest.mark.parametrize("modulation", ["qpsk", "bpsk"])
+def test_simulated_ber_matches_theory(modulation):
+    rows = ber.simulate_ber(modulation, powers=(0.25, 0.5), n_bits=1 << 19)
+    for power, sim, theory in rows:
+        # ~5e5 bits: relative agreement within 10% for BER >= 1e-3
+        assert sim == pytest.approx(theory, rel=0.1), (modulation, power)
+
+
+def test_ber_decreases_with_snr():
+    rows = ber.simulate_ber("qpsk", powers=(1.0, 0.5, 0.25), n_bits=1 << 18)
+    bers = [r[1] for r in rows]
+    assert bers[0] > bers[1] > bers[2]
