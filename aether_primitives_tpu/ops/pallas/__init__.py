@@ -7,5 +7,7 @@ All kernels have jnp reference implementations and interpret-mode tests.
 """
 
 from . import cmul
+from . import stream
+from . import halo_rdma
 
-__all__ = ["cmul"]
+__all__ = ["cmul", "stream", "halo_rdma"]

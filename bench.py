@@ -56,12 +56,10 @@ def main():
     digest = jax.jit(lambda bits: jnp.sum(bits.astype(jnp.float32)))
 
     rng = np.random.default_rng(815)
+    n = 1 << 22  # one shape for gate + timing: one jit compile total
 
     # -- correctness gate ---------------------------------------------------
-    n_small = 4 * 2048 * 4
-    x_small = (rng.normal(size=n_small) + 1j * rng.normal(size=n_small)).astype(
-        np.complex64
-    )
+    x_small = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
     got = np.asarray(
         step(Split(x_small.real.copy(), x_small.imag.copy()))
     )
@@ -84,7 +82,6 @@ def main():
         sys.exit(1)
 
     # -- throughput ---------------------------------------------------------
-    n = 1 << 22  # 4M samples/block, 32 MB of f32 planes
     nblocks = 4
     blocks = [
         jax.device_put(

@@ -35,3 +35,30 @@ def test_streamed_cmul_rejects_indivisible(rng):
     r = rng.normal(size=(64, 128)).astype(np.float32)
     with pytest.raises(ValueError, match="divisible"):
         st.streamed_cmul(x, x, r, r, chunk_rows=64, interpret=True)
+
+
+def test_halo_rdma_matches_ppermute(eight_devices):
+    import jax
+    import jax.numpy as jnp
+
+    from aether_primitives_tpu.ops.pallas.halo_rdma import halo_left_rdma
+    from aether_primitives_tpu.parallel import halo, mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"time": 8})
+    P = jax.sharding.PartitionSpec
+    x = jnp.arange(8.0 * 16).astype(jnp.float32)
+
+    def via_rdma(xs):
+        return halo_left_rdma(xs, 4, "time", interpret=True)
+
+    def via_ppermute(xs):
+        return halo.left_tail(xs, 4, "time")
+
+    run = lambda f: np.asarray(
+        jax.jit(
+            jax.shard_map(f, mesh=mesh, in_specs=P("time"), out_specs=P("time"), check_vma=False)
+        )(x)
+    )
+    a = run(via_rdma)
+    b = run(via_ppermute)
+    assert (a == b).all()
