@@ -152,11 +152,10 @@ def fir_filter_os(
     received from the left-neighbor shard in the sharded chain); defaults to
     zeros — the causal initial state.
 
-    The input length must be divisible by ``block_len`` (default: a
-    power-of-two giving FFT size ``>= 8*K`` or 1024, clipped to the signal
-    length), and ``block_len >= K-1`` so one previous block covers the
-    history. All blocks are processed as one batched FFT — the TPU sweet
-    spot — so throughput is the batched-FFT rate.
+    Any ``block_len >= K-1`` works (the tail block is zero-padded and the
+    output sliced back); the default picks a power-of-two near
+    ``max(1024, 8*K)``. All blocks are processed as one batched FFT — the
+    TPU sweet spot — so throughput is the batched-FFT rate.
     """
     x = _as_c64(x)
     taps = _as_c64(taps)
@@ -172,15 +171,19 @@ def fir_filter_os(
             # signal is always valid
             block_len = n
     block_len = int(block_len)
-    if n % block_len != 0:
-        raise ValueError(f"Signal length {n} not divisible by block_len {block_len}")
     if k > 1 and block_len < k - 1:
         raise ValueError(f"block_len {block_len} must be >= taps-1 ({k - 1})")
+    # any block length works: pad the tail block with zeros and slice the
+    # output back to n (zeros after the real data produce only the filter
+    # decay, which the final slice discards)
+    n_pad = -(-n // block_len) * block_len
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)])
     if fft_len is None:
         fft_len = _good_fft_size(block_len + k - 1)
     elif fft_len < block_len + k - 1:
         raise ValueError(f"fft_len {fft_len} < block_len + taps - 1")
-    nblocks = n // block_len
+    nblocks = n_pad // block_len
 
     batch = x.shape[:-1]
     xb = x.reshape(batch + (nblocks, block_len))
@@ -208,7 +211,7 @@ def fir_filter_os(
     spec = plan.fwd(ext, Scale.NONE) * plan.fwd(h, Scale.NONE)
     y = plan.bwd(spec, Scale.N)
     y = y[..., (k - 1) : (k - 1) + block_len] if k > 1 else y[..., :block_len]
-    return y.reshape(batch + (n,)).astype(cf32)
+    return y.reshape(batch + (n_pad,))[..., :n].astype(cf32)
 
 
 def matched_filter(

@@ -74,9 +74,20 @@ def test_overlap_save_single_tap():
     assert evm_rms_db(os_, (x * taps[0]).astype(np.complex128)) < -115
 
 
-def test_overlap_save_indivisible_raises():
-    with pytest.raises(ValueError, match="divisible"):
-        fir.fir_filter_os(np.zeros(1000, np.complex64), np.ones(9, np.complex64), block_len=256)
+def test_overlap_save_indivisible_pads():
+    # explicit block_len that doesn't divide n: tail block zero-padded and
+    # output sliced back — equal to the direct filter
+    rng = np.random.default_rng(7)
+    x, taps = rand_c(rng, 1000), rand_c(rng, 9)
+    direct = np.asarray(fir.fir_filter(x, taps))
+    os_ = np.asarray(fir.fir_filter_os(x, taps, block_len=256))
+    assert os_.shape == (1000,)
+    assert evm_rms_db(os_, direct.astype(np.complex128)) < -110
+
+
+def test_overlap_save_block_too_small_raises():
+    with pytest.raises(ValueError, match="taps-1"):
+        fir.fir_filter_os(np.zeros(1000, np.complex64), np.ones(9, np.complex64), block_len=4)
 
 
 def test_correlator_peak():
