@@ -50,7 +50,9 @@ def simulate_ber(
     seed: int = 815,
 ):
     """[(power, simulated_ber, theoretical_ber)] over the given noise powers."""
-    m = _mod.qpsk() if modulation == "qpsk" else _mod.bpsk()
+    from .modem import _modulation_by_name
+
+    m = _modulation_by_name(modulation)
     key = jax.random.key(seed)
 
     @jax.jit

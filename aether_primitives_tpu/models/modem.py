@@ -49,7 +49,7 @@ class Modem:
 
     def __init__(self, config: ModemConfig = ModemConfig()):
         self.config = config
-        self.modulation = _mod.qpsk() if config.modulation == "qpsk" else _mod.bpsk()
+        self.modulation = _modulation_by_name(config.modulation)
 
     def tx(self, bits) -> jnp.ndarray:
         return self.modulation.modulate(bits)
@@ -95,6 +95,34 @@ class RxChainConfig:
     fir_mode: Optional[str] = None
 
 
+
+def _modulation_by_name(name: str):
+    if name == "qpsk":
+        return _mod.qpsk()
+    if name == "bpsk":
+        return _mod.bpsk()
+    raise ValueError(f"unknown modulation {name!r} (expected 'bpsk' or 'qpsk')")
+
+
+def _resolve_chain(config: "RxChainConfig"):
+    """Shared RxChain/TxChain init: (modulation, taps, fft plan, fir_mode)."""
+    modulation = _modulation_by_name(config.modulation)
+    # taps stay host-side numpy: eager complex device arrays cannot be
+    # embedded as jit constants on backends without complex transfer
+    taps = np.asarray(config.fir_taps, dtype=np.complex64)
+    plan = fft_plan(config.fft_len, config.fft_backend)
+    mode = config.fir_mode
+    if mode is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        mode = "os" if platform == "tpu" else "shift_add"
+    if mode not in ("os", "shift_add"):
+        raise ValueError(f"unknown fir_mode {mode!r}")
+    return modulation, taps, plan, mode
+
+
 def _default_lowpass(ntaps: int, cutoff: float) -> np.ndarray:
     n = np.arange(ntaps) - (ntaps - 1) / 2.0
     h = 2 * cutoff * np.sinc(2 * cutoff * n)
@@ -121,22 +149,7 @@ class RxChain:
 
     def __init__(self, config: RxChainConfig = RxChainConfig()):
         self.config = config
-        self.modulation = (
-            _mod.qpsk() if config.modulation == "qpsk" else _mod.bpsk()
-        )
-        # taps stay host-side numpy: eager complex device arrays cannot be
-        # embedded as jit constants on backends without complex transfer
-        # (they become in-trace constants straight from host memory instead).
-        self.taps = np.asarray(config.fir_taps, dtype=np.complex64)
-        self._plan = fft_plan(config.fft_len, config.fft_backend)
-        mode = config.fir_mode
-        if mode is None:
-            try:
-                platform = jax.devices()[0].platform
-            except Exception:
-                platform = "cpu"
-            mode = "os" if platform == "tpu" else "shift_add"
-        self.fir_mode = mode
+        self.modulation, self.taps, self._plan, self.fir_mode = _resolve_chain(config)
 
     def _fir(self, x, history=None):
         taps = jnp.asarray(self.taps)
@@ -278,19 +291,7 @@ class TxChain:
 
     def __init__(self, config: RxChainConfig = RxChainConfig()):
         self.config = config
-        self.modulation = (
-            _mod.qpsk() if config.modulation == "qpsk" else _mod.bpsk()
-        )
-        self.taps = np.asarray(config.fir_taps, dtype=np.complex64)
-        self._plan = fft_plan(config.fft_len, config.fft_backend)
-        mode = config.fir_mode
-        if mode is None:
-            try:
-                platform = jax.devices()[0].platform
-            except Exception:
-                platform = "cpu"
-            mode = "os" if platform == "tpu" else "shift_add"
-        self.fir_mode = mode
+        self.modulation, self.taps, self._plan, self.fir_mode = _resolve_chain(config)
 
     def bits_per_frame(self) -> int:
         a = self.config.active_bins or self.config.fft_len

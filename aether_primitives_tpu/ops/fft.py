@@ -200,6 +200,27 @@ def _decim_stage2(n1: int, n2: int, dec: int, sign: int):
     return t_full, d0
 
 
+@functools.lru_cache(maxsize=None)
+def _best_factor_decim(n: int, dec: int) -> Optional[int]:
+    """Factor choice for the *decimating* FFT: the fused second stage needs
+    ``n2 * dec <= _DFT_BASE``, so n1 must be at least ``n*dec/_DFT_BASE`` —
+    balanced factors (:func:`_best_factor`) alone can violate that and
+    silently push callers onto the pathological strided-slice fallback.
+    Prefers the smallest multiple-of-8 divisor satisfying both bounds."""
+    min_n1 = max(int(np.ceil(np.sqrt(n))), -(-n * dec // _DFT_BASE))
+    if min_n1 > 128:
+        return None
+    best_any = None
+    for d in range(min_n1, 129):
+        if n % d:
+            continue
+        if best_any is None:
+            best_any = d
+        if d % 8 == 0:
+            return d
+    return best_any
+
+
 def mm_fft_decimate(x: jnp.ndarray, dec: int, sign: int = -1) -> jnp.ndarray:
     """DFT of the ``dec``-decimated last axis, without ever materializing
     the decimated signal: ``mm_fft_decimate(x, d) == mm_fft(x[..., ::d])``.
@@ -223,8 +244,8 @@ def mm_fft_decimate(x: jnp.ndarray, dec: int, sign: int = -1) -> jnp.ndarray:
         raise ValueError(f"length {n_full} not divisible by decimation {dec}")
     n = n_full // dec
     x = jnp.asarray(x, dtype=cf32)
-    n1 = _best_factor(n)
-    if n1 is None or (n // n1) * dec > _DFT_BASE:
+    n1 = _best_factor_decim(n, dec)
+    if n1 is None:
         return mm_fft(x[..., ::dec], sign)  # rare fallback
     n2 = n // n1
     batch = x.shape[:-1]

@@ -162,14 +162,13 @@ def fir_filter_os(
     n = x.shape[-1]
     k = taps.shape[-1]
     if block_len is None:
+        # the power of two nearest max(1024, 8K); divisibility is no longer
+        # required — the tail block pads and the output slices back
         target = max(1024, 8 * k)
-        block_len = 1
-        while block_len * 2 <= target and n % (block_len * 2) == 0:
+        block_len = 1024
+        while block_len * 2 <= target:
             block_len *= 2
-        if n % block_len != 0 or (k > 1 and block_len < k - 1):
-            # no suitable power-of-two divisor: one block over the whole
-            # signal is always valid
-            block_len = n
+        block_len = min(block_len, max(n, k - 1 if k > 1 else 1))
     block_len = int(block_len)
     if k > 1 and block_len < k - 1:
         raise ValueError(f"block_len {block_len} must be >= taps-1 ({k - 1})")

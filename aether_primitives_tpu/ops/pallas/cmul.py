@@ -47,7 +47,12 @@ def _row_tiles(shape, vmem_budget_bytes: int = 6 * 1024 * 1024):
     rows = int(np.prod(shape[:-1]))
     lanes = shape[-1]
     per_row = lanes * 4 * 6 * 2  # f32, 6 buffers, double-buffered
-    tile = min(rows, max(8, vmem_budget_bytes // per_row), 256)
+    tile = min(rows, vmem_budget_bytes // per_row, 256)
+    if tile < 1:
+        raise ValueError(
+            f"lane count {lanes} needs more than the ~{vmem_budget_bytes >> 20} MiB "
+            "VMEM budget even at one row per tile; reshape to fewer lanes"
+        )
     while rows % tile:
         tile -= 1
     return rows, tile, lanes

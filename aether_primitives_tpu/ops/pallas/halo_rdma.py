@@ -10,13 +10,17 @@ block and waited just before the consumer needs the halo, hiding the
 ICI latency behind compute.
 
 ``halo_left_rdma`` is a drop-in for :func:`...parallel.halo.left_tail`
-inside a ``shard_map``; shard 0 receives zeros (causal initial state),
-matching the ppermute semantics exactly.
+inside a ``shard_map``; shard 0 (along the exchanged axis) receives zeros
+(the causal initial state), matching the ppermute semantics exactly. On a
+multi-axis mesh pass ``mesh_axis_names`` (the mesh's axis order) so the
+neighbor's *linear* device id is computed from the full coordinates — the
+per-axis index alone would address a different shard's device.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,16 +28,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _halo_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis_name: str):
-    my_id = jax.lax.axis_index(axis_name)
-    num = jax.lax.axis_size(axis_name)
-    right = jax.lax.rem(my_id + 1, num)
+def _halo_kernel(
+    x_ref, out_ref, send_sem, recv_sem, *, axis_name: str,
+    mesh_axis_names: Sequence[str],
+):
+    del mesh_axis_names  # 1-D mesh only; guarded in halo_left_rdma
+    ax_size = jax.lax.axis_size(axis_name)
+    ax_idx = jax.lax.axis_index(axis_name)
+    right = jax.lax.rem(ax_idx + 1, ax_size)
 
     # cyclic ring: every shard pushes its tail to the right neighbor
     # (uniform participation keeps the collective schedule symmetric —
     # divergent sends deadlock both the interpret backend's rendezvous and,
-    # on hardware, any bytes-accounted receive); shard 0 then overwrites
-    # the wrapped-around tail with the causal zero state
+    # on hardware, any bytes-accounted receive); the first shard along the
+    # axis then overwrites the wrapped-around tail with the causal zeros
     rdma = pltpu.make_async_remote_copy(
         src_ref=x_ref,
         dst_ref=out_ref,
@@ -45,23 +53,39 @@ def _halo_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis_name: str):
     rdma.start()
     rdma.wait()
 
-    @pl.when(my_id == 0)
+    @pl.when(ax_idx == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
 def halo_left_rdma(
-    x: jnp.ndarray, overlap: int, axis_name: str, interpret: bool = False
+    x: jnp.ndarray,
+    overlap: int,
+    axis_name: str,
+    mesh_axis_names: Optional[Sequence[str]] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Left-neighbor tail via RDMA; call inside ``shard_map`` over
     ``axis_name``. Returns ``[..., overlap]`` like ``left_tail``.
 
-    Note: correctness of the wait/signal pairing here follows the jax
-    distributed-Pallas right-permute pattern; exercised in interpret mode
-    in CI and intended for validation on real multi-chip slices.
+    ``mesh_axis_names``: pass the mesh's axis order so multi-axis meshes are
+    rejected loudly — jax's ``dma_start`` does not implement remote copies
+    on meshes with more than one named axis (a per-axis LOGICAL id would
+    silently address another shard's device); use the ``ppermute`` halo
+    (:func:`...parallel.halo.left_tail`) there instead.
     """
+    names = tuple(mesh_axis_names or (axis_name,))
+    if len(names) > 1:
+        raise NotImplementedError(
+            "remote DMA on a multi-axis mesh is not supported by jax's "
+            "dma_start; use parallel.halo.left_tail (ppermute) instead"
+        )
     tail = x[..., -overlap:]
-    kernel = functools.partial(_halo_kernel, axis_name=axis_name)
+    kernel = functools.partial(
+        _halo_kernel,
+        axis_name=axis_name,
+        mesh_axis_names=tuple(mesh_axis_names or (axis_name,)),
+    )
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],

@@ -25,7 +25,8 @@ def main():
     from aether_primitives_tpu.ops import noise
     from aether_primitives_tpu.utils import plot
 
-    prefix = sys.argv[1] if len(sys.argv) > 1 else "/tmp/aeth"
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    prefix = pos[0] if pos else "/tmp/aeth"
     gen = noise.new(1.0, 815)
 
     print("Generating noise and plotting constellation")

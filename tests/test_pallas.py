@@ -62,3 +62,18 @@ def test_halo_rdma_matches_ppermute(eight_devices):
     a = run(via_rdma)
     b = run(via_ppermute)
     assert (a == b).all()
+
+
+def test_halo_rdma_multi_axis_mesh_rejected():
+    # jax's dma_start does not implement multi-axis remote copies; a
+    # per-axis LOGICAL id would silently address another shard's device,
+    # so the wrapper must refuse loudly
+    import jax.numpy as jnp
+
+    from aether_primitives_tpu.ops.pallas.halo_rdma import halo_left_rdma
+
+    with pytest.raises(NotImplementedError, match="multi-axis"):
+        halo_left_rdma(
+            jnp.zeros(16, jnp.float32), 4, "time",
+            mesh_axis_names=("channel", "time"), interpret=True,
+        )
