@@ -110,3 +110,13 @@ def test_cvec_fft_roundtrip():
     out = v.vec_fft(Scale.SN).vec_ifft(Scale.SN)
     # reference vec_fft test uses default -80 on length 100 (src/vecops.rs:434-442)
     assert_evm(out.array, full(1 + 1j), -80.0)
+
+
+def test_cvec_rfft_with_plan():
+    # the reference's reusable-plan variant (vec_rfft/vec_rifft)
+    from aether_primitives_tpu.ops.fft import Scale, plan
+
+    p = plan(100)
+    v = CVec(full(1 + 1j))
+    out = v.vec_rfft(p, Scale.SN).vec_scale(2.0).vec_rifft(p, Scale.SN)
+    assert_evm(out.array, full(2 + 2j), -72.0)
