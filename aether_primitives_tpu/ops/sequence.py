@@ -133,3 +133,22 @@ def lfsr_matrix_generate(
     state0 = init.astype(jnp.float32)
     _, blocks = jax.lax.scan(step, state0, None, length=n_blocks)
     return blocks.reshape(-1)[:length].astype(jnp.uint8)
+
+
+def lte_gold(c_init: int, length: int, nc: int = 1600) -> jnp.ndarray:
+    """3GPP TS36.211 §7.2 pseudo-random (Gold) sequence.
+
+    ``c(n) = (x1(n + Nc) + x2(n + Nc)) mod 2`` with the fixed x1 seed
+    (x1(0)=1) and ``c_init`` seeding x2 — the complete version of the x1
+    recurrence the reference shows in its doc example
+    (reference src/sequence.rs:31-46). Both m-sequences run through the
+    block-parallel GF(2) matrix path, so initialization (Nc = 1600 steps)
+    and generation happen at matmul rate.
+    """
+    delays = (28, 31)  # x(n) = x(n-28) + x(n-31) for x1
+    total = nc + length
+    x1 = lfsr_matrix_generate(expand(1, 31), delays, total)
+    # x2: x2(n+31) = x2(n+3) + x2(n+2) + x2(n+1) + x2(n)
+    #  -> x2(n) = x2(n-28) + x2(n-29) + x2(n-30) + x2(n-31)
+    x2 = lfsr_matrix_generate(expand(c_init, 31), (28, 29, 30, 31), total)
+    return ((x1[nc:] + x2[nc:]) % 2).astype(jnp.uint8)

@@ -99,6 +99,48 @@ def load(filepath, dtype=np.complex64, mmap: bool = False) -> np.ndarray:
     return np.fromfile(filepath, dtype=dtype)
 
 
+# -- integer IQ capture formats (SDR front-end interchange) -----------------
+#
+# Beyond the reference's raw-struct format: the interleaved int16/int8 IQ
+# layouts that RF front ends (UHD "sc16", rtl-sdr u8-offset, HackRF s8)
+# actually record. Values normalize to full-scale +-1.0 complex64.
+
+_IQ_FORMATS = {
+    "sc16": (np.int16, 32767.0, 0.0),
+    "sc8": (np.int8, 127.0, 0.0),
+    "u8": (np.uint8, 127.5, 127.5),  # rtl-sdr: unsigned with 127.5 offset
+}
+
+
+def load_iq(filepath, fmt: str = "sc16") -> np.ndarray:
+    """Read an interleaved integer IQ capture as normalized complex64."""
+    try:
+        dtype, scale, offset = _IQ_FORMATS[fmt]
+    except KeyError:
+        raise ValueError(f"unknown IQ format {fmt!r} (one of {sorted(_IQ_FORMATS)})")
+    raw = np.fromfile(filepath, dtype=dtype).astype(np.float32)
+    if raw.size % 2:
+        raise ValueError("IQ file does not contain an integer number of samples")
+    raw = (raw - offset) / scale
+    return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+
+
+def save_iq(filepath, data, fmt: str = "sc16") -> None:
+    """Write complex samples as an interleaved integer IQ capture
+    (values clipped to full scale)."""
+    try:
+        dtype, scale, offset = _IQ_FORMATS[fmt]
+    except KeyError:
+        raise ValueError(f"unknown IQ format {fmt!r} (one of {sorted(_IQ_FORMATS)})")
+    c = np.asarray(data, dtype=np.complex64).reshape(-1)
+    flat = np.empty(2 * c.size, np.float32)
+    flat[0::2] = c.real
+    flat[1::2] = c.imag
+    info = np.iinfo(dtype)
+    q = np.clip(np.rint(flat * scale + offset), info.min, info.max).astype(dtype)
+    q.tofile(str(filepath))
+
+
 def save(filepath, data, dtype=np.complex64) -> None:
     np.ascontiguousarray(np.asarray(data, dtype=dtype)).tofile(str(filepath))
 

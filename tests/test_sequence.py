@@ -53,3 +53,27 @@ def test_lfsr_short_request():
 def test_generate_already_long_enough():
     out = sequence.generate([1, 0, 1], lambda n, s: 0, 2)
     assert (out == np.array([1, 0, 1], np.uint8)).all()
+
+
+def test_lte_gold_against_serial_reference():
+    # serial closure implementation of TS36.211 7.2 as the golden
+    from aether_primitives_tpu.ops.sequence import expand, generate, lte_gold
+
+    c_init = 0x1A2B3
+    nc, length = 1600, 256
+    g1 = lambda n, s: (s[n - 28] + s[n - 31]) % 2
+    g2 = lambda n, s: (s[n - 28] + s[n - 29] + s[n - 30] + s[n - 31]) % 2
+    x1 = generate(expand(1, 31), g1, nc + length)
+    x2 = generate(expand(c_init, 31), g2, nc + length)
+    gold = (x1[nc:] + x2[nc:]) % 2
+
+    got = np.asarray(lte_gold(c_init, length))
+    assert (got == gold).all()
+
+
+def test_lte_gold_differs_by_seed():
+    from aether_primitives_tpu.ops.sequence import lte_gold
+
+    a = np.asarray(lte_gold(1, 128))
+    b = np.asarray(lte_gold(2, 128))
+    assert not (a == b).all()

@@ -89,3 +89,28 @@ def test_csv_roundtrip(tmp_path):
     back = f.csv_reader(p)
     assert len(back) == 200
     assert (back == seq).all()
+
+
+def test_iq_formats_roundtrip(tmp_path):
+    from aether_primitives_tpu.utils.file import load_iq, save_iq
+
+    rng = np.random.default_rng(0)
+    x = (0.5 * (rng.normal(size=256) + 1j * rng.normal(size=256))).astype(np.complex64)
+    x = np.clip(x.real, -1, 1) + 1j * np.clip(x.imag, -1, 1)
+    for fmt, tol in (("sc16", 1e-4), ("sc8", 1e-2), ("u8", 1e-2)):
+        p = tmp_path / f"cap.{fmt}"
+        save_iq(p, x, fmt)
+        back = load_iq(p, fmt)
+        assert back.dtype == np.complex64 and len(back) == 256
+        assert np.abs(back - x).max() < tol, fmt
+
+
+def test_iq_unknown_format(tmp_path):
+    from aether_primitives_tpu.utils.file import load_iq, save_iq
+
+    with pytest.raises(ValueError, match="unknown IQ format"):
+        save_iq(tmp_path / "x", np.zeros(4, np.complex64), "sc32")
+    p = tmp_path / "c.sc16"
+    save_iq(p, np.zeros(4, np.complex64), "sc16")
+    with pytest.raises(ValueError, match="unknown IQ format"):
+        load_iq(p, "nope")
