@@ -6,6 +6,9 @@ from . import modem
 from . import channelizer
 from .modem import Modem, ModemConfig, RxChain, RxChainConfig, TxChain, loopback_delay
 from .channelizer import Channelizer
+from . import sync
+from . import ber
+from .sync import OfdmEqualizer, detect_preamble
 
 __all__ = [
     "modem",
@@ -17,4 +20,8 @@ __all__ = [
     "TxChain",
     "loopback_delay",
     "Channelizer",
+    "sync",
+    "ber",
+    "OfdmEqualizer",
+    "detect_preamble",
 ]

@@ -172,7 +172,8 @@ class RxChain:
             return _fir.fir_filter_decimate(ext, taps, 1, padding="valid")
         return _fir.fir_filter(x, taps)
 
-    def _demod_frames(self, spec) -> jnp.ndarray:
+    def _active(self, spec) -> jnp.ndarray:
+        """Slice the occupied (center-band) subcarriers out of full frames."""
         a = self.config.active_bins
         if a:
             half = a // 2
@@ -180,22 +181,33 @@ class RxChain:
             spec = jnp.concatenate(
                 [spec[..., :half], spec[..., n - (a - half):]], axis=-1
             )
-        bits = self.modulation.demod(spec)
+        return spec
+
+    def _demod_frames(self, spec) -> jnp.ndarray:
+        bits = self.modulation.demod(self._active(spec))
         return bits.reshape(bits.shape[:-2] + (-1,))
 
-    def step(self, block) -> jnp.ndarray:
-        """The jittable single-device forward step (block -> bits)."""
+    def spectra(self, block) -> jnp.ndarray:
+        """Front half of the chain: block -> per-frame active-bin spectra
+        ``[..., n_frames, active_bins]`` — the hook for channel estimation /
+        equalization (see :mod:`.sync`) before :meth:`demod_spectra`."""
         cfg = self.config
         x = jnp.asarray(block, dtype=cf32)
-        # full-rate FIR (overlap-save on TPU, shift-and-add elsewhere);
-        # decimation folds into the FFT's second-stage matrices
-        # (fft_of_decimated) so no strided memory access happens on device.
         y = self._fir(x)
         span = cfg.fft_len * cfg.decimation
         nsym = y.shape[-1] // span
         frames = y.reshape(y.shape[:-1] + (nsym, span))
         spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-        return self._demod_frames(spec)
+        return self._active(spec)
+
+    def demod_spectra(self, active_spec) -> jnp.ndarray:
+        """Back half: (possibly equalized) active-bin spectra -> bits."""
+        bits = self.modulation.demod(jnp.asarray(active_spec, dtype=cf32))
+        return bits.reshape(bits.shape[:-2] + (-1,))
+
+    def step(self, block) -> jnp.ndarray:
+        """The jittable single-device forward step (block -> bits)."""
+        return self.demod_spectra(self.spectra(block))
 
     def _sharded_step(self, block, mesh, axis_name):
         cfg = self.config
