@@ -46,6 +46,34 @@ def detect_preamble(x, preamble, fft_backend: Optional[str] = None):
     return offset, peak_val / jnp.float32(energy**2)
 
 
+def estimate_cfo(x, rep_len: int) -> jnp.ndarray:
+    """Carrier-frequency-offset estimate from a repeated preamble
+    (Schmidl & Cox): with ``x`` starting at two identical ``rep_len``-sample
+    halves, a CFO of ``f`` cycles/sample rotates the second half by
+    ``2*pi*f*rep_len``, so::
+
+        f = angle( sum_n x[n + rep_len] * conj(x[n]) ) / (2*pi*rep_len)
+
+    Unambiguous for ``|f| < 1/(2*rep_len)``. Returns cycles/sample (f32).
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    a = x[..., :rep_len]
+    b = x[..., rep_len : 2 * rep_len]
+    corr = jnp.sum(b * jnp.conj(a), axis=-1)
+    return (jnp.angle(corr) / (2.0 * jnp.pi * rep_len)).astype(jnp.float32)
+
+
+def apply_freq_shift(x, cycles_per_sample) -> jnp.ndarray:
+    """Mix ``x`` by ``e^{-j 2 pi f n}`` (undo a +f CFO). Batched; the
+    rotator is a fused VPU exp, no host trig."""
+    x = jnp.asarray(x, dtype=cf32)
+    n = jnp.arange(x.shape[-1], dtype=jnp.float32)
+    f = jnp.asarray(cycles_per_sample, dtype=jnp.float32)
+    ang = -2.0 * jnp.pi * f * n
+    rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    return (x * rot).astype(cf32)
+
+
 class OfdmEqualizer:
     """One-tap per-subcarrier equalizer from a known pilot frame.
 

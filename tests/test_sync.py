@@ -90,3 +90,71 @@ def test_full_receiver_over_channel(rng):
     eq = OfdmEqualizer.apply(spec[1:], h)
     out_bits = np.asarray(rx.demod_spectra(eq))
     assert (out_bits == data_bits).all()
+
+
+def test_cfo_estimate_and_correct(rng):
+    from aether_primitives_tpu.models.sync import apply_freq_shift, estimate_cfo
+
+    rep = 128
+    half = (rng.normal(size=rep) + 1j * rng.normal(size=rep)).astype(np.complex64)
+    pre = np.concatenate([half, half])
+    f0 = 7.3e-4  # cycles/sample, well inside the 1/(2*128) ambiguity bound
+    n = np.arange(len(pre))
+    shifted = (pre * np.exp(2j * np.pi * f0 * n)).astype(np.complex64)
+    f_hat = float(estimate_cfo(shifted, rep))
+    assert abs(f_hat - f0) < 1e-6
+    fixed = np.asarray(apply_freq_shift(shifted, f_hat))
+    # after correction the two halves match again (up to a common phase)
+    ratio = fixed[rep:] / fixed[:rep]
+    assert np.abs(np.angle(ratio * np.conj(ratio.mean()))).max() < 1e-3
+
+
+def test_full_receiver_with_cfo(rng):
+    """Delay + multipath + CFO + noise -> sync (time + frequency) +
+    equalization -> exact bits. The residual common phase after CFO
+    correction is absorbed by the pilot equalizer."""
+    from aether_primitives_tpu.models.sync import apply_freq_shift, estimate_cfo
+
+    cfg = RxChainConfig(fft_len=256, decimation=4, active_bins=128)
+    tx = TxChain(cfg)
+    rx = RxChain(cfg)
+    bpf = tx.bits_per_frame()
+
+    pilot_bits = np.asarray(sequence.lte_gold(0x5A5, bpf))
+    data_bits = rng.integers(0, 2, 4 * bpf).astype(np.uint8)
+    burst = np.asarray(tx.step(np.concatenate([pilot_bits, data_bits])))
+
+    rep = 128
+    half_bits = np.asarray(sequence.lte_gold(0x77, rep * 2))
+    half = np.asarray(modulation.qpsk().modulate(half_bits))  # rep symbols
+    preamble = np.concatenate([half, half])
+    signal = np.concatenate([preamble, burst])
+
+    delay, f0 = 951, 2.5e-4
+    h_chan = np.zeros(5, np.complex64)
+    h_chan[0], h_chan[2] = 1.0, 0.2 + 0.1j
+    rxed = np.convolve(signal, h_chan)
+    rxed = np.concatenate([np.zeros(delay, np.complex64), rxed])
+    rxed = np.concatenate(
+        [rxed, np.zeros(4 * cfg.fft_len * cfg.decimation, np.complex64)]
+    )
+    n = np.arange(len(rxed))
+    rxed = (rxed * np.exp(2j * np.pi * f0 * n)).astype(np.complex64)
+    rxed = np.asarray(noise.new(1e-6, 815).apply(rxed))
+
+    # --- receiver: time sync, CFO sync, equalize ---
+    off, metric = detect_preamble(rxed, preamble)
+    off = int(off)
+    assert abs(off - delay) <= 2  # CFO slightly biases the correlation peak
+    f_hat = float(estimate_cfo(rxed[off:], rep))
+    assert abs(f_hat - f0) < 2e-6
+    corrected = np.asarray(apply_freq_shift(rxed, f_hat))
+
+    start = off + len(preamble) + loopback_delay(tx, rx)
+    span = cfg.fft_len * cfg.decimation
+    rx_in = corrected[start : start + 5 * span]
+    spec = np.asarray(rx.spectra(rx_in))
+    pilot_syms = np.asarray(rx.modulation.modulate(pilot_bits))
+    h = OfdmEqualizer.estimate(spec[0], pilot_syms)
+    out_bits = np.asarray(rx.demod_spectra(OfdmEqualizer.apply(spec[1:], h)))
+    assert (out_bits == data_bits).all()
