@@ -70,14 +70,13 @@ class Modem:
 class RxChainConfig:
     """FIR → decimate → blocked FFT → demod receive chain parameters."""
 
-    fir_taps: np.ndarray = field(
-        default_factory=lambda: np.asarray(
-            # 33-tap lowpass (Hamming-windowed sinc, cutoff 1/4) — the
-            # channel-select filter ahead of 4x decimation
-            _default_lowpass(33, 0.25),
-            dtype=np.complex64,
-        )
-    )
+    # None = auto-design a proper anti-aliasing lowpass for the configured
+    # decimation: Hamming-windowed sinc, cutoff 1/(2*decimation),
+    # 16*decimation+1 taps (identity for decimation 1). A wider filter
+    # (e.g. cutoff 1/decimation) lets decimation images alias into the
+    # band — QPSK's sign decisions survive that, QAM's amplitude levels
+    # do not.
+    fir_taps: Optional[np.ndarray] = None
     decimation: int = 4
     fft_len: int = 2048
     modulation: str = "qpsk"
@@ -101,7 +100,11 @@ def _modulation_by_name(name: str):
         return _mod.qpsk()
     if name == "bpsk":
         return _mod.bpsk()
-    raise ValueError(f"unknown modulation {name!r} (expected 'bpsk' or 'qpsk')")
+    if name == "qam16":
+        return _mod.qam16()
+    raise ValueError(
+        f"unknown modulation {name!r} (expected 'bpsk', 'qpsk' or 'qam16')"
+    )
 
 
 def _resolve_chain(config: "RxChainConfig"):
@@ -109,7 +112,14 @@ def _resolve_chain(config: "RxChainConfig"):
     modulation = _modulation_by_name(config.modulation)
     # taps stay host-side numpy: eager complex device arrays cannot be
     # embedded as jit constants on backends without complex transfer
-    taps = np.asarray(config.fir_taps, dtype=np.complex64)
+    if config.fir_taps is None:
+        if config.decimation > 1:
+            taps = _default_lowpass(16 * config.decimation + 1,
+                                    1.0 / (2 * config.decimation))
+        else:
+            taps = np.asarray([1.0 + 0j], dtype=np.complex64)
+    else:
+        taps = np.asarray(config.fir_taps, dtype=np.complex64)
     plan = fft_plan(config.fft_len, config.fft_backend)
     mode = config.fir_mode
     if mode is None:

@@ -193,9 +193,34 @@ class Modulation:
         return (jnp.asarray(llrs) < 0).astype(jnp.uint8)
 
 
+def _qam16_table() -> np.ndarray:
+    """Gray-coded 16-QAM, unit average energy.
+
+    LSB-first: bits (b0,b1) Gray-select the I level, (b2,b3) the Q level
+    from (-3,-1,+1,+3)/sqrt(10). Beyond the reference's surface (whose
+    blanket demod would silently mis-scan 16 points — SURVEY.md §2 quirk 4);
+    here the generic 2^bits demod handles it exactly.
+    """
+    gray = np.array([-3.0, -1.0, 3.0, 1.0]) / np.sqrt(10.0)  # index b0+2*b1
+    table = np.empty(16, np.complex64)
+    for idx in range(16):
+        i_bits = idx & 3
+        q_bits = (idx >> 2) & 3
+        table[idx] = gray[i_bits] + 1j * gray[q_bits]
+    return table
+
+
+GENERIC_QAM16_TABLE = _qam16_table()
+
+
 def bpsk() -> Modulation:
     """Generic BPSK (reference src/modulation.rs:61-63)."""
     return Modulation(GENERIC_BPSK_TABLE, name="bpsk")
+
+
+def qam16() -> Modulation:
+    """Gray-coded 16-QAM with unit average symbol energy."""
+    return Modulation(GENERIC_QAM16_TABLE, name="qam16")
 
 
 def qpsk() -> Modulation:

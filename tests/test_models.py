@@ -222,3 +222,34 @@ def test_tx_chain_bad_bit_count():
     tx = TxChain(RxChainConfig(fft_len=256, decimation=1, active_bins=64))
     with pytest.raises(ValueError, match="divisible"):
         tx.step(np.zeros(100, np.uint8))
+
+
+def test_tx_rx_loopback_qam16_with_equalizer():
+    # unlike QPSK (sign decisions, gain-invariant), 16-QAM needs amplitude
+    # accuracy — the TX/RX filter cascade's per-bin gain ripple must be
+    # equalized out (pilot frame), after which interior frames are exact
+    from aether_primitives_tpu.models.modem import TxChain, loopback_delay
+    from aether_primitives_tpu.models.sync import OfdmEqualizer
+
+    cfg = RxChainConfig(
+        fft_len=256, decimation=4, active_bins=128, modulation="qam16"
+    )
+    tx = TxChain(cfg)
+    rx = RxChain(cfg)
+    assert tx.bits_per_frame() == 128 * 4
+    rng = np.random.default_rng(23)
+    bpf = tx.bits_per_frame()
+    # frame 0 absorbs the TX/RX filter ramp-in transient; the pilot goes in
+    # frame 1 so the channel estimate sees steady state
+    dummy_bits = rng.integers(0, 2, bpf).astype(np.uint8)
+    pilot_bits = rng.integers(0, 2, bpf).astype(np.uint8)
+    data_bits = rng.integers(0, 2, 3 * bpf).astype(np.uint8)
+    x = np.asarray(tx.step(np.concatenate([dummy_bits, pilot_bits, data_bits])))
+    d = loopback_delay(tx, rx)
+    rx_in = np.concatenate([x[d:], np.zeros(d, np.complex64)])
+    spec = np.asarray(rx.spectra(rx_in))  # [5, 128]
+    pilot_syms = np.asarray(rx.modulation.modulate(pilot_bits))
+    h = OfdmEqualizer.estimate(spec[1], pilot_syms)
+    out = np.asarray(rx.demod_spectra(OfdmEqualizer.apply(spec[2:], h)))
+    # skip the last (zero-padded tail) frame
+    assert (out[: 2 * bpf] == data_bits[: 2 * bpf]).all()

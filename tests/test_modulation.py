@@ -123,3 +123,43 @@ def test_modulation_hashable_and_static_jit_arg():
 
     s = np.asarray(m.modulate(np.array([0, 1, 1, 0], np.uint8)))
     assert (np.asarray(demod_static(m, s)) == [0, 1, 1, 0]).all()
+
+
+def test_qam16_roundtrip_and_properties():
+    m = mod.qam16()
+    assert m.bits_per_symbol == 4
+    # unit average energy
+    assert abs(np.mean(np.abs(m.table) ** 2) - 1.0) < 1e-6
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 4000).astype(np.uint8)
+    syms = np.asarray(m.modulate(bits))
+    assert (np.asarray(m.demod(syms)) == bits).all()
+    # mild noise: still exact (min distance 2/sqrt(10) ~ 0.63)
+    noisy = syms + 0.05 * (rng.normal(size=1000) + 1j * rng.normal(size=1000)).astype(
+        np.complex64
+    )
+    assert (np.asarray(m.demod(noisy)) == bits).all()
+
+
+def test_qam16_gray_single_bit_neighbors():
+    # Gray property: horizontally/vertically adjacent constellation points
+    # differ in exactly one bit
+    m = mod.qam16()
+    t = m.table
+    levels = np.unique(np.round(t.real, 6))
+    for idx in range(16):
+        for jdx in range(16):
+            d = t[idx] - t[jdx]
+            step = abs(levels[1] - levels[0])
+            if (abs(d.real) < 1e-6 and abs(abs(d.imag) - step) < 1e-6) or (
+                abs(d.imag) < 1e-6 and abs(abs(d.real) - step) < 1e-6
+            ):
+                assert bin(idx ^ jdx).count("1") == 1, (idx, jdx)
+
+
+def test_qam16_soft_demod():
+    m = mod.qam16()
+    rng = np.random.default_rng(6)
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    llr = m.demod_soft(m.modulate(bits), noise_var=0.1)
+    assert (np.asarray(m.hard_from_soft(llr)) == bits).all()
