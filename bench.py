@@ -121,7 +121,7 @@ def main():
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / TARGET_MSPS_PER_CHIP, 2),
                 "detail": {
-                    "chain": "fir33+dec4+fft2048+qpsk_demod",
+                    "chain": f"fir{chain.taps.shape[-1]}+dec4+fft2048+qpsk_demod",
                     "block_samples": n,
                     "ms_per_block": round(dt * 1e3, 3),
                     "correctness_bit_agreement": agree,
