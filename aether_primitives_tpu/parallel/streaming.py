@@ -143,11 +143,15 @@ class StreamExecutor:
         # silently invalidated
         self._donate = donate
         if profile:
-            self._stage_fns = [
-                jax.jit(s.op, donate_argnums=donate_args if i == 0 else ())
-                for i, s in enumerate(stages)
-            ]
             self._stage_fns_nodonate = [jax.jit(s.op) for s in stages]
+            self._stage_fns = (
+                [
+                    jax.jit(s.op, donate_argnums=donate_args if i == 0 else ())
+                    for i, s in enumerate(stages)
+                ]
+                if donate
+                else self._stage_fns_nodonate
+            )
             self._chain = None
             self._chain_nodonate = None
         else:
@@ -156,8 +160,12 @@ class StreamExecutor:
                     x = s.op(x)
                 return x
 
-            self._chain = jax.jit(chain, donate_argnums=donate_args)
             self._chain_nodonate = jax.jit(chain)
+            self._chain = (
+                jax.jit(chain, donate_argnums=donate_args)
+                if donate
+                else self._chain_nodonate
+            )
             self._stage_fns = None
             self._stage_fns_nodonate = None
         self.stats = [
