@@ -40,6 +40,13 @@ def theoretical_ber(modulation: str, power: float) -> float:
         return q_function(1.0 / sigma)
     if modulation == "bpsk":
         return q_function(math.sqrt(2.0) / sigma)
+    if modulation == "qam16":
+        # exact Gray-coded 4-PAM per axis: levels +-d, +-3d with
+        # d = 1/sqrt(10) (unit average symbol energy), averaged over both
+        # bits of the axis
+        d = 1.0 / math.sqrt(10.0)
+        q1, q3, q5 = (q_function(k * d / sigma) for k in (1, 3, 5))
+        return 0.75 * q1 + 0.5 * q3 - 0.25 * q5
     raise ValueError(f"no closed form for {modulation!r}")
 
 

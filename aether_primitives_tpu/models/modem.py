@@ -34,7 +34,7 @@ P = jax.sharding.PartitionSpec
 
 @dataclass
 class ModemConfig:
-    modulation: str = "qpsk"  # "bpsk" | "qpsk"
+    modulation: str = "qpsk"  # "bpsk" | "qpsk" | "qam16"
     noise_power: float = 0.01  # reference examples/modem.rs:25
     seed: int = 815
 
@@ -79,7 +79,7 @@ class RxChainConfig:
     fir_taps: Optional[np.ndarray] = None
     decimation: int = 4
     fft_len: int = 2048
-    modulation: str = "qpsk"
+    modulation: str = "qpsk"  # "bpsk" | "qpsk" | "qam16"
     fft_backend: Optional[str] = None
     # OFDM-style occupied-subcarrier count (even; None = all bins). The
     # active bins are the center of the band: FFT indices [0, a/2) and
@@ -165,14 +165,11 @@ class RxChain:
         taps = jnp.asarray(self.taps)
         if self.fir_mode == "os":
             # measured sweet spot on v5e: ~4k blocks (FFT work per sample
-            # grows with block size; per-block overhead dominates below ~2k)
-            span = self.config.fft_len * self.config.decimation
+            # grows with block size; per-block overhead dominates below
+            # ~2k). fir_filter_os pads the tail block, so no divisibility
+            # constraint applies.
             k = taps.shape[-1]
-            block_len = None
-            for cand in (4096, span):
-                if cand >= k - 1 and x.shape[-1] % cand == 0:
-                    block_len = cand
-                    break
+            block_len = max(min(4096, x.shape[-1]), k - 1 if k > 1 else 1)
             return _fir.fir_filter_os(
                 x, taps, block_len=block_len,
                 fft_backend=self.config.fft_backend, history=history,

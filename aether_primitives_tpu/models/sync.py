@@ -69,6 +69,8 @@ def apply_freq_shift(x, cycles_per_sample) -> jnp.ndarray:
     x = jnp.asarray(x, dtype=cf32)
     n = jnp.arange(x.shape[-1], dtype=jnp.float32)
     f = jnp.asarray(cycles_per_sample, dtype=jnp.float32)
+    if f.ndim:
+        f = f[..., None]  # per-row CFOs broadcast against the sample index
     ang = -2.0 * jnp.pi * f * n
     rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
     return (x * rot).astype(cf32)

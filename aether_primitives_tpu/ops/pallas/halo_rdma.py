@@ -28,11 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _halo_kernel(
-    x_ref, out_ref, send_sem, recv_sem, *, axis_name: str,
-    mesh_axis_names: Sequence[str],
-):
-    del mesh_axis_names  # 1-D mesh only; guarded in halo_left_rdma
+def _halo_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis_name: str):
     ax_size = jax.lax.axis_size(axis_name)
     ax_idx = jax.lax.axis_index(axis_name)
     right = jax.lax.rem(ax_idx + 1, ax_size)
@@ -81,11 +77,7 @@ def halo_left_rdma(
             "dma_start; use parallel.halo.left_tail (ppermute) instead"
         )
     tail = x[..., -overlap:]
-    kernel = functools.partial(
-        _halo_kernel,
-        axis_name=axis_name,
-        mesh_axis_names=tuple(mesh_axis_names or (axis_name,)),
-    )
+    kernel = functools.partial(_halo_kernel, axis_name=axis_name)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],

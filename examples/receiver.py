@@ -35,7 +35,7 @@ def main():
     cfg = RxChainConfig(fft_len=256, decimation=4, active_bins=128)
     tx, rx = TxChain(cfg), RxChain(cfg)
     bpf = tx.bits_per_frame()
-    rng = np.random.default_rng()
+    rng = np.random.default_rng(2026)  # deterministic demo
 
     # ---- transmitter: preamble + pilot frame + data frames ----
     pilot_bits = np.asarray(sequence.lte_gold(0x5A5, bpf))

@@ -24,3 +24,9 @@ def test_ber_decreases_with_snr():
     rows = ber.simulate_ber("qpsk", powers=(1.0, 0.5, 0.25), n_bits=1 << 18)
     bers = [r[1] for r in rows]
     assert bers[0] > bers[1] > bers[2]
+
+
+def test_qam16_ber_matches_closed_form():
+    rows = ber.simulate_ber("qam16", powers=(0.1, 0.05), n_bits=1 << 19)
+    for power, sim, theory in rows:
+        assert sim == pytest.approx(theory, rel=0.12), power

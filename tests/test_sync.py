@@ -158,3 +158,16 @@ def test_full_receiver_with_cfo(rng):
     h = OfdmEqualizer.estimate(spec[0], pilot_syms)
     out_bits = np.asarray(rx.demod_spectra(OfdmEqualizer.apply(spec[1:], h)))
     assert (out_bits == data_bits).all()
+
+
+def test_apply_freq_shift_batched(rng):
+    from aether_primitives_tpu.models.sync import apply_freq_shift
+
+    x = (rng.normal(size=(3, 256)) + 1j * rng.normal(size=(3, 256))).astype(
+        np.complex64
+    )
+    fs = np.array([1e-4, -2e-4, 5e-4], np.float32)
+    out = np.asarray(apply_freq_shift(x, fs))
+    for i in range(3):
+        ref = np.asarray(apply_freq_shift(x[i], float(fs[i])))
+        assert np.allclose(out[i], ref, atol=1e-6)
