@@ -27,7 +27,7 @@ from .ops.vecops import CVec
 from .ops.fft import Scale, Fft, plan as fft_plan
 from .utils import DB
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "cf32",

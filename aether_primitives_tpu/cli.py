@@ -1,0 +1,316 @@
+"""Console entry points: the headline chain bench and the criterion-equivalent
+micro-benchmark suite (reference benches/benches.rs:1-424).
+
+Installed as ``aether-bench`` / ``aether-microbench`` (pyproject.toml); the
+repo-root ``bench.py`` and ``benches/microbench.py`` are thin shims over
+these so the driver path and the installed path share one implementation.
+
+Timing methodology (axon TPU relay, see DEVNOTES.md):
+
+- device-resident input blocks (production data arrives over ICI, not
+  per-call host PCIe);
+- completion is forced by fetching a tiny jitted digest of the output to
+  host (``block_until_ready`` can ack before compute completes here);
+- the **marginal-cost** estimator ``(T(k2) - T(k1)) / (k2 - k1)`` cancels
+  the fixed ~35-40 ms host-sync overhead;
+- a ``t2 <= t1`` or sub-resolution span is a MEASUREMENT FAILURE, not a
+  result: the harness escalates iteration counts until the span clears a
+  noise floor, and ops that never clear it are reported as "below the
+  dispatch floor" with an upper bound instead of a fabricated throughput
+  (round-1 advisor finding: the old ``max(dt, 1e-9)`` clamp published
+  physically impossible Tsample/s numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+#: North-star per-chip target: 4 Gsamples/s aggregate on v5e-16 (BASELINE.md).
+TARGET_MSPS_PER_CHIP = 250.0
+
+#: Anything implying more than this much HBM traffic is a timing artifact,
+#: not a measurement — v5e peak is ~819 GB/s (1 read + 1 write of c64 = 16 B
+#: per sample floors any real elementwise op at ~50 Gsa/s).
+_MAX_PLAUSIBLE_GBPS = 1600.0
+
+
+class _Digest:
+    """Per-output-structure jitted digests forcing completion via host fetch."""
+
+    def __init__(self):
+        self._cache = {}
+
+    def __call__(self, out) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        leaves = jax.tree_util.tree_leaves(out)
+        key = tuple((l.shape, str(l.dtype)) for l in leaves)
+        f = self._cache.get(key)
+        if f is None:
+            def _d(x):
+                ls = jax.tree_util.tree_leaves(x)
+                return sum(jnp.sum(l.astype(jnp.float32).ravel()[:256]) for l in ls)
+            f = jax.jit(_d)
+            self._cache[key] = f
+        return float(np.asarray(f(out)))
+
+
+def marginal_cost(run, k1: int, k2: int, *, reps: int = 2,
+                  max_escalations: int = 3, min_rel_span: float = 0.05):
+    """Per-iteration cost via ``(T(k2)-T(k1))/(k2-k1)`` with noise guards.
+
+    ``run(k)`` executes the op ``k`` times and returns wall seconds including
+    one fixed sync. Escalates (k1, k2) up to ``max_escalations`` times when
+    the span ``T(k2)-T(k1)`` is non-positive or below ``min_rel_span * T(k1)``
+    (i.e. indistinguishable from sync jitter).
+
+    Returns ``(dt_seconds | None, floor_seconds)``: ``dt_seconds`` is None
+    when the op never cleared the noise floor, in which case
+    ``floor_seconds`` is an upper bound on the per-call cost (the smallest
+    resolvable span divided by the largest iteration delta tried).
+    """
+    floor = float("inf")
+    for _ in range(max_escalations + 1):
+        t1 = min(run(k1) for _ in range(reps))
+        t2 = min(run(k2) for _ in range(reps))
+        span = t2 - t1
+        floor = min(floor, max(abs(span), 0.05 * t1, 1e-4) / (k2 - k1))
+        if span > 0 and span >= min_rel_span * t1:
+            return span / (k2 - k1), floor
+        k1, k2 = k1 * 4, k2 * 4
+    return None, floor
+
+
+def _plausible(dt: float, samples: int) -> bool:
+    # c64 in + out = 16 bytes/sample minimum HBM traffic for any real kernel.
+    return samples * 16.0 / dt / 1e9 <= _MAX_PLAUSIBLE_GBPS
+
+
+def microbench_main(argv=None):
+    ap = argparse.ArgumentParser(prog="aether-microbench", description=__doc__)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from aether_primitives_tpu.boundary import Split, f32_boundary
+    from aether_primitives_tpu.ops import fir, modulation, sampling, vecops
+    from aether_primitives_tpu.ops.fft import Scale, plan as fft_plan
+
+    platform = jax.devices()[0].platform
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(815)
+    results = []
+    digest = _Digest()
+
+    def timed(name, fn, blk, samples, iters=args.iters):
+        fn = jax.jit(fn)
+        blk = jax.device_put(blk, dev)
+        out = fn(blk)
+        jax.block_until_ready(out)
+        digest(out)
+
+        def run(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = fn(blk)
+            digest(o)
+            return time.perf_counter() - t0
+
+        run(2)
+        dt, floor = marginal_cost(run, max(2, iters // 5), iters)
+        if dt is None or not _plausible(dt, samples):
+            results.append({
+                "bench": name, "us_per_call": None, "msamples_per_s": None,
+                "floor_us_per_call": floor * 1e6,
+                "note": "below dispatch/timing floor; throughput not resolvable",
+            })
+            print(f"{name:42s} < {floor*1e6:8.1f} us/call (below dispatch floor)",
+                  flush=True)
+            return
+        msps = samples / dt / 1e6
+        results.append({"bench": name, "us_per_call": dt * 1e6,
+                        "msamples_per_s": msps})
+        print(f"{name:42s} {dt*1e6:10.1f} us/call {msps:12.0f} Msamples/s",
+              flush=True)
+
+    def rsplit(shape):
+        return Split(
+            rng.normal(size=shape).astype(np.float32),
+            rng.normal(size=shape).astype(np.float32),
+        )
+
+    B = args.batch
+
+    # vecops @ N=2048 (reference benches/benches.rs:28-70)
+    n = 2048
+    two = rsplit((B, n))
+    timed("vecops mul [batch x 2048]", f32_boundary(lambda x: vecops.mul(x, x)), two, B * n)
+    timed("vecops scale [batch x 2048]", f32_boundary(lambda x: vecops.scale(x, 2.0)), two, B * n)
+    timed("vecops conj+mirror [batch x 2048]", f32_boundary(lambda x: vecops.mirror(vecops.conj(x))), two, B * n)
+
+    # interpolate / downsample (reference benches/benches.rs:72-133)
+    timed(
+        "interpolate (1024,4) [batch]",
+        f32_boundary(lambda x: sampling.interpolate(x, 4)),
+        rsplit((B, 1024)),
+        B * 1024,
+    )
+    timed(
+        "downsample 30720->1024 [batch]",
+        f32_boundary(lambda x: sampling.downsample(x, 1024)),
+        rsplit((B // 8 or 1, 30720)),
+        (B // 8 or 1) * 30720,
+    )
+
+    # modulation (reference benches/benches.rs:192-281)
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, (B, 8000)).astype(np.uint8)
+    timed("qpsk modulate 8000 bits [batch]", lambda b: qpsk.modulate(b), bits, B * 8000)
+    syms = rsplit((B, 4000))
+    timed("qpsk demod 4000 syms [batch]", f32_boundary(lambda s: qpsk.demod(s)), syms, B * 4000)
+    bpsk = modulation.bpsk()
+    timed("bpsk modulate 8000 bits [batch]", lambda b: bpsk.modulate(b), bits, B * 8000)
+
+    # FFT fwd/bwd (reference benches/benches.rs:288-380)
+    for nfft in (512, 1024, 2048):
+        p = fft_plan(nfft)
+        blk = rsplit((B, nfft))
+        timed(f"fft {nfft} fwd SN [batch]", f32_boundary(lambda x, p=p: p.fwd(x, Scale.SN)), blk, B * nfft)
+        timed(f"fft {nfft} bwd SN [batch]", f32_boundary(lambda x, p=p: p.bwd(x, Scale.SN)), blk, B * nfft)
+
+    # freq-domain correlator (reference benches/benches.rs:382-423)
+    for nfft in (512, 1024, 2048):
+        sig_c = rsplit((nfft,)).numpy()  # host numpy complex: trace constant
+        blk = rsplit((B, nfft))
+        timed(
+            f"correlator {nfft} [batch]",
+            f32_boundary(lambda x, s=sig_c: fir.correlate(x, s)),
+            blk,
+            B * nfft,
+        )
+
+    payload = {"platform": platform, "batch": B, "results": results}
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
+    return payload
+
+
+def numpy_reference_bits(x: np.ndarray, taps: np.ndarray, dec: int, fft_len: int):
+    """float64 reference chain: causal FIR, decimate, fft(SN), QPSK demod."""
+    y = np.convolve(x.astype(np.complex128), taps.astype(np.complex128))[: len(x)]
+    y = y[::dec]
+    frames = y.reshape(-1, fft_len)
+    spec = np.fft.fft(frames, axis=-1) / np.sqrt(np.float32(fft_len))
+    b0 = (spec.real < 0).astype(np.uint8)
+    b1 = (spec.imag < 0).astype(np.uint8)
+    return np.stack([b0, b1], axis=-1).reshape(-1)
+
+
+def bench_main(argv=None):
+    """Headline benchmark: Msamples/s/chip on the RX chain, ONE JSON line."""
+    ap = argparse.ArgumentParser(prog="aether-bench")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    # NOTE: do NOT enable the persistent compilation cache here — on the
+    # axon remote-compile backend the cache write path hangs compiles
+    # (observed empirically; plain compiles take ~15 s and work).
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aether_primitives_tpu.boundary import Split
+    from aether_primitives_tpu.models import RxChain, RxChainConfig
+
+    dev = jax.devices()[0]
+    chain = RxChain(RxChainConfig(fft_len=2048, decimation=4))
+    step = chain.jitted(donate=False, split_boundary=True)
+    digest = jax.jit(lambda bits: jnp.sum(bits.astype(jnp.float32)))
+
+    rng = np.random.default_rng(815)
+    n = 1 << 22  # one shape for gate + timing: one jit compile total
+
+    # -- correctness gate ---------------------------------------------------
+    x_small = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    got = np.asarray(step(Split(x_small.real.copy(), x_small.imag.copy())))
+    ref_bits = numpy_reference_bits(
+        x_small, chain.taps, chain.config.decimation, chain.config.fft_len
+    )
+    agree = float((got == ref_bits).mean())
+    if agree < 0.999:
+        print(json.dumps({
+            "metric": "rx_chain_msamples_per_s_per_chip",
+            "value": 0.0,
+            "unit": "Msamples/s",
+            "vs_baseline": 0.0,
+            "error": f"correctness gate failed: bit agreement {agree}",
+        }))
+        sys.exit(1)
+
+    # -- throughput ---------------------------------------------------------
+    nblocks = 4
+    blocks = [
+        jax.device_put(
+            Split(
+                rng.normal(size=n).astype(np.float32),
+                rng.normal(size=n).astype(np.float32),
+            ),
+            dev,
+        )
+        for _ in range(nblocks)
+    ]
+    for b in blocks:  # warm: compile + first executions
+        step(b)
+    float(np.asarray(digest(step(blocks[0]))))
+
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = step(blocks[i % nblocks])
+        float(np.asarray(digest(out)))  # force completion through the relay
+        return time.perf_counter() - t0
+
+    run(3)  # settle
+    dt, floor = marginal_cost(run, 10, 60)
+    if dt is None:
+        print(json.dumps({
+            "metric": "rx_chain_msamples_per_s_per_chip",
+            "value": 0.0,
+            "unit": "Msamples/s",
+            "vs_baseline": 0.0,
+            "error": f"timing did not resolve (floor {floor*1e6:.1f} us/block)",
+        }))
+        sys.exit(1)
+    msps = n / dt / 1e6
+
+    print(json.dumps({
+        "metric": "rx_chain_msamples_per_s_per_chip",
+        "value": round(msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / TARGET_MSPS_PER_CHIP, 2),
+        "detail": {
+            "chain": f"fir{chain.taps.shape[-1]}+dec4+fft2048+qpsk_demod",
+            "block_samples": n,
+            "ms_per_block": round(dt * 1e3, 3),
+            "correctness_bit_agreement": agree,
+            "device": str(dev),
+        },
+    }))

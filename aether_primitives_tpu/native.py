@@ -9,6 +9,7 @@ you which path is active.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,20 +21,29 @@ import numpy as np
 _REPO = Path(__file__).resolve().parent.parent
 _SRC = _REPO / "csrc" / "hostops.cpp"
 _BUILD = _REPO / "build"
-_LIB_PATH = _BUILD / "libaether_hostops.so"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _lib_path() -> Path:
+    # Key the artifact on a source hash, never mtime: a stale or foreign
+    # (different-ISA, -march=native) binary must never be dlopen'd just
+    # because its mtime looks fresh. A new source hash -> a new file name
+    # -> a fresh local compile.
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return _BUILD / f"libaether_hostops-{digest}.so"
+
+
 def _build() -> Optional[Path]:
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _LIB_PATH
+    lib_path = _lib_path()
+    if lib_path.exists():
+        return lib_path
     _BUILD.mkdir(exist_ok=True)
     # build to a temp path and rename into place: a concurrent process must
     # never dlopen a half-written .so
-    tmp = _LIB_PATH.with_suffix(f".tmp.{os.getpid()}.so")
+    tmp = lib_path.with_suffix(f".tmp.{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         "-march=native", "-funroll-loops",
@@ -41,8 +51,8 @@ def _build() -> Optional[Path]:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _LIB_PATH)
-        return _LIB_PATH
+        os.replace(tmp, lib_path)
+        return lib_path
     except Exception:
         tmp.unlink(missing_ok=True)
         return None

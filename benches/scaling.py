@@ -18,12 +18,10 @@ Usage: python benches/scaling.py [--cpu] [--samples-per-dev 2097152]
 import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

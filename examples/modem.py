@@ -5,12 +5,10 @@ bit-exact assert -> time + constellation plots.
 Run: python examples/modem.py [--plot out_prefix]
 """
 
-import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -6,13 +6,11 @@ printing per-stage throughput/utilisation once a second.
 Run: python examples/pipeline.py [poolsize] [buffsize] [seconds]
 """
 
-import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_variant(name, seconds, buffsize, pool=None, grow=False):

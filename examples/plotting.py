@@ -5,12 +5,10 @@ spectrum, waterfall). Writes PNGs to the given prefix (default /tmp/aeth).
 Run: python examples/plotting.py [prefix]
 """
 
-import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -7,12 +7,10 @@ exact data bits.
 Run: python examples/receiver.py
 """
 
-import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
