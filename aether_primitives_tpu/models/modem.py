@@ -87,10 +87,12 @@ class RxChainConfig:
     # pulse-shaping filters' flat region so a TxChain->RxChain loopback is
     # bit-exact.
     active_bins: Optional[int] = None
-    # FIR realization: "os" (overlap-save through the matmul FFT — the TPU
-    # path: every op is dense/MXU; time-domain shift-add chains and convs
-    # are pathological on the TPU backend) or "shift_add" (exact time
-    # domain, the CPU default). None = auto by platform.
+    # FIR realization: "fused" (the TPU default — FIR + decimation + frame
+    # FFT collapse into ONE span-point forward FFT per frame via spectral
+    # folding, ops/fir.py:fir_decimate_fft), "os" (overlap-save through the
+    # matmul FFT: FFT -> H -> iFFT, then a separate decimating FFT) or
+    # "shift_add" (exact time domain, the CPU default). None = auto by
+    # platform. All three produce identical demod bits (tested).
     fir_mode: Optional[str] = None
 
 
@@ -127,8 +129,8 @@ def _resolve_chain(config: "RxChainConfig"):
             platform = jax.devices()[0].platform
         except Exception:
             platform = "cpu"
-        mode = "os" if platform == "tpu" else "shift_add"
-    if mode not in ("os", "shift_add"):
+        mode = "fused" if platform == "tpu" else "shift_add"
+    if mode not in ("fused", "os", "shift_add"):
         raise ValueError(f"unknown fir_mode {mode!r}")
     return modulation, taps, plan, mode
 
@@ -163,7 +165,7 @@ class RxChain:
 
     def _fir(self, x, history=None):
         taps = jnp.asarray(self.taps)
-        if self.fir_mode == "os":
+        if self.fir_mode in ("os", "fused"):
             # measured sweet spot on v5e: ~4k blocks (FFT work per sample
             # grows with block size; per-block overhead dominates below
             # ~2k). fir_filter_os pads the tail block, so no divisibility
@@ -178,6 +180,26 @@ class RxChain:
             ext = jnp.concatenate([history, x], axis=-1)
             return _fir.fir_filter_decimate(ext, taps, 1, padding="valid")
         return _fir.fir_filter(x, taps)
+
+    def _frames_spectra(self, x, history=None) -> jnp.ndarray:
+        """Full-rate block -> per-frame full-bin spectra [..., nsym, fft_len].
+
+        The chain's hot path. ``fir_mode="fused"`` collapses FIR + decimate +
+        frame FFT into one span-point forward FFT per frame
+        (:func:`~aether_primitives_tpu.ops.fir.fir_decimate_fft`); the other
+        modes filter first and run the decimating frame FFT separately.
+        """
+        cfg = self.config
+        if self.fir_mode == "fused":
+            return _fir.fir_decimate_fft(
+                x, self.taps, cfg.decimation, cfg.fft_len, Scale.SN,
+                history=history, fft_backend=cfg.fft_backend,
+            )
+        y = self._fir(x, history=history)
+        span = cfg.fft_len * cfg.decimation
+        nsym = y.shape[-1] // span
+        frames = y.reshape(y.shape[:-1] + (nsym, span))
+        return fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
 
     def _active(self, spec) -> jnp.ndarray:
         """Slice the occupied (center-band) subcarriers out of full frames."""
@@ -198,14 +220,8 @@ class RxChain:
         """Front half of the chain: block -> per-frame active-bin spectra
         ``[..., n_frames, active_bins]`` — the hook for channel estimation /
         equalization (see :mod:`.sync`) before :meth:`demod_spectra`."""
-        cfg = self.config
         x = jnp.asarray(block, dtype=cf32)
-        y = self._fir(x)
-        span = cfg.fft_len * cfg.decimation
-        nsym = y.shape[-1] // span
-        frames = y.reshape(y.shape[:-1] + (nsym, span))
-        spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-        return self._active(spec)
+        return self._active(self._frames_spectra(x))
 
     def demod_spectra(self, active_spec) -> jnp.ndarray:
         """Back half: (possibly equalized) active-bin spectra -> bits."""
@@ -217,17 +233,10 @@ class RxChain:
         return self.demod_spectra(self.spectra(block))
 
     def _sharded_step(self, block, mesh, axis_name):
-        cfg = self.config
-
         def shard_fn(x):
             k = self.taps.shape[-1]
             h = _halo.left_tail(x, k - 1, axis_name) if k > 1 else None
-            y = self._fir(x, history=h)
-            span = cfg.fft_len * cfg.decimation
-            nsym = y.shape[-1] // span
-            frames = y.reshape(y.shape[:-1] + (nsym, span))
-            spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-            return self._demod_frames(spec)
+            return self._demod_frames(self._frames_spectra(x, history=h))
 
         spec_in = P(*([None] * (jnp.ndim(block) - 1) + [axis_name]))
         fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
@@ -253,17 +262,10 @@ class RxChain:
         parallel) x contiguous time spans (last axis, halo exchange) — the
         full production layout for a multi-stream capture.
         """
-        cfg = self.config
-
         def shard_fn(x):
             k = self.taps.shape[-1]
             h = _halo.left_tail(x, k - 1, time_axis) if k > 1 else None
-            y = self._fir(x, history=h)
-            span = cfg.fft_len * cfg.decimation
-            nsym = y.shape[-1] // span
-            frames = y.reshape(y.shape[:-1] + (nsym, span))
-            spec = fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
-            return self._demod_frames(spec)
+            return self._demod_frames(self._frames_spectra(x, history=h))
 
         nd = jnp.ndim(block)
         spec_in = P(*([channel_axis] + [None] * (nd - 2) + [time_axis]))
@@ -348,7 +350,7 @@ class TxChain:
             up = jnp.concatenate([x[..., None], z], axis=-1)
             up = up.reshape(x.shape[:-1] + (x.shape[-1] * cfg.decimation,))
             taps = jnp.asarray(self.taps) * jnp.float32(cfg.decimation)
-            if self.fir_mode == "os":
+            if self.fir_mode in ("os", "fused"):
                 x = _fir.fir_filter_os(up, taps, fft_backend=cfg.fft_backend)
             else:
                 x = _fir.fir_filter(up, taps)

@@ -31,6 +31,7 @@ Convention: ``y[n] = sum_k taps[k] * x[n - k]`` with zero initial state
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -211,6 +212,121 @@ def fir_filter_os(
     y = plan.bwd(spec, Scale.N)
     y = y[..., (k - 1) : (k - 1) + block_len] if k > 1 else y[..., :block_len]
     return y.reshape(batch + (n_pad,))[..., :n].astype(cf32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_rx_matrices(taps_bytes: bytes, k: int, dec: int, fft_len: int):
+    """Precomputed (f64) constants for :func:`fir_decimate_fft`.
+
+    Returns ``(Hs [span], Cm [K-1, fft_len])`` complex64:
+
+    - ``Hs``: span-point DFT of the taps — the circular-convolution diagonal.
+    - ``Cm``: the wrap-correction operator. The span-point circular
+      convolution ``c`` of a frame differs from the true causal FIR output
+      ``y`` only in its first ``K-1`` samples:
+      ``e[m] = c[m] - y[m] = sum_{u=m}^{K-2} h[m+(K-1)-u] *
+      (cur_tail[u] - prev_tail[u])`` where the tails are the last ``K-1``
+      samples of the current / previous frame. Decimating ``e`` and taking
+      its ``fft_len``-point DFT is the composite
+      ``Cm[u, k] = sum_{m2} T[dec*m2, u] e^{-2pi i k m2 / fft_len}`` with
+      ``T[m, u] = h[m + (K-1) - u]`` (upper-triangular band).
+    """
+    h = np.frombuffer(taps_bytes, dtype=np.complex64).astype(np.complex128)
+    span = dec * fft_len
+    hs = np.fft.fft(h, span).astype(np.complex64)
+    if k <= 1:
+        return hs, np.zeros((0, fft_len), np.complex64)
+    t = np.zeros((k - 1, k - 1), np.complex128)
+    for m in range(k - 1):
+        for u in range(m, k - 1):
+            t[m, u] = h[m + (k - 1) - u]
+    td = t[::dec, :]  # decimated error rows: m = 0, dec, 2*dec, ...
+    m2 = np.arange(td.shape[0], dtype=np.float64)
+    kk = np.arange(fft_len, dtype=np.float64)
+    f = np.exp(-2j * np.pi / fft_len * np.outer(m2, kk))
+    cm = np.einsum("mu,mk->uk", td, f).astype(np.complex64)
+    return hs, cm
+
+
+def fir_decimate_fft(
+    x,
+    taps: np.ndarray,
+    dec: int,
+    fft_len: int,
+    scale: Scale = Scale.NONE,
+    history=None,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Fused causal FIR -> decimate-by-``dec`` -> blocked ``fft_len``-point
+    FFT, as ONE forward FFT per frame — the RX chain's hot path.
+
+    Equivalent (to rounding) to::
+
+        y = fir_filter(x, taps)                      # causal FIR
+        z = y.reshape(..., nsym, dec * fft_len)      # frame
+        out = fft(z[..., ::dec])                     # decimate + FFT
+
+    but with the overlap-save round trip (FFT -> H -> iFFT -> discard ->
+    reshape -> decimating FFT: three transform passes) collapsed into one
+    span-point forward FFT per frame plus O(K * fft_len) fix-up flops:
+
+    1. frame the input at full rate: ``span = dec * fft_len`` samples/frame;
+    2. span-point forward FFT (matmul backend: pure MXU), multiply by the
+       precomputed tap spectrum ``Hs`` — the *circular* convolution of each
+       frame in the frequency domain;
+    3. **decimate by spectral folding**: decimation in time is aliasing in
+       frequency, ``Z[k] = (1/dec) * sum_p Yc[k + p*fft_len]`` — a dense
+       reshape-and-sum, never a strided slice (pathological on TPU) and
+       never an inverse transform;
+    4. subtract the circular-wrap error: it lives only in the first ``K-1``
+       samples of each frame and is a linear function of the current and
+       previous frame tails — a tiny ``[K-1, fft_len]`` matmul
+       (:func:`_fused_rx_matrices`), so causality across frame boundaries
+       (and shard boundaries, via ``history``) is exact.
+
+    ``x``: ``[..., n]`` with ``n % span == 0``. ``taps`` must be host-side
+    numpy (they are baked into trace constants in f64). ``history``:
+    optional ``[..., K-1]`` samples preceding ``x`` (zeros = causal start;
+    the sharded chain passes the halo received from the left neighbor).
+    Returns ``[..., n // span, fft_len]`` spectra, scaled by ``scale``.
+    """
+    x = _as_c64(x)
+    taps = np.asarray(taps, dtype=np.complex64).ravel()
+    k = taps.shape[-1]
+    span = dec * fft_len
+    n = x.shape[-1]
+    if n % span:
+        raise ValueError(f"length {n} not divisible by dec*fft_len = {span}")
+    if k - 1 > span:
+        raise ValueError(f"taps ({k}) longer than a frame ({span}) + 1")
+    batch = x.shape[:-1]
+    nsym = n // span
+    frames = x.reshape(batch + (nsym, span))
+
+    plan = _fft.plan(span, fft_backend)
+    hs, cm = _fused_rx_matrices(taps.tobytes(), k, dec, fft_len)
+    spec = plan.fwd(frames, Scale.NONE) * jnp.asarray(hs)
+    # spectral fold = decimation in time (dense reshape + sum, no strides)
+    z = spec.reshape(batch + (nsym, dec, fft_len)).sum(axis=-2)
+    z = z * jnp.float32(1.0 / dec)
+
+    if k > 1:
+        tails = frames[..., :, span - (k - 1):]
+        if history is None:
+            h0 = jnp.zeros(batch + (1, k - 1), dtype=cf32)
+        else:
+            h0 = _as_c64(history)
+            if h0.shape[-1] != k - 1:
+                raise ValueError(f"history must have K-1 = {k - 1} samples")
+            h0 = jnp.broadcast_to(h0, batch + (k - 1,))[..., None, :]
+        prev = jnp.concatenate([h0, tails[..., :-1, :]], axis=-2)
+        delta = tails - prev
+        ecorr = jnp.einsum(
+            "...nu,uk->...nk", delta, jnp.asarray(cm),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        z = z - ecorr
+    return scale.apply(z)
 
 
 def matched_filter(

@@ -11,10 +11,21 @@ ICI latency behind compute.
 
 ``halo_left_rdma`` is a drop-in for :func:`...parallel.halo.left_tail`
 inside a ``shard_map``; shard 0 (along the exchanged axis) receives zeros
-(the causal initial state), matching the ppermute semantics exactly. On a
-multi-axis mesh pass ``mesh_axis_names`` (the mesh's axis order) so the
-neighbor's *linear* device id is computed from the full coordinates — the
-per-axis index alone would address a different shard's device.
+(the causal initial state), matching the ppermute semantics exactly.
+
+Multi-axis meshes (e.g. the flagship ``(channel, time)`` RX layout) are
+addressed with a **mesh-coordinate dict** device id
+(``{axis_name: right}``, ``DeviceIdType.MESH``): axes absent from the
+dict default to the sender's own coordinate, so the copy goes to the
+device that differs only along the exchanged axis — jax converts the
+coordinates to the linear id with the mesh's strides. This lowers
+correctly on TPU hardware for any mesh rank. **Interpret mode** (the CPU
+emulation used in CI) supports it only for single-axis meshes: jax's
+``dma_start`` discharge rule raises ``NotImplementedError`` for meshes
+with more than one named axis (jax/_src/pallas/primitives.py,
+``dma_start_p`` discharge: "Meshes with more than 1 named dimension not
+implemented"), so multi-axis correctness is validated on hardware, and CI
+covers the 1-D ring plus the dict-addressing construction (DEVNOTES.md).
 """
 
 from __future__ import annotations
@@ -28,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _halo_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis_name: str):
+def _halo_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis_name: str,
+                 mesh_addressing: bool):
     ax_size = jax.lax.axis_size(axis_name)
     ax_idx = jax.lax.axis_index(axis_name)
     right = jax.lax.rem(ax_idx + 1, ax_size)
@@ -37,14 +49,25 @@ def _halo_kernel(x_ref, out_ref, send_sem, recv_sem, *, axis_name: str):
     # (uniform participation keeps the collective schedule symmetric —
     # divergent sends deadlock both the interpret backend's rendezvous and,
     # on hardware, any bytes-accounted receive); the first shard along the
-    # axis then overwrites the wrapped-around tail with the causal zeros
+    # axis then overwrites the wrapped-around tail with the causal zeros.
+    # The dict device id pins only the exchanged axis; every other mesh
+    # axis keeps the sender's coordinate (DeviceIdType.MESH semantics), so
+    # one kernel serves 1-D and multi-axis meshes on hardware. Interpret
+    # mode's discharge rule handles neither dict ids nor multi-axis meshes
+    # (jax 0.9 dma_start discharge) — it gets the LOGICAL single-axis form.
+    if mesh_addressing:
+        device_id = {axis_name: right}
+        id_type = pltpu.DeviceIdType.MESH
+    else:
+        device_id = right
+        id_type = pltpu.DeviceIdType.LOGICAL
     rdma = pltpu.make_async_remote_copy(
         src_ref=x_ref,
         dst_ref=out_ref,
         send_sem=send_sem,
         recv_sem=recv_sem,
-        device_id=right,
-        device_id_type=pltpu.DeviceIdType.LOGICAL,
+        device_id=device_id,
+        device_id_type=id_type,
     )
     rdma.start()
     rdma.wait()
@@ -64,24 +87,33 @@ def halo_left_rdma(
     """Left-neighbor tail via RDMA; call inside ``shard_map`` over
     ``axis_name``. Returns ``[..., overlap]`` like ``left_tail``.
 
-    ``mesh_axis_names``: pass the mesh's axis order so multi-axis meshes are
-    rejected loudly — jax's ``dma_start`` does not implement remote copies
-    on meshes with more than one named axis (a per-axis LOGICAL id would
-    silently address another shard's device); use the ``ppermute`` halo
-    (:func:`...parallel.halo.left_tail`) there instead.
+    Works on meshes of any rank on TPU hardware (mesh-coordinate device
+    ids, see module docstring). ``mesh_axis_names`` is accepted for
+    backward compatibility and to validate that ``axis_name`` is one of
+    the mesh axes; it is no longer needed for addressing. In interpret
+    mode jax only implements remote DMA for single-axis meshes — rejected
+    loudly here so the failure names the workaround
+    (:func:`...parallel.halo.left_tail`).
     """
     names = tuple(mesh_axis_names or (axis_name,))
-    if len(names) > 1:
+    if axis_name not in names:
+        raise ValueError(f"axis {axis_name!r} not in mesh axes {names}")
+    if interpret and len(names) > 1:
         raise NotImplementedError(
-            "remote DMA on a multi-axis mesh is not supported by jax's "
-            "dma_start; use parallel.halo.left_tail (ppermute) instead"
+            "interpret-mode remote DMA supports single-axis meshes only "
+            "(jax dma_start discharge limitation); on hardware this kernel "
+            "addresses multi-axis meshes via mesh-coordinate device ids — "
+            "for CPU/CI validation of a multi-axis layout use "
+            "parallel.halo.left_tail (ppermute) instead"
         )
     tail = x[..., -overlap:]
-    kernel = functools.partial(_halo_kernel, axis_name=axis_name)
+    kernel = functools.partial(
+        _halo_kernel, axis_name=axis_name, mesh_addressing=not interpret
+    )
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(tail.shape, tail.dtype),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA(()),

@@ -119,14 +119,14 @@ def streamed_cmul(xr, xi, rr, ri, chunk_rows: int = 256, interpret: bool = False
     out = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x re (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x im (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # x re (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # x im (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r re
             pl.BlockSpec(memory_space=pltpu.VMEM),  # r im
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, lanes), jnp.float32),

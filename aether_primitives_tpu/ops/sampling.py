@@ -13,7 +13,12 @@ still match exactly.
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import cf32
 
@@ -41,13 +46,61 @@ def interpolate(src, n_between: int) -> jnp.ndarray:
     return jnp.concatenate([flat, src[..., -1:]], axis=-1)
 
 
-def downsample(src, out_len: int) -> jnp.ndarray:
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _decim_select_matrix(chunk_out: int, dec: int) -> np.ndarray:
+    """[chunk_out*dec, chunk_out] one-hot selector: row ``dec*m`` -> col ``m``."""
+    d = np.zeros((chunk_out * dec, chunk_out), np.float32)
+    d[dec * np.arange(chunk_out), np.arange(chunk_out)] = 1.0
+    return d
+
+
+def _dense_decimate(src: jnp.ndarray, dec: int) -> jnp.ndarray:
+    """Decimation as a chunked one-hot **matmul** — the TPU formulation.
+
+    A strided lane slice (``x[..., ::dec]``) costs ~200x effective bandwidth
+    on the TPU backend (DEVNOTES.md), and reshaping to a ``[..., m, dec]``
+    minor axis hits 32x lane padding. Instead: reshape to major-axis chunks
+    ``[..., n/S, S]`` (``S = chunk_out * dec``, lane-aligned) and contract
+    the chunk with a precomputed ``[S, chunk_out]`` one-hot selector on the
+    MXU — dense accesses only, ~``chunk_out`` MACs per input sample.
+    """
+    n = src.shape[-1]
+    out_len = n // dec
+    # chunk = largest divisor of out_len <= 512, preferring lane-aligned
+    # multiples of 128; fall back to the strided slice if only tiny chunks
+    # divide (rare ragged lengths — the flops would then exceed the win)
+    divisors = [c for c in range(1, min(out_len, 512) + 1) if out_len % c == 0]
+    aligned = [c for c in divisors if c % 128 == 0]
+    chunk_out = max(aligned) if aligned else max(divisors)
+    if chunk_out < 8:
+        return src[..., ::dec]
+    s = chunk_out * dec
+    xv = src.reshape(src.shape[:-1] + (n // s, s))
+    sel = jnp.asarray(_decim_select_matrix(chunk_out, dec))
+    y = jnp.matmul(xv, sel.astype(src.dtype) if jnp.issubdtype(src.dtype, jnp.complexfloating) else sel)
+    return y.reshape(src.shape[:-1] + (out_len,))
+
+
+def downsample(src, out_len: int, dense: Optional[bool] = None) -> jnp.ndarray:
     """Integer decimation: every ``(n / out_len)``-th sample starting at 0.
 
     No anti-alias filter, matching reference ``downsample``
     (src/sampling.rs:28-42); only even decimations are supported
-    (``n % out_len == 0`` asserted like the reference). A strided slice —
-    XLA lowers it to a gather/reshape with no host loop.
+    (``n % out_len == 0`` asserted like the reference).
+
+    Realization is platform-dependent (override with ``dense``): on TPU a
+    chunked one-hot matmul (:func:`_dense_decimate` — strided slices are
+    pathological there), elsewhere the plain strided slice XLA lowers well.
+    Pipelines that decimate right after an FFT stage should prefer the
+    fully fused :func:`..fft.fft_of_decimated`, which never materializes
+    the full-rate signal at all.
     """
     src = jnp.asarray(src)
     n = src.shape[-1]
@@ -57,6 +110,12 @@ def downsample(src, out_len: int) -> jnp.ndarray:
             f"Only even decimations are supported ({n} % {out_len} != 0)"
         )
     dec = n // out_len
+    if dec == 1:
+        return src
+    if dense is None:
+        dense = _on_tpu()
+    if dense:
+        return _dense_decimate(src, dec)
     return src[..., ::dec]
 
 
@@ -113,9 +172,11 @@ def resample_fft(src, out_len: int, fft_backend=None) -> jnp.ndarray:
     return y * (jnp.float32(out_len) / jnp.float32(n))
 
 
-def downsample_by(src, factor: int) -> jnp.ndarray:
-    """Decimate by an explicit integer factor (``src[..., ::factor]``)."""
+def downsample_by(src, factor: int, dense: Optional[bool] = None) -> jnp.ndarray:
+    """Decimate by an explicit integer factor (platform-aware like
+    :func:`downsample`)."""
     factor = int(factor)
-    if jnp.shape(src)[-1] % factor != 0:
+    n = jnp.shape(src)[-1]
+    if n % factor != 0:
         raise ValueError("Input length must be divisible by the decimation factor")
-    return jnp.asarray(src)[..., ::factor]
+    return downsample(src, n // factor, dense=dense)

@@ -86,6 +86,7 @@ class Pipeline:
         profile: bool = False,
         report_every_s: float = 1.0,
         printer: Optional[Callable[[str], None]] = print,
+        profile_every: int = 16,
     ) -> "StreamExecutor":
         """Compile the chain and return the executor (the analog of the
         reference's ``finish() -> (Sender, Receiver)``)."""
@@ -97,6 +98,7 @@ class Pipeline:
             profile=profile,
             report_every_s=report_every_s,
             printer=printer,
+            profile_every=profile_every,
         )
 
 
@@ -115,8 +117,15 @@ class StreamExecutor:
     explicit DMA management.
 
     ``profile=True`` compiles each stage separately and synchronizes between
-    stages to attribute time per stage (slower; for tuning only). The
-    default mode fuses everything and attributes time to the chain.
+    stages to attribute time per stage on EVERY block (slower; for tuning
+    only). The default mode fuses everything and attributes time to the
+    chain — but still feeds the per-stage stats by routing every
+    ``profile_every``-th block through the per-stage path (periodic
+    sampling), so production runs get the reference's always-on per-stage
+    throughput/utilisation report (reference src/pipeline.rs:89-114)
+    without paying the per-stage sync on the steady-state path. Set
+    ``profile_every=0`` to disable sampling (per-stage stats then stay
+    empty; chain stats remain live).
     """
 
     def __init__(
@@ -128,6 +137,7 @@ class StreamExecutor:
         profile: bool = False,
         report_every_s: float = 1.0,
         printer: Optional[Callable[[str], None]] = print,
+        profile_every: int = 16,
     ):
         self.stages = stages
         self.depth = max(1, int(depth))
@@ -142,16 +152,21 @@ class StreamExecutor:
         # the non-donating executable or the caller's buffer would be
         # silently invalidated
         self._donate = donate
+        self.profile_every = 0 if profile else max(0, int(profile_every))
+        self._sent = 0
+        # per-stage executables exist in every mode: full-time in profile
+        # mode, as the periodic sampling path otherwise (jit wrappers are
+        # free until first call, so unsampled runs never compile them)
+        self._stage_fns_nodonate = [jax.jit(s.op) for s in stages]
+        self._stage_fns = (
+            [
+                jax.jit(s.op, donate_argnums=donate_args if i == 0 else ())
+                for i, s in enumerate(stages)
+            ]
+            if donate
+            else self._stage_fns_nodonate
+        )
         if profile:
-            self._stage_fns_nodonate = [jax.jit(s.op) for s in stages]
-            self._stage_fns = (
-                [
-                    jax.jit(s.op, donate_argnums=donate_args if i == 0 else ())
-                    for i, s in enumerate(stages)
-                ]
-                if donate
-                else self._stage_fns_nodonate
-            )
             self._chain = None
             self._chain_nodonate = None
         else:
@@ -166,8 +181,6 @@ class StreamExecutor:
                 if donate
                 else self._chain_nodonate
             )
-            self._stage_fns = None
-            self._stage_fns_nodonate = None
         self.stats = [
             StageStats(s.name, report_every_s=report_every_s, printer=printer)
             for s in stages
@@ -207,7 +220,11 @@ class StreamExecutor:
             x = jax.device_put(x, self.sharding)
             caller_owned = False  # device_put produced a fresh buffer
         use_donate = self._donate and not caller_owned
-        if self.profile:
+        sample_stages = self.profile or (
+            self.profile_every and self._sent % self.profile_every == 0
+        )
+        self._sent += 1
+        if sample_stages:
             fns = self._stage_fns if use_donate else self._stage_fns_nodonate
             y = x
             for fn, st in zip(fns, self.stats):

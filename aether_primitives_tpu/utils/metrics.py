@@ -59,3 +59,19 @@ class StageStats:
 
     def lifetime_ops_per_s(self, wall_s: float) -> float:
         return self.total_n / wall_s if wall_s > 0 else 0.0
+
+    def summary(self) -> str:
+        """Lifetime one-liner (per-block mean + samples/s over active time)."""
+        if self.total_n == 0:
+            return f"Stage: {self.name:15} : no samples recorded"
+        mean_ms = 1e3 * self.total_active_s / self.total_n
+        msg = (
+            f"Stage: {self.name:15} : {self.total_n} blocks, "
+            f"{mean_ms:.3f} ms/block"
+        )
+        if self.total_samples and self.total_active_s > 0:
+            msg += (
+                f", {self.total_samples / self.total_active_s / 1e6:.1f}"
+                " Msamples/s active"
+            )
+        return msg

@@ -21,7 +21,10 @@ def run_variant(name, seconds, buffsize, pool=None, grow=False):
     pipe = streaming.new("Abs", lambda b: jnp.abs(b)).add_stage(
         "Mul 20", lambda b: b * 20.0
     )
-    ex = pipe.finish(depth=2, donate=False)
+    # donate=True: host-staged blocks hand their device buffer back to XLA
+    # (HBM reuse). Per-stage stats stay live in this default fused mode via
+    # the periodic per-stage sampling path (profile_every).
+    ex = pipe.finish(depth=2, donate=True)
     print(f"--- variant: {name} ---")
     deadline = time.monotonic() + seconds
     n_blocks = 0
@@ -43,11 +46,12 @@ def run_variant(name, seconds, buffsize, pool=None, grow=False):
         n_blocks += 1
     for _ in ex:
         pass
-    dur = ex.chain_stats.total_active_s
     print(
         f"{name}: {n_blocks} blocks x {buffsize} samples in {seconds}s "
         f"-> {n_blocks * buffsize / seconds / 1e6:.1f} Msamples/s"
     )
+    for st in ex.stats:  # per-stage report (sampled every profile_every-th block)
+        print(f"  {st.summary()}")
 
 
 def main():

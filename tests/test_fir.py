@@ -166,3 +166,82 @@ def test_overlap_save_odd_lengths_default_blocking():
         direct = np.asarray(fir.fir_filter(x, taps))
         os_ = np.asarray(fir.fir_filter_os(x, taps))
         assert evm_rms_db(os_, direct.astype(np.complex128)) < -110, n
+
+
+# --------------------------------------------------------------------------
+# fused FIR + decimate + frame-FFT (the RX chain hot path)
+# --------------------------------------------------------------------------
+
+
+def _fused_reference(x, taps, dec, fft_len):
+    """f64 golden: causal FIR -> frame -> decimate -> unnormalized FFT."""
+    n = x.shape[-1]
+    y = np.convolve(x.astype(np.complex128), taps.astype(np.complex128))[:n]
+    fr = y.reshape(-1, dec * fft_len)[:, ::dec]
+    return np.fft.fft(fr, axis=-1)
+
+
+def test_fir_decimate_fft_matches_f64_reference():
+    rng = np.random.default_rng(20)
+    dec, fft_len = 4, 256
+    n = dec * fft_len * 6
+    x = rand_c(rng, n)
+    taps = (0.1 * rand_c(rng, 33)).astype(np.complex64)
+    got = np.asarray(fir.fir_decimate_fft(x, taps, dec, fft_len))
+    assert evm_rms_db(got, _fused_reference(x, taps, dec, fft_len)) < -110
+
+
+def test_fir_decimate_fft_history_stitches_streams():
+    # chunk 2 fed the tail of chunk 1 as history == one contiguous run
+    rng = np.random.default_rng(21)
+    dec, fft_len, k = 4, 256, 33
+    n = dec * fft_len * 8
+    x = rand_c(rng, n)
+    taps = (0.1 * rand_c(rng, k)).astype(np.complex64)
+    ref = _fused_reference(x, taps, dec, fft_len)
+    g1 = np.asarray(fir.fir_decimate_fft(x[: n // 2], taps, dec, fft_len))
+    g2 = np.asarray(
+        fir.fir_decimate_fft(
+            x[n // 2 :], taps, dec, fft_len, history=x[n // 2 - (k - 1) : n // 2]
+        )
+    )
+    assert evm_rms_db(np.concatenate([g1, g2]), ref) < -110
+
+
+def test_fir_decimate_fft_taps_not_multiple_of_dec():
+    # K-1 not divisible by dec exercises the ragged correction rows
+    rng = np.random.default_rng(22)
+    dec, fft_len = 4, 128
+    n = dec * fft_len * 4
+    x = rand_c(rng, (3, n))
+    taps = (0.2 * rand_c(rng, 18)).astype(np.complex64)
+    got = np.asarray(fir.fir_decimate_fft(x, taps, dec, fft_len))
+    ref = np.stack([_fused_reference(row, taps, dec, fft_len) for row in x])
+    assert evm_rms_db(got, ref) < -110
+
+
+def test_fir_decimate_fft_dec1_and_identity():
+    rng = np.random.default_rng(23)
+    fft_len = 256
+    x = rand_c(rng, fft_len * 4)
+    got = np.asarray(fir.fir_decimate_fft(x, np.ones(1, np.complex64), 1, fft_len))
+    ref = np.fft.fft(x.astype(np.complex128).reshape(-1, fft_len), axis=-1)
+    assert evm_rms_db(got, ref) < -110
+
+
+def test_fir_decimate_fft_scale_and_errors():
+    from aether_primitives_tpu.ops.fft import Scale
+
+    rng = np.random.default_rng(24)
+    dec, fft_len = 2, 128
+    x = rand_c(rng, dec * fft_len * 2)
+    taps = (0.3 * rand_c(rng, 9)).astype(np.complex64)
+    a = np.asarray(fir.fir_decimate_fft(x, taps, dec, fft_len, Scale.SN))
+    b = np.asarray(fir.fir_decimate_fft(x, taps, dec, fft_len)) / np.sqrt(
+        np.float32(fft_len)
+    )
+    assert np.allclose(a, b, atol=1e-5)
+    with pytest.raises(ValueError):
+        fir.fir_decimate_fft(x[:-1], taps, dec, fft_len)
+    with pytest.raises(ValueError):
+        fir.fir_decimate_fft(x, taps, dec, fft_len, history=x[:3])

@@ -95,17 +95,19 @@ def test_rx_chain_fir_modes_agree():
     n = 4 * 256 * 4
     x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
     a = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="shift_add"))
-    b = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="os"))
     bits_a = np.asarray(a.step(x))
-    bits_b = np.asarray(b.step(x))
-    assert (bits_a == bits_b).mean() == 1.0
+    for mode in ("os", "fused"):
+        b = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode=mode))
+        bits_b = np.asarray(b.step(x))
+        assert (bits_a == bits_b).mean() == 1.0, mode
 
 
-def test_rx_chain_os_mode_sharded_matches_single(eight_devices):
+@pytest.mark.parametrize("mode", ["os", "fused"])
+def test_rx_chain_tpu_modes_sharded_match_single(eight_devices, mode):
     from aether_primitives_tpu.parallel import mesh as mesh_mod
 
     mesh = mesh_mod.make_mesh({"time": 8})
-    cfg = RxChainConfig(fft_len=256, decimation=4, fir_mode="os")
+    cfg = RxChainConfig(fft_len=256, decimation=4, fir_mode=mode)
     chain = RxChain(cfg)
     rng = np.random.default_rng(8)
     n = 8 * 4 * 256 * 2

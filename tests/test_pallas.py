@@ -64,16 +64,49 @@ def test_halo_rdma_matches_ppermute(eight_devices):
     assert (a == b).all()
 
 
-def test_halo_rdma_multi_axis_mesh_rejected():
-    # jax's dma_start does not implement multi-axis remote copies; a
-    # per-axis LOGICAL id would silently address another shard's device,
-    # so the wrapper must refuse loudly
+def test_halo_rdma_multi_axis_interpret_rejected_with_guidance():
+    # hardware addresses multi-axis meshes via mesh-coordinate device ids,
+    # but jax's dma_start discharge (interpret mode) only implements
+    # single-axis meshes — the wrapper must refuse loudly and name the
+    # ppermute fallback instead of tripping jax's internal error
     import jax.numpy as jnp
 
     from aether_primitives_tpu.ops.pallas.halo_rdma import halo_left_rdma
 
-    with pytest.raises(NotImplementedError, match="multi-axis"):
+    with pytest.raises(NotImplementedError, match="left_tail"):
         halo_left_rdma(
             jnp.zeros(16, jnp.float32), 4, "time",
             mesh_axis_names=("channel", "time"), interpret=True,
         )
+    with pytest.raises(ValueError, match="not in mesh axes"):
+        halo_left_rdma(
+            jnp.zeros(16, jnp.float32), 4, "nope",
+            mesh_axis_names=("channel", "time"), interpret=True,
+        )
+
+
+def test_halo_rdma_multi_axis_hardware_trace_builds_mesh_device_id():
+    # the hardware path must construct the {axis: right} mesh-coordinate
+    # device id; abstract tracing through shard_map over a 2-axis mesh
+    # exercises kernel construction + dict addressing up to (but not
+    # including) Mosaic lowering, which requires a real TPU
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from aether_primitives_tpu.ops.pallas.halo_rdma import halo_left_rdma
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"channel": 2, "time": 4})
+
+    def fn(x):
+        return halo_left_rdma(
+            x, 4, "time", mesh_axis_names=("channel", "time"), interpret=False
+        )
+
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=P("channel", "time"),
+        out_specs=P("channel", "time"), check_vma=False,
+    )
+    shape = jax.eval_shape(sharded, jnp.zeros((2, 32), jnp.float32))
+    assert shape.shape == (2, 16)  # 4 halo samples per time shard

@@ -107,3 +107,28 @@ def test_resample_fft_roundtrip_bandlimited():
     up = resample_fft(x, 512)
     back = np.asarray(resample_fft(up, 256))
     assert evm_rms_db(back, x.astype(np.complex128)) < -110
+
+
+def test_dense_decimate_matches_strided():
+    # the TPU matmul formulation must equal the strided slice exactly
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(30)
+    for n, out_len in [(30720, 1024), (8096, 506), (4096, 1024), (120, 30)]:
+        x = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))).astype(
+            np.complex64
+        )
+        a = np.asarray(sampling.downsample(x, out_len, dense=True))
+        b = np.asarray(sampling.downsample(x, out_len, dense=False))
+        assert a.shape == b.shape == (3, out_len)
+        assert np.array_equal(a, b), (n, out_len)
+    # real dtype path
+    xr = rng.normal(size=1024).astype(np.float32)
+    assert np.array_equal(
+        np.asarray(sampling.downsample(xr, 256, dense=True)),
+        np.asarray(sampling.downsample(xr, 256, dense=False)),
+    )
+    # downsample_by routes through the same platform-aware path
+    assert np.array_equal(
+        np.asarray(sampling.downsample_by(xr, 4, dense=True)), xr[::4]
+    )

@@ -170,3 +170,41 @@ def test_send_backlog_cap():
         ex.send(np.zeros(4, np.float32))
     for _ in range(cap):
         ex.recv()
+
+
+def test_default_mode_samples_per_stage_stats():
+    # fused (non-profile) mode must still feed per-stage stats via the
+    # periodic sampling path (round-1 review: they were constructed but
+    # never recorded)
+    import jax.numpy as jnp
+
+    from aether_primitives_tpu.parallel import streaming
+
+    pipe = streaming.new("a", lambda b: b + 1.0).add_stage("b", lambda b: b * 2.0)
+    ex = pipe.finish(depth=2, donate=False, printer=None, profile_every=4)
+    for _ in range(9):
+        ex.send(np.zeros(64, np.float32))
+    for _ in ex:
+        pass
+    # blocks 0, 4, 8 sampled
+    assert all(st.total_n == 3 for st in ex.stats)
+    assert all(st.total_active_s > 0 for st in ex.stats)
+    assert ex.chain_stats.total_n == 9
+    # sampled blocks still produce correct results through the stage path
+    out = np.asarray(pipe.finish(donate=False, profile_every=1, printer=None)
+                     .run([np.ones(8, np.float32)])[0])
+    assert np.allclose(out, 4.0)
+
+
+def test_profile_every_zero_disables_sampling():
+    import jax.numpy as jnp
+
+    from aether_primitives_tpu.parallel import streaming
+
+    pipe = streaming.new("a", lambda b: b + 1.0)
+    ex = pipe.finish(depth=2, donate=False, printer=None, profile_every=0)
+    ex.send(np.zeros(8, np.float32))
+    for _ in ex:
+        pass
+    assert ex.stats[0].total_n == 0
+    assert ex.chain_stats.total_n == 1
