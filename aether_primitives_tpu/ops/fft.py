@@ -116,14 +116,63 @@ def _twiddle(n1: int, n2: int, sign: int) -> np.ndarray:
     return np.exp(1j * sign * ang).astype(np.complex64)
 
 
-@functools.lru_cache(maxsize=None)
+#: Factor table measured on the v5e chip by ``benches/fft_autotune.py``
+#: (marginal-cost timing of every divisor candidate per size; see
+#: benches/results_fft_autotune.json for the full sweep). Applied on TPU
+#: platforms only — the heuristic serves CPU/interpret runs.
+_V5E_FACTORS: dict = {}
+
+#: Per-size stage-1 factor overrides. Consulted before the heuristic;
+#: ``set_factor`` updates it (the autotuner's hook).
+_FACTOR_OVERRIDES: dict = {}
+
+_v5e_applied = False
+
+
+def _apply_platform_table() -> None:
+    global _v5e_applied
+    if _v5e_applied:
+        return
+    _v5e_applied = True
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return
+    if platform == "tpu":
+        for n, n1 in _V5E_FACTORS.items():
+            _FACTOR_OVERRIDES.setdefault(n, n1)
+
+
+def set_factor(n: int, n1: Optional[int]) -> None:
+    """Override the first-stage Cooley-Tukey factor for length ``n``
+    (``None`` removes the override). Used by the on-chip autotuner."""
+    if n1 is None:
+        _FACTOR_OVERRIDES.pop(int(n), None)
+    else:
+        if n % n1:
+            raise ValueError(f"{n1} does not divide {n}")
+        _FACTOR_OVERRIDES[int(n)] = int(n1)
+
+
 def _best_factor(n: int) -> Optional[int]:
+    _apply_platform_table()
+    ov = _FACTOR_OVERRIDES.get(n)
+    if ov is not None:
+        return ov
+    return _heuristic_factor(n)
+
+
+@functools.lru_cache(maxsize=None)
+def _heuristic_factor(n: int) -> Optional[int]:
     """Pick n1 | n for the first Cooley-Tukey stage.
 
     Measured on v5e (DEVNOTES.md): *balanced* factors win decisively —
     2048 as 64x32 runs ~5x faster than 128x16. Heuristic: the smallest
     multiple-of-8 divisor >= ceil(sqrt(n)) (so both stages stay near
     sqrt(n)), capped at 128; fall back to the largest divisor <= 128.
+    Sizes above 16384 have no balanced divisor <= 128 — the autotuned
+    override table (``_FACTOR_OVERRIDES``) decides those from chip
+    measurements.
     """
     root = int(np.ceil(np.sqrt(n)))
     best_balanced = None
@@ -382,6 +431,20 @@ def plan(n: int, backend: Optional[str] = None) -> Fft:
 
     Equivalent of ``Cfft::with_len`` (reference src/fft.rs:147-158); cached
     because a plan is just a pair of jit-cached transforms.
+
+    The reference's doctest contract (src/fft.rs:84-120): a constant input
+    concentrates all energy in the DC bin under ``Scale.SN``, and
+    ``fwd(SN)`` then ``bwd(SN)`` round-trips to the input:
+
+    >>> import numpy as np
+    >>> p = plan(8)
+    >>> x = np.ones(8, np.complex64)
+    >>> spec = np.asarray(p.fwd(x, Scale.SN))
+    >>> round(float(abs(spec[0])), 5), round(float(abs(spec[1:]).max()), 5)
+    (2.82843, 0.0)
+    >>> back = np.asarray(p.bwd(p.fwd(x, Scale.SN), Scale.SN))
+    >>> bool(np.allclose(back, x, atol=1e-5))
+    True
     """
     b = backend or default_backend()
     key = (int(n), b)

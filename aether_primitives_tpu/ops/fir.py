@@ -215,6 +215,58 @@ def fir_filter_os(
 
 
 @functools.lru_cache(maxsize=None)
+def _fused_stage_matrices(
+    taps_bytes: bytes, k: int, dec: int, fft_len: int, n1: int
+):
+    """Two-matrix factorization of (circular FIR ∘ decimate ∘ DFT) per frame.
+
+    Cooley-Tukey over ``span = n1 * n2`` with output ``X[k1 + n1*k2]``:
+    stage 1 is the dense ``DFT_{n1}`` contraction; stage 2's DFT, the
+    twiddles, the tap spectrum ``Hs`` (circular convolution diagonal), and
+    the decimation **spectral fold** ``Z[j] = (1/dec) sum_p Y[j + p*fft_len]``
+    all collapse into one precomputed (f64) tensor
+
+        G'[k1, m2, d] = T[k1, m2] * (1/dec) *
+                        sum_p F2[m2, d + p*r] * Hs[k1 + n1*(d + p*r)]
+
+    (``r = fft_len / n1``, ``d < r``; ``T`` = twiddles, ``F2 = DFT_{n2}``),
+    so the on-device work is exactly two einsums and the folded 8192-point
+    spectrum is never materialized. Returns ``(f1 [n1, n1], G' [n1, n2, r])``
+    complex64.
+    """
+    h = np.frombuffer(taps_bytes, dtype=np.complex64).astype(np.complex128)
+    span = dec * fft_len
+    n2 = span // n1
+    r = fft_len // n1
+    hs = np.fft.fft(h, span)  # [span], f64
+    k1 = np.arange(n1, dtype=np.float64)
+    m2 = np.arange(n2, dtype=np.float64)
+    f1 = np.exp(-2j * np.pi / n1 * np.outer(k1, k1))  # [n, k1] (symmetric)
+    t = np.exp(-2j * np.pi / span * np.outer(k1, m2))  # twiddle [k1, m2]
+    f2 = np.exp(-2j * np.pi / n2 * np.outer(m2, m2))  # [m2, k2]
+    # k2 grid of the fold: k2 = d + p*r, d < r, p < dec
+    k2_idx = np.arange(r)[:, None] + r * np.arange(dec)[None, :]  # [d, p]
+    f2_sel = f2[:, k2_idx]  # [m2, d, p]
+    hs_m = hs.reshape(n2, n1).T  # Hs[k1 + n1*k2] -> [k1, k2]
+    hs_sel = hs_m[:, k2_idx]  # [k1, d, p]
+    g = np.einsum("mdp,kdp->kmd", f2_sel, hs_sel) / dec  # [k1, m2, d]
+    g *= t[:, :, None]
+    return f1.astype(np.complex64), g.astype(np.complex64)
+
+
+def _fused_stage_n1(dec: int, fft_len: int) -> Optional[int]:
+    """Largest usable first-stage size: ``n1 | fft_len``, ``n1 <= 128``, and
+    the G' tensor (``span * fft_len / n1`` entries) bounded to ~4 MB."""
+    span = dec * fft_len
+    for n1 in range(min(fft_len, 128), 0, -1):
+        if fft_len % n1 == 0:
+            if span * (fft_len // n1) * 8 <= 4 << 20:
+                return n1
+            return None
+    return None
+
+
+@functools.lru_cache(maxsize=None)
 def _fused_rx_matrices(taps_bytes: bytes, k: int, dec: int, fft_len: int):
     """Precomputed (f64) constants for :func:`fir_decimate_fft`.
 
@@ -303,12 +355,33 @@ def fir_decimate_fft(
     nsym = n // span
     frames = x.reshape(batch + (nsym, span))
 
-    plan = _fft.plan(span, fft_backend)
     hs, cm = _fused_rx_matrices(taps.tobytes(), k, dec, fft_len)
-    spec = plan.fwd(frames, Scale.NONE) * jnp.asarray(hs)
-    # spectral fold = decimation in time (dense reshape + sum, no strides)
-    z = spec.reshape(batch + (nsym, dec, fft_len)).sum(axis=-2)
-    z = z * jnp.float32(1.0 / dec)
+    backend = fft_backend or _fft.default_backend()
+    n1 = _fused_stage_n1(dec, fft_len) if backend == "matmul" else None
+    if n1 is not None:
+        # two-einsum matmul path: stage-1 DFT, then the combined
+        # (twiddle * H * DFT_{n2} * spectral-fold) tensor — the folded
+        # span-point spectrum is never materialized (see
+        # :func:`_fused_stage_matrices`)
+        n2 = span // n1
+        f1, gp = _fused_stage_matrices(taps.tobytes(), k, dec, fft_len, n1)
+        xv = frames.reshape(batch + (nsym, n1, n2))
+        a = jnp.einsum(
+            "...nm,nk->...km", xv, jnp.asarray(f1),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        zk = jnp.einsum(
+            "...km,kmd->...kd", a, jnp.asarray(gp),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # output index j = k1 + n1*d -> natural order is (d, k1)
+        z = jnp.swapaxes(zk, -1, -2).reshape(batch + (nsym, fft_len))
+    else:
+        plan = _fft.plan(span, fft_backend)
+        spec = plan.fwd(frames, Scale.NONE) * jnp.asarray(hs)
+        # spectral fold = decimation in time (dense reshape + sum, no strides)
+        z = spec.reshape(batch + (nsym, dec, fft_len)).sum(axis=-2)
+        z = z * jnp.float32(1.0 / dec)
 
     if k > 1:
         tails = frames[..., :, span - (k - 1):]

@@ -27,7 +27,12 @@ import numpy as np
 
 def expand(seed: int, length: int) -> np.ndarray:
     """LSB-first bit-unpack of ``seed`` into a {0,1} uint8 vector
-    (reference ``expand``, src/sequence.rs:18-21)."""
+    (reference ``expand``, src/sequence.rs:18-21; its doctest
+    src/sequence.rs:4-17 is the contract below).
+
+    >>> expand(0b1101, 6).tolist()
+    [1, 0, 1, 1, 0, 0]
+    """
     i = np.arange(length, dtype=np.uint64)
     return ((np.uint64(seed) >> i) & np.uint64(1)).astype(np.uint8)
 
@@ -40,6 +45,14 @@ def generate(
 
     Host-side and serial — use :func:`lfsr_generate` /
     :func:`lfsr_matrix_generate` for device-rate linear recurrences.
+
+    The LTE TS36.211 §7.2 x1 recurrence from the reference's doctest
+    (src/sequence.rs:31-46): ``x(n) = (x(n-28) + x(n-31)) mod 2``:
+
+    >>> x1 = generate([1] + [0] * 30,
+    ...               lambda p, s: (s[p - 28] ^ s[p - 31]) & 1, 40)
+    >>> bool(x1[:31].tolist() == [1] + [0] * 30 and x1[31] == 1)
+    True
     """
     seq = np.asarray(init, dtype=np.uint8).tolist()
     while len(seq) < length:

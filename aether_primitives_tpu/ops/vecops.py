@@ -153,8 +153,13 @@ class CVec:
     here "plan" is a cached jitted transform, so the one-shot variants are
     equally fast after first trace).
 
-    >>> v = CVec(jnp.full(100, 2 + 2j, dtype=cf32))
+    >>> import numpy as np
+    >>> twos = np.full(4, 2 + 2j, dtype=np.complex64)
+    >>> ones = np.ones(4, dtype=np.complex64)
+    >>> v = CVec(np.full(4, 2 + 2j, dtype=np.complex64))
     >>> out = v.vec_div(twos).vec_mul(twos).vec_zero().vec_add(ones).array
+    >>> np.asarray(out).tolist()
+    [(1+0j), (1+0j), (1+0j), (1+0j)]
     """
 
     __slots__ = ("array",)

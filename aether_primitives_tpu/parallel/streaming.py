@@ -301,6 +301,20 @@ class BlockPool:
     ``resetter`` runs when one is returned. On-device HBM reuse is the
     executor's job (donation); this pool amortizes *host* allocation for
     staging numpy blocks.
+
+    Checkout/return contract (the reference's doctest, src/pool.rs:13-42 —
+    cross-thread moves work because the pool is lock-guarded):
+
+    >>> pool = BlockPool(1, maker=lambda: [0, 0], resetter=lambda b: b.clear())
+    >>> elem = pool.take()
+    >>> elem.value.append(7)
+    >>> pool.take() is None    # bounded: empty while checked out
+    True
+    >>> elem.release()         # resetter runs, buffer returns
+    >>> pool.len(), pool.cap()
+    (1, 1)
+    >>> pool.take().value      # reset cleared it
+    []
     """
 
     def __init__(self, initial_len: int, maker: Callable[[], Any], resetter=None):

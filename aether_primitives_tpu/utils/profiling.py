@@ -22,7 +22,7 @@ import warnings
 def trace(log_dir: str):
     """Capture a device trace for the enclosed block.
 
-    >>> with profiling.trace("/tmp/aeth-trace"):
+    >>> with profiling.trace("/tmp/aeth-trace"):  # doctest: +SKIP
     ...     executor.run(blocks)
     then ``tensorboard --logdir /tmp/aeth-trace`` (Profile tab).
     """
