@@ -342,6 +342,15 @@ class TxChain:
             )
         else:
             spec = syms
+        if cfg.decimation > 1 and self.fir_mode == "fused":
+            # fused TX frame op: diag-multiplied batched backward FFTs — the
+            # zero-stuffed stream and the span-point transform never exist
+            # (ops/fir.py:interp_fir_ifft, the dual of the RX fusion)
+            taps_host = self.taps * np.complex64(cfg.decimation)
+            return _fir.interp_fir_ifft(
+                spec, taps_host, cfg.decimation, Scale.SN,
+                fft_backend=cfg.fft_backend,
+            )
         tf = self._plan.bwd(spec, Scale.SN)
         x = tf.reshape(tf.shape[:-2] + (nframes * cfg.fft_len,))
         if cfg.decimation > 1:
@@ -350,7 +359,7 @@ class TxChain:
             up = jnp.concatenate([x[..., None], z], axis=-1)
             up = up.reshape(x.shape[:-1] + (x.shape[-1] * cfg.decimation,))
             taps = jnp.asarray(self.taps) * jnp.float32(cfg.decimation)
-            if self.fir_mode in ("os", "fused"):
+            if self.fir_mode == "os":
                 x = _fir.fir_filter_os(up, taps, fft_backend=cfg.fft_backend)
             else:
                 x = _fir.fir_filter(up, taps)

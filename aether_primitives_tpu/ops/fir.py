@@ -402,6 +402,131 @@ def fir_decimate_fft(
     return scale.apply(z)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_tx_matrices(
+    taps_bytes: bytes, k: int, dec: int, fft_len: int, scale_f: float
+):
+    """Precomputed (f64) constants for :func:`interp_fir_ifft` — the TX dual
+    of :func:`_fused_rx_matrices`.
+
+    With ``span = dec * fft_len``, zero-stuffing by ``dec`` replicates the
+    ``fft_len``-point spectrum across the span (``Up[f] = X[f mod N]``), so
+    per frame the circular (upsample ∘ FIR) output is
+
+        y[dec*u + t] = (s/dec) * iFFT_N( spec ⊙ R[t] )[u]
+        R[t, b] = e^{2πi t b / span} * sum_p Hs[b + N p] e^{2πi t p / dec}
+
+    — ``dec`` diagonal multiplies + one batched N-point backward FFT, the
+    span-point transform never happens. Returns ``(R [dec, N]`` (with the
+    ``s/dec`` factor folded in), ``Mtail [N, ntail]`` (maps a frame's
+    spectrum to its last ``ntail = ceil((K-1)/dec)`` time samples),
+    ``T2 [K-1, ntail]`` (maps tail deltas to the circular-wrap error on the
+    first ``K-1`` outputs)) complex64.
+    """
+    h = np.frombuffer(taps_bytes, dtype=np.complex64).astype(np.complex128)
+    span = dec * fft_len
+    n = fft_len
+    hs = np.fft.fft(h, span)  # [span]
+    b = np.arange(n, dtype=np.float64)
+    t = np.arange(dec, dtype=np.float64)
+    p = np.arange(dec, dtype=np.float64)
+    # Q[t, b] = sum_p Hs[b + N p] e^{2πi t p / dec}
+    hs_rep = hs.reshape(dec, n)  # [p, b]
+    phase_tp = np.exp(2j * np.pi * np.outer(t, p) / dec)  # [t, p]
+    q = phase_tp @ hs_rep  # [t, b]
+    r = q * np.exp(2j * np.pi * np.outer(t, b) / span)
+    r *= scale_f / dec
+
+    ntail = -(-(k - 1) // dec) if k > 1 else 0
+    if ntail:
+        idx = n - ntail + np.arange(ntail, dtype=np.float64)
+        mtail = scale_f * np.exp(2j * np.pi * np.outer(b, idx) / n)  # [b, i]
+        t2 = np.zeros((k - 1, ntail), np.complex128)
+        for m in range(k - 1):
+            for i in range(ntail):
+                kk = span + m - dec * (n - ntail + i)
+                if m + 1 <= kk <= k - 1:
+                    t2[m, i] = h[kk]
+    else:
+        mtail = np.zeros((n, 0), np.complex128)
+        t2 = np.zeros((0, 0), np.complex128)
+    return (
+        r.astype(np.complex64),
+        mtail.astype(np.complex64),
+        t2.astype(np.complex64),
+    )
+
+
+def interp_fir_ifft(
+    spec,
+    taps: np.ndarray,
+    dec: int,
+    scale: Scale = Scale.NONE,
+    history_spec=None,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Fused TX frame op: spectrum frames -> (scaled backward FFT ->
+    zero-stuff by ``dec`` -> causal FIR) -> full-rate samples, without ever
+    materializing the zero-stuffed stream or running a span-point
+    transform. Equivalent (to rounding) to::
+
+        x = ifft(spec, scale)                       # per frame, length N
+        up = zero_stuff(x, dec)                     # length span = dec*N
+        y = fir_filter(up.reshape(-1), taps)        # causal, continuous
+
+    The dual of :func:`fir_decimate_fft`: replication-in-frequency replaces
+    the spectral fold, the tap spectrum rides ``dec`` precomputed diagonals
+    (:func:`_fused_tx_matrices`), and causality across frame (and shard)
+    boundaries is restored by the same tails-to-wrap-error correction —
+    here the tails are the frame's last few *time* samples, obtained from
+    the spectrum by a tiny ``[N, ntail]`` matmul.
+
+    ``spec``: ``[..., nsym, N]`` frames. ``history_spec``: optional
+    ``[..., N]`` spectrum of the frame *preceding* ``spec`` (zeros =
+    causal start). Returns ``[..., nsym * dec * N]``.
+    """
+    spec = _as_c64(spec)
+    taps = np.asarray(taps, dtype=np.complex64).ravel()
+    k = taps.shape[-1]
+    n = spec.shape[-1]
+    nsym = spec.shape[-2]
+    span = dec * n
+    if k - 1 > span:
+        raise ValueError(f"taps ({k}) longer than a frame ({span}) + 1")
+    batch = spec.shape[:-2]
+    s = scale.factor_for(n)
+    r, mtail, t2 = _fused_tx_matrices(taps.tobytes(), k, dec, n, float(s))
+
+    v = spec[..., None, :] * jnp.asarray(r)  # [.., nsym, dec, N]
+    y_tu = _fft.plan(n, fft_backend).bwd(v, Scale.NONE)  # [.., nsym, t, u]
+    # interleave j = dec*u + t: order (u, t)
+    y = jnp.swapaxes(y_tu, -1, -2).reshape(batch + (nsym, span))
+
+    if k > 1:
+        tails = jnp.matmul(
+            spec, jnp.asarray(mtail), precision=jax.lax.Precision.HIGHEST
+        )  # [.., nsym, ntail]
+        if history_spec is None:
+            h0 = jnp.zeros(batch + (1, tails.shape[-1]), dtype=cf32)
+        else:
+            hs0 = _as_c64(history_spec)
+            if hs0.shape[-1] != n:
+                raise ValueError(f"history_spec must have N = {n} bins")
+            h0 = jnp.matmul(
+                jnp.broadcast_to(hs0, batch + (n,))[..., None, :],
+                jnp.asarray(mtail),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        prev = jnp.concatenate([h0, tails[..., :-1, :]], axis=-2)
+        e = jnp.einsum(
+            "...ni,mi->...nm", tails - prev, jnp.asarray(t2),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [.., nsym, K-1]
+        head = y[..., : k - 1] - e
+        y = jnp.concatenate([head, y[..., k - 1 :]], axis=-1)
+    return y.reshape(batch + (nsym * span,))
+
+
 def matched_filter(
     x,
     ref,

@@ -245,3 +245,51 @@ def test_fir_decimate_fft_scale_and_errors():
         fir.fir_decimate_fft(x[:-1], taps, dec, fft_len)
     with pytest.raises(ValueError):
         fir.fir_decimate_fft(x, taps, dec, fft_len, history=x[:3])
+
+
+def _zero_stuff(x, dec):
+    up = np.zeros(x.size * dec, np.complex128)
+    up[::dec] = x
+    return up
+
+
+def test_interp_fir_ifft_matches_f64_reference():
+    from aether_primitives_tpu.ops.fft import Scale
+
+    rng = np.random.default_rng(40)
+    for dec, n, k in [(4, 256, 65), (2, 128, 9), (3, 120, 17), (1, 256, 5)]:
+        spec = rand_c(rng, (5, n))
+        taps = (0.1 * rand_c(rng, k)).astype(np.complex64)
+        s = 1.0 / np.sqrt(np.float32(n))
+        x = np.conj(np.fft.fft(np.conj(spec.astype(np.complex128)), axis=-1)) * s
+        up = _zero_stuff(x.reshape(-1), dec)
+        ref = np.convolve(up, taps.astype(np.complex128))[: up.size]
+        got = np.asarray(fir.interp_fir_ifft(spec, taps, dec, Scale.SN))
+        assert evm_rms_db(got, ref) < -110, (dec, n, k)
+
+
+def test_interp_fir_ifft_history_stitches_streams():
+    from aether_primitives_tpu.ops.fft import Scale
+
+    rng = np.random.default_rng(41)
+    dec, n, k = 4, 256, 33
+    spec = rand_c(rng, (8, n))
+    taps = (0.1 * rand_c(rng, k)).astype(np.complex64)
+    whole = np.asarray(fir.interp_fir_ifft(spec, taps, dec, Scale.SN))
+    a = np.asarray(fir.interp_fir_ifft(spec[:4], taps, dec, Scale.SN))
+    b = np.asarray(
+        fir.interp_fir_ifft(spec[4:], taps, dec, Scale.SN, history_spec=spec[3])
+    )
+    assert evm_rms_db(np.concatenate([a, b]), whole.astype(np.complex128)) < -130
+
+
+def test_tx_chain_fused_mode_agrees():
+    from aether_primitives_tpu.models import TxChain, RxChainConfig
+
+    rng = np.random.default_rng(42)
+    base = dict(fft_len=256, decimation=4, active_bins=128)
+    bits = rng.integers(0, 2, 128 * 2 * 4).astype(np.uint8)
+    ref_sig = np.asarray(TxChain(RxChainConfig(**base, fir_mode="shift_add")).step(bits))
+    for mode in ("os", "fused"):
+        sig = np.asarray(TxChain(RxChainConfig(**base, fir_mode=mode)).step(bits))
+        assert evm_rms_db(sig, ref_sig.astype(np.complex128)) < -110, mode
