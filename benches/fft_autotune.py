@@ -37,6 +37,7 @@ def main():
     )
     ap.add_argument("--json", default="benches/results_fft_autotune.json")
     ap.add_argument("--rows-target", type=int, default=1 << 22)
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -65,7 +66,12 @@ def main():
             ),
             dev,
         )
-        per_factor = []
+        # compile every candidate first, then time them in INTERLEAVED
+        # repeated rounds: relay/compile-service drift between candidates
+        # is minutes-scale, so back-to-back per-candidate timing attributed
+        # 10x swings to factors (observed); round-robin + median-of-rounds
+        # decorrelates it
+        fns = {}
         for n1 in candidates(n):
             fft_mod.set_factor(n, n1)
             try:
@@ -73,33 +79,45 @@ def main():
                 out = fn(blk)
                 jax.block_until_ready(out)
                 digest(out)
-
-                def run(k):
-                    t0 = time.perf_counter()
-                    o = None
-                    for _ in range(k):
-                        o = fn(blk)
-                    digest(o)
-                    return time.perf_counter() - t0
-
-                run(2)
-                dt, _ = marginal_cost(run, 5, 25)
+                fns[n1] = fn
             except Exception as e:  # compile failure for a pathological shape
                 print(f"n={n} n1={n1}: FAILED {type(e).__name__}", flush=True)
-                continue
             finally:
                 fft_mod.set_factor(n, None)
-            if dt is None:
+
+        def run_fn(fn, k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = fn(blk)
+            digest(o)
+            return time.perf_counter() - t0
+
+        samples = {n1: [] for n1 in fns}
+        for _ in range(args.rounds):
+            for n1, fn in fns.items():
+                run_fn(fn, 2)
+                dt, _ = marginal_cost(lambda k, f=fn: run_fn(f, k), 5, 25,
+                                      max_escalations=1)
+                if dt is not None:
+                    samples[n1].append(dt)
+        per_factor = []
+        for n1, dts in samples.items():
+            if not dts:
                 print(f"n={n} n1={n1}: below timing floor", flush=True)
                 continue
+            dt = sorted(dts)[len(dts) // 2]
             msps = rows * n / dt / 1e6
             gbps = rows * n * 16 / dt / 1e9
             per_factor.append(
-                {"n1": n1, "ms": dt * 1e3, "msamples_per_s": msps, "gbps_min_stream": gbps}
+                {"n1": n1, "ms": dt * 1e3, "msamples_per_s": msps,
+                 "gbps_min_stream": gbps,
+                 "rounds_ms": [round(d * 1e3, 3) for d in sorted(dts)]}
             )
             print(
                 f"n={n:6d} n1={n1:4d}: {dt*1e3:8.3f} ms  {msps:9.0f} Msa/s "
-                f"{gbps:6.1f} GB/s ({100*gbps/HBM_PEAK_GBPS:4.1f}% roofline)",
+                f"{gbps:6.1f} GB/s ({100*gbps/HBM_PEAK_GBPS:4.1f}% roofline) "
+                f"rounds={[round(d*1e3,3) for d in sorted(dts)]}",
                 flush=True,
             )
         if not per_factor:
