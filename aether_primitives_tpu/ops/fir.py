@@ -308,6 +308,7 @@ def fir_decimate_fft(
     scale: Scale = Scale.NONE,
     history=None,
     fft_backend: Optional[str] = None,
+    precision=None,
 ) -> jnp.ndarray:
     """Fused causal FIR -> decimate-by-``dec`` -> blocked ``fft_len``-point
     FFT, as ONE forward FFT per frame — the RX chain's hot path.
@@ -357,6 +358,10 @@ def fir_decimate_fft(
 
     hs, cm = _fused_rx_matrices(taps.tobytes(), k, dec, fft_len)
     backend = fft_backend or _fft.default_backend()
+    # HIGHEST (full-f32 MXU emulation) keeps the fused path at ~-133 dB RMS
+    # vs f64; callers with relaxed accuracy needs may pass Precision.HIGH
+    # (half the MXU passes) — measured trade-off in DEVNOTES.md
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     n1 = _fused_stage_n1(dec, fft_len) if backend == "matmul" else None
     if n1 is not None:
         # two-einsum matmul path: stage-1 DFT, then the combined
@@ -366,14 +371,8 @@ def fir_decimate_fft(
         n2 = span // n1
         f1, gp = _fused_stage_matrices(taps.tobytes(), k, dec, fft_len, n1)
         xv = frames.reshape(batch + (nsym, n1, n2))
-        a = jnp.einsum(
-            "...nm,nk->...km", xv, jnp.asarray(f1),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        zk = jnp.einsum(
-            "...km,kmd->...kd", a, jnp.asarray(gp),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        a = jnp.einsum("...nm,nk->...km", xv, jnp.asarray(f1), precision=prec)
+        zk = jnp.einsum("...km,kmd->...kd", a, jnp.asarray(gp), precision=prec)
         # output index j = k1 + n1*d -> natural order is (d, k1)
         z = jnp.swapaxes(zk, -1, -2).reshape(batch + (nsym, fft_len))
     else:
