@@ -117,10 +117,18 @@ def _twiddle(n1: int, n2: int, sign: int) -> np.ndarray:
 
 
 #: Factor table measured on the v5e chip by ``benches/fft_autotune.py``
-#: (marginal-cost timing of every divisor candidate per size; see
-#: benches/results_fft_autotune.json for the full sweep). Applied on TPU
-#: platforms only — the heuristic serves CPU/interpret runs.
-_V5E_FACTORS: dict = {}
+#: (marginal-cost timing of every divisor candidate per size, interleaved
+#: repeated rounds; see benches/results_fft_autotune.json for the full
+#: sweep). Only sizes whose winner was CONSISTENT across independent
+#: sweeps are committed — relay timing variance is ±3-4x per round
+#: (DEVNOTES.md), so single-sweep winners are not trustworthy. Applied on
+#: TPU platforms only; the heuristic serves CPU/interpret runs and all
+#: other sizes.
+_V5E_FACTORS: dict = {
+    2048: 128,  # vs heuristic 64: faster in every sweep (0.39-0.50 vs 0.48-1.0 ms @ 2048 rows)
+    4096: 32,   # vs heuristic 64: both sweeps' winners (32/16) beat 64 by ~1.5x
+    8192: 32,   # vs heuristic 128: 2x, agreed by both sweeps (0.33 vs 0.62-0.74 ms)
+}
 
 #: Per-size stage-1 factor overrides. Consulted before the heuristic;
 #: ``set_factor`` updates it (the autotuner's hook).

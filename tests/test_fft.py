@@ -125,3 +125,33 @@ def test_mm_fft_prime_size_falls_back():
     n = 127  # prime, <= dense threshold: dense DFT
     x = rand_c(rng, (n,))
     assert evm_rms_db(mm_fft(jnp.asarray(x), -1), np.fft.fft(x.astype(np.complex128))) < -120
+
+
+def test_factor_overrides():
+    from aether_primitives_tpu.ops import fft as fft_mod
+
+    # set_factor round-trip + validation
+    fft_mod.set_factor(1024, 8)
+    assert fft_mod._best_factor(1024) == 8
+    fft_mod.set_factor(1024, None)
+    with pytest.raises(ValueError):
+        fft_mod.set_factor(1024, 7)
+    # committed v5e table entries divide their sizes
+    for n, n1 in fft_mod._V5E_FACTORS.items():
+        assert n % n1 == 0, (n, n1)
+    # overridden factor changes the computation's factorization but not
+    # its result
+    rng = np.random.default_rng(50)
+    x = (rng.normal(size=(4, 1024)) + 1j * rng.normal(size=(4, 1024))).astype(
+        np.complex64
+    )
+    base = np.asarray(fft_mod.mm_fft(jnp.asarray(x), -1))
+    fft_mod.set_factor(1024, 16)
+    try:
+        alt = np.asarray(fft_mod.mm_fft(jnp.asarray(x), -1))
+    finally:
+        fft_mod.set_factor(1024, None)
+    assert np.allclose(base, alt, atol=2e-2)
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    from aether_primitives_tpu.evm import evm_rms_db
+    assert evm_rms_db(alt, ref) < -110
