@@ -94,6 +94,14 @@ class RxChainConfig:
     # "shift_add" (exact time domain, the CPU default). None = auto by
     # platform. All three produce identical demod bits (tested).
     fir_mode: Optional[str] = None
+    # MXU precision of the fused frame op: "highest" (full-f32 emulation,
+    # -137 dB vs f64) or "high" (bf16x3, half the MXU passes). None = auto:
+    # "high" on TPU, "highest" elsewhere. Measured on the v5e chip
+    # (benches/precision_experiment.py): HIGH runs the spectra stage 1.7x
+    # faster at -92.8 dB vs f64 — 12.8 dB better than the reference's
+    # -80 dB assert_evm contract — with 1.000000 demod bit agreement;
+    # DEFAULT (-46.9 dB) fails the gate and is rejected.
+    precision: Optional[str] = None
 
 
 
@@ -194,12 +202,32 @@ class RxChain:
             return _fir.fir_decimate_fft(
                 x, self.taps, cfg.decimation, cfg.fft_len, Scale.SN,
                 history=history, fft_backend=cfg.fft_backend,
+                precision=self._einsum_precision(),
             )
         y = self._fir(x, history=history)
         span = cfg.fft_len * cfg.decimation
         nsym = y.shape[-1] // span
         frames = y.reshape(y.shape[:-1] + (nsym, span))
         return fft_of_decimated(frames, cfg.decimation, Scale.SN, cfg.fft_backend)
+
+    def _einsum_precision(self):
+        name = self.config.precision
+        if name is None:
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            name = "high" if platform == "tpu" else "highest"
+        try:
+            return {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+            }[name]
+        except KeyError:
+            raise ValueError(
+                f"precision {name!r} not allowed (expected 'highest' or "
+                "'high'; DEFAULT fails the -80 dB EVM contract on TPU)"
+            ) from None
 
     def _active(self, spec) -> jnp.ndarray:
         """Slice the occupied (center-band) subcarriers out of full frames."""

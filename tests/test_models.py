@@ -255,3 +255,28 @@ def test_tx_rx_loopback_qam16_with_equalizer():
     out = np.asarray(rx.demod_spectra(OfdmEqualizer.apply(spec[2:], h)))
     # skip the last (zero-padded tail) frame
     assert (out[: 2 * bpf] == data_bits[: 2 * bpf]).all()
+
+
+def test_rx_chain_precision_config():
+    import jax
+
+    # explicit settings map to lax.Precision; invalid ones are rejected
+    hi = RxChain(RxChainConfig(fft_len=256, decimation=4, precision="highest"))
+    assert hi._einsum_precision() == jax.lax.Precision.HIGHEST
+    h = RxChain(RxChainConfig(fft_len=256, decimation=4, precision="high"))
+    assert h._einsum_precision() == jax.lax.Precision.HIGH
+    bad = RxChain(RxChainConfig(fft_len=256, decimation=4, precision="default"))
+    with pytest.raises(ValueError, match="not allowed"):
+        bad._einsum_precision()
+    # both allowed settings produce reference-exact bits (CPU computes f32
+    # regardless; the chip-measured accuracy trade-off lives in DEVNOTES)
+    rng = np.random.default_rng(60)
+    n = 4 * 256 * 4
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    for chain in (hi, h):
+        cfused = RxChain(RxChainConfig(fft_len=256, decimation=4,
+                                       fir_mode="fused",
+                                       precision=chain.config.precision))
+        ref = RxChain(RxChainConfig(fft_len=256, decimation=4,
+                                    fir_mode="shift_add"))
+        assert (np.asarray(cfused.step(x)) == np.asarray(ref.step(x))).all()
