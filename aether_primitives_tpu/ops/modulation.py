@@ -30,10 +30,38 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..types import cf32
+
+
+def _interleave_bits(planes) -> jnp.ndarray:
+    """Interleave per-bit planes ``[b0, b1, ...]`` (each ``[..., n]`` {0,1})
+    into ``[..., n * bps]`` LSB-first WITHOUT materializing a small-minor-dim
+    tensor.
+
+    ``jnp.stack(planes, -1)`` creates a ``[..., n, bps]`` uint8 intermediate
+    whose tiny minor axis lane-pads catastrophically on TPU (measured: the
+    QPSK demod dominated the whole RX chain). Instead the ``bps`` bytes of
+    each symbol are packed arithmetically into one wide integer
+    (little-endian: plane j -> byte j) and ``bitcast_convert_type`` down to
+    uint8 — a free reinterpretation, because byte ``j`` of a little-endian
+    uint{16,32} IS position ``j`` of the interleaved layout.
+    """
+    bps = len(planes)
+    if bps == 1:
+        return planes[0].astype(jnp.uint8)
+    wide = {2: jnp.uint16, 4: jnp.uint32}.get(bps)
+    if wide is None:  # bps 3, 5..: fall back to stack (rare tables)
+        out = jnp.stack([p.astype(jnp.uint8) for p in planes], axis=-1)
+        return out.reshape(out.shape[:-2] + (out.shape[-2] * bps,))
+    v = planes[0].astype(wide)
+    for j in range(1, bps):
+        v = v | (planes[j].astype(wide) << (8 * j))
+    bits = jax.lax.bitcast_convert_type(v, jnp.uint8)  # [..., n, bps]
+    return bits.reshape(bits.shape[:-2] + (bits.shape[-2] * bps,))
 
 # Constellations (reference src/modulation.rs:71-92).
 #
@@ -126,10 +154,9 @@ class Modulation:
             - 0.5 * jnp.abs(table) ** 2
         )
         idx = jnp.argmax(score, axis=-1).astype(jnp.int32)
-        shifts = jnp.asarray(np.arange(self.bits_per_symbol), dtype=jnp.int32)
-        bits = (idx[..., None] >> shifts) & 1
-        out_len = s.shape[-1] * self.bits_per_symbol
-        return bits.reshape(s.shape[:-1] + (out_len,)).astype(jnp.uint8)
+        return _interleave_bits(
+            [(idx >> j) & 1 for j in range(self.bits_per_symbol)]
+        )
 
     def _demod_sign(self, s: jnp.ndarray) -> jnp.ndarray:
         """Closed-form nearest-neighbor demod for the generic Gray tables.
@@ -150,10 +177,7 @@ class Modulation:
         if self.name == "bpsk":
             bits = (re + im < 0).astype(jnp.uint8)
             return bits.reshape(s.shape[:-1] + (s.shape[-1],))
-        b0 = (re < 0).astype(jnp.uint8)
-        b1 = (im < 0).astype(jnp.uint8)
-        out = jnp.stack([b0, b1], axis=-1)
-        return out.reshape(s.shape[:-1] + (2 * s.shape[-1],))
+        return _interleave_bits([re < 0, im < 0])
 
     # alias matching the reference method name
     demod_naive = demod

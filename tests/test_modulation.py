@@ -163,3 +163,20 @@ def test_qam16_soft_demod():
     bits = rng.integers(0, 2, 400).astype(np.uint8)
     llr = m.demod_soft(m.modulate(bits), noise_var=0.1)
     assert (np.asarray(m.hard_from_soft(llr)) == bits).all()
+
+
+def test_interleave_bits_matches_stack():
+    # the bitcast interleave must equal the naive stack layout for every
+    # supported width (LSB-first byte order), including the odd-width
+    # fallback
+    import jax.numpy as jnp
+
+    from aether_primitives_tpu.ops.modulation import _interleave_bits
+
+    rng = np.random.default_rng(70)
+    for bps in (1, 2, 3, 4):
+        planes = [rng.integers(0, 2, (3, 17)).astype(np.uint8) for _ in range(bps)]
+        got = np.asarray(_interleave_bits([jnp.asarray(p) for p in planes]))
+        expect = np.stack(planes, axis=-1).reshape(3, 17 * bps)
+        assert got.dtype == np.uint8
+        assert np.array_equal(got, expect), bps
