@@ -24,7 +24,12 @@ import numpy as np
 from ..ops import fir as _fir
 from ..ops import modulation as _mod
 from ..ops import noise as _noise
-from ..ops.fft import Scale, fft_of_decimated, plan as fft_plan
+from ..ops.fft import (
+    Scale,
+    default_backend as _fft_default_backend,
+    fft_of_decimated,
+    plan as fft_plan,
+)
 from ..parallel import halo as _halo
 from ..parallel.mesh import TIME_AXIS
 from ..types import cf32
@@ -256,15 +261,67 @@ class RxChain:
         bits = self.modulation.demod(jnp.asarray(active_spec, dtype=cf32))
         return bits.reshape(bits.shape[:-2] + (-1,))
 
+    def _sign_fast_path_ok(self) -> bool:
+        """True when the staged-layout sign-demod fast path applies: fused
+        mode on the two-einsum matmul path, all bins active, and a
+        modulation whose hard decisions are sign tests."""
+        cfg = self.config
+        if self.fir_mode != "fused" or cfg.active_bins:
+            return False
+        if self.config.modulation not in ("bpsk", "qpsk"):
+            return False
+        backend = cfg.fft_backend or _fft_default_backend()
+        return (
+            backend == "matmul"
+            and _fir._fused_stage_n1(cfg.decimation, cfg.fft_len) is not None
+        )
+
+    def _bits_fast(self, x, history=None) -> jnp.ndarray:
+        """block -> bits via the staged-layout sign demod.
+
+        Demods straight off the fused op's pre-transpose ``(k1, d)`` einsum
+        layout: sign tests ignore the positive ``Scale`` factor (skipped),
+        the wrap correction is applied in-layout, the two bits pack into a
+        uint16 word per symbol, and the natural-order transpose happens on
+        those 2-byte words instead of the 8-byte complex spectra (4x less
+        transpose traffic). Bit-exact vs ``demod_spectra(spectra(x))``:
+        identical float values feed the same strict comparisons, and a
+        positive scale never flips an IEEE sign.
+        """
+        cfg = self.config
+        zk = _fir.fir_decimate_fft(
+            x, self.taps, cfg.decimation, cfg.fft_len, Scale.NONE,
+            history=history, fft_backend=cfg.fft_backend,
+            precision=self._einsum_precision(), _staged_layout=True,
+        )  # [..., nsym, n1, r]
+        re, im = jnp.real(zk), jnp.imag(zk)
+        if cfg.modulation == "bpsk":
+            b = (re + im < 0).astype(jnp.uint8)
+            b = jnp.swapaxes(b, -1, -2)  # natural symbol order (d, k1)
+            return b.reshape(b.shape[:-3] + (-1,))
+        v = (re < 0).astype(jnp.uint16) | ((im < 0).astype(jnp.uint16) << 8)
+        v = jnp.swapaxes(v, -1, -2)  # [..., nsym, r, n1]
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint8)  # [..., r, n1, 2]
+        return bits.reshape(bits.shape[:-4] + (-1,))
+
     def step(self, block) -> jnp.ndarray:
         """The jittable single-device forward step (block -> bits)."""
-        return self.demod_spectra(self.spectra(block))
+        x = jnp.asarray(block, dtype=cf32)
+        if self._sign_fast_path_ok():
+            return self._bits_fast(x)
+        return self.demod_spectra(self.spectra(x))
+
+    def _shard_bits(self, x, axis_name):
+        """Per-shard block -> bits (halo + fast path when applicable)."""
+        k = self.taps.shape[-1]
+        h = _halo.left_tail(x, k - 1, axis_name) if k > 1 else None
+        if self._sign_fast_path_ok():
+            return self._bits_fast(x, history=h)
+        return self._demod_frames(self._frames_spectra(x, history=h))
 
     def _sharded_step(self, block, mesh, axis_name):
         def shard_fn(x):
-            k = self.taps.shape[-1]
-            h = _halo.left_tail(x, k - 1, axis_name) if k > 1 else None
-            return self._demod_frames(self._frames_spectra(x, history=h))
+            return self._shard_bits(x, axis_name)
 
         spec_in = P(*([None] * (jnp.ndim(block) - 1) + [axis_name]))
         fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
@@ -291,9 +348,7 @@ class RxChain:
         full production layout for a multi-stream capture.
         """
         def shard_fn(x):
-            k = self.taps.shape[-1]
-            h = _halo.left_tail(x, k - 1, time_axis) if k > 1 else None
-            return self._demod_frames(self._frames_spectra(x, history=h))
+            return self._shard_bits(x, time_axis)
 
         nd = jnp.ndim(block)
         spec_in = P(*([channel_axis] + [None] * (nd - 2) + [time_axis]))

@@ -309,6 +309,7 @@ def fir_decimate_fft(
     history=None,
     fft_backend: Optional[str] = None,
     precision=None,
+    _staged_layout: bool = False,
 ) -> jnp.ndarray:
     """Fused causal FIR -> decimate-by-``dec`` -> blocked ``fft_len``-point
     FFT, as ONE forward FFT per frame — the RX chain's hot path.
@@ -342,6 +343,13 @@ def fir_decimate_fft(
     optional ``[..., K-1]`` samples preceding ``x`` (zeros = causal start;
     the sharded chain passes the halo received from the left neighbor).
     Returns ``[..., n // span, fft_len]`` spectra, scaled by ``scale``.
+
+    ``_staged_layout=True`` (two-einsum path only; internal, used by the
+    RX chain's sign-demod fast path): returns ``[..., nsym, n1, r]`` in
+    the pre-transpose (k1, d) stage layout — natural bin ``k = k1 + n1*d``
+    — with the wrap correction applied in that layout, skipping the big
+    complex64 transpose so the caller can defer reordering to a smaller
+    tensor.
     """
     x = _as_c64(x)
     taps = np.asarray(taps, dtype=np.complex64).ravel()
@@ -373,9 +381,16 @@ def fir_decimate_fft(
         xv = frames.reshape(batch + (nsym, n1, n2))
         a = jnp.einsum("...nm,nk->...km", xv, jnp.asarray(f1), precision=prec)
         zk = jnp.einsum("...km,kmd->...kd", a, jnp.asarray(gp), precision=prec)
-        # output index j = k1 + n1*d -> natural order is (d, k1)
-        z = jnp.swapaxes(zk, -1, -2).reshape(batch + (nsym, fft_len))
+        if _staged_layout:
+            z = zk  # [..., nsym, k1, d]; natural bin k = k1 + n1*d
+        else:
+            # output index j = k1 + n1*d -> natural order is (d, k1)
+            z = jnp.swapaxes(zk, -1, -2).reshape(batch + (nsym, fft_len))
     else:
+        if _staged_layout:
+            raise ValueError(
+                "_staged_layout requires the two-einsum matmul path"
+            )
         plan = _fft.plan(span, fft_backend)
         spec = plan.fwd(frames, Scale.NONE) * jnp.asarray(hs)
         # spectral fold = decimation in time (dense reshape + sum, no strides)
@@ -393,10 +408,22 @@ def fir_decimate_fft(
             h0 = jnp.broadcast_to(h0, batch + (k - 1,))[..., None, :]
         prev = jnp.concatenate([h0, tails[..., :-1, :]], axis=-2)
         delta = tails - prev
-        ecorr = jnp.einsum(
-            "...nu,uk->...nk", delta, jnp.asarray(cm),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if _staged_layout:
+            # correction in the (k1, d) stage layout: natural bin index
+            # k = k1 + n1*d, so Cm's bin axis reshapes to [d, k1]
+            r = fft_len // n1
+            cm_kd = np.ascontiguousarray(
+                cm.reshape(k - 1, r, n1).transpose(0, 2, 1)
+            )
+            ecorr = jnp.einsum(
+                "...nu,ukd->...nkd", delta, jnp.asarray(cm_kd),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            ecorr = jnp.einsum(
+                "...nu,uk->...nk", delta, jnp.asarray(cm),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         z = z - ecorr
     return scale.apply(z)
 

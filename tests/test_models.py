@@ -280,3 +280,41 @@ def test_rx_chain_precision_config():
         ref = RxChain(RxChainConfig(fft_len=256, decimation=4,
                                     fir_mode="shift_add"))
         assert (np.asarray(cfused.step(x)) == np.asarray(ref.step(x))).all()
+
+
+@pytest.mark.parametrize("modname", ["qpsk", "bpsk"])
+def test_rx_chain_sign_fast_path_bit_exact(modname):
+    # force the matmul backend on CPU so the staged-layout sign-demod fast
+    # path activates; its bits must exactly equal the spectra->demod path
+    # and the exact time-domain chain
+    rng = np.random.default_rng(80)
+    n = 4 * 256 * 6
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    fast = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="fused",
+                                 fft_backend="matmul", modulation=modname))
+    assert fast._sign_fast_path_ok()
+    ref = RxChain(RxChainConfig(fft_len=256, decimation=4,
+                                fir_mode="shift_add", modulation=modname))
+    a = np.asarray(fast.step(x))
+    b = np.asarray(ref.step(x))
+    assert a.shape == b.shape
+    assert (a == b).all()
+    # and via the explicit spectra path on the same chain config
+    c = np.asarray(fast.demod_spectra(fast.spectra(x)))
+    assert (a == c).all()
+
+
+def test_rx_chain_sign_fast_path_sharded(eight_devices):
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"time": 8})
+    cfg = RxChainConfig(fft_len=256, decimation=4, fir_mode="fused",
+                        fft_backend="matmul")
+    chain = RxChain(cfg)
+    assert chain._sign_fast_path_ok()
+    rng = np.random.default_rng(81)
+    n = 8 * 4 * 256 * 2
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    single = np.asarray(chain.step(x))
+    sharded = np.asarray(chain.sharded_step(x, mesh))
+    assert (single == sharded).mean() == 1.0
