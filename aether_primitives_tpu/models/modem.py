@@ -293,14 +293,14 @@ class RxChain:
             x, self.taps, cfg.decimation, cfg.fft_len, Scale.NONE,
             history=history, fft_backend=cfg.fft_backend,
             precision=self._einsum_precision(), _staged_layout=True,
-        )  # [..., nsym, n1, r]
+        )  # [n1, ..., nsym, r] — k1 leading
         re, im = jnp.real(zk), jnp.imag(zk)
         if cfg.modulation == "bpsk":
             b = (re + im < 0).astype(jnp.uint8)
-            b = jnp.swapaxes(b, -1, -2)  # natural symbol order (d, k1)
+            b = jnp.moveaxis(b, 0, -1)  # natural symbol order (d, k1)
             return b.reshape(b.shape[:-3] + (-1,))
         v = (re < 0).astype(jnp.uint16) | ((im < 0).astype(jnp.uint16) << 8)
-        v = jnp.swapaxes(v, -1, -2)  # [..., nsym, r, n1]
+        v = jnp.moveaxis(v, 0, -1)  # [..., nsym, r, n1]
         bits = jax.lax.bitcast_convert_type(v, jnp.uint8)  # [..., r, n1, 2]
         return bits.reshape(bits.shape[:-4] + (-1,))
 

@@ -345,11 +345,13 @@ def fir_decimate_fft(
     Returns ``[..., n // span, fft_len]`` spectra, scaled by ``scale``.
 
     ``_staged_layout=True`` (two-einsum path only; internal, used by the
-    RX chain's sign-demod fast path): returns ``[..., nsym, n1, r]`` in
-    the pre-transpose (k1, d) stage layout — natural bin ``k = k1 + n1*d``
-    — with the wrap correction applied in that layout, skipping the big
-    complex64 transpose so the caller can defer reordering to a smaller
-    tensor.
+    RX chain's sign-demod fast path): returns ``[n1, ..., nsym, r]`` with
+    the ``k1`` stage axis LEADING — natural bin ``k = k1 + n1*d`` — and
+    the wrap correction applied in that layout. Leading ``k1`` makes it
+    the native batch dimension of the second (batched-GEMM) einsum, so
+    XLA inserts no hidden transposes (measured ~17% whole-chain win), and
+    the caller defers natural-order reordering to its (much smaller)
+    post-demod tensor.
     """
     x = _as_c64(x)
     taps = np.asarray(taps, dtype=np.complex64).ravel()
@@ -379,11 +381,22 @@ def fir_decimate_fft(
         n2 = span // n1
         f1, gp = _fused_stage_matrices(taps.tobytes(), k, dec, fft_len, n1)
         xv = frames.reshape(batch + (nsym, n1, n2))
-        a = jnp.einsum("...nm,nk->...km", xv, jnp.asarray(f1), precision=prec)
-        zk = jnp.einsum("...km,kmd->...kd", a, jnp.asarray(gp), precision=prec)
         if _staged_layout:
-            z = zk  # [..., nsym, k1, d]; natural bin k = k1 + n1*d
+            # k1 leads: it is then the native batch dim of the second
+            # batched GEMM — no hidden XLA transposes between the einsums
+            a = jnp.einsum(
+                "...nm,nk->k...m", xv, jnp.asarray(f1), precision=prec
+            )
+            z = jnp.einsum(
+                "k...m,kmd->k...d", a, jnp.asarray(gp), precision=prec
+            )  # [k1, ..., nsym, d]
         else:
+            a = jnp.einsum(
+                "...nm,nk->...km", xv, jnp.asarray(f1), precision=prec
+            )
+            zk = jnp.einsum(
+                "...km,kmd->...kd", a, jnp.asarray(gp), precision=prec
+            )
             # output index j = k1 + n1*d -> natural order is (d, k1)
             z = jnp.swapaxes(zk, -1, -2).reshape(batch + (nsym, fft_len))
     else:
@@ -409,14 +422,14 @@ def fir_decimate_fft(
         prev = jnp.concatenate([h0, tails[..., :-1, :]], axis=-2)
         delta = tails - prev
         if _staged_layout:
-            # correction in the (k1, d) stage layout: natural bin index
+            # correction in the k1-leading stage layout: natural bin index
             # k = k1 + n1*d, so Cm's bin axis reshapes to [d, k1]
             r = fft_len // n1
             cm_kd = np.ascontiguousarray(
                 cm.reshape(k - 1, r, n1).transpose(0, 2, 1)
             )
             ecorr = jnp.einsum(
-                "...nu,ukd->...nkd", delta, jnp.asarray(cm_kd),
+                "...nu,ukd->k...nd", delta, jnp.asarray(cm_kd),
                 precision=jax.lax.Precision.HIGHEST,
             )
         else:
