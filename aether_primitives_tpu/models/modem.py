@@ -355,14 +355,40 @@ class RxChain:
         fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
         return fn(block)
 
+    def _bits_from_planes(self, zr, zi) -> jnp.ndarray:
+        """Sign demod + natural-order bit pack of k1-leading (zr, zi) planes."""
+        cfg = self.config
+        if cfg.modulation == "bpsk":
+            b = (zr + zi < 0).astype(jnp.uint8)
+            b = jnp.moveaxis(b, 0, -1)
+            return b.reshape(b.shape[:-3] + (-1,))
+        v = (zr < 0).astype(jnp.uint16) | ((zi < 0).astype(jnp.uint16) << 8)
+        v = jnp.moveaxis(v, 0, -1)
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint8)
+        return bits.reshape(bits.shape[:-4] + (-1,))
+
     def step_split(self, block_split):
         """:meth:`step` with an f32 :class:`~aether_primitives_tpu.boundary.Split`
         input — the boundary-safe signature for backends that cannot transfer
-        complex arrays (bits out are uint8, already real)."""
+        complex arrays (bits out are uint8, already real).
+
+        On the sign-demod fast path the planes never merge into complex64
+        at all: the staged einsums run as explicit real contractions
+        (:func:`~aether_primitives_tpu.ops.fir.fir_decimate_fft_planes`)
+        and the sign tests read the result planes directly.
+        """
         from ..boundary import Split
 
         if not isinstance(block_split, Split):
             raise TypeError("step_split expects a boundary.Split block")
+        if self._sign_fast_path_ok():
+            cfg = self.config
+            zr, zi = _fir.fir_decimate_fft_planes(
+                block_split.re, block_split.im, self.taps,
+                cfg.decimation, cfg.fft_len, fft_backend=cfg.fft_backend,
+                precision=self._einsum_precision(),
+            )
+            return self._bits_from_planes(zr, zi)
         return self.step(block_split.to_complex())
 
     def jitted(self, donate: bool = True, split_boundary: bool = False):

@@ -441,6 +441,99 @@ def fir_decimate_fft(
     return scale.apply(z)
 
 
+def fir_decimate_fft_planes(
+    xr,
+    xi,
+    taps: np.ndarray,
+    dec: int,
+    fft_len: int,
+    history=None,
+    fft_backend: Optional[str] = None,
+    precision=None,
+):
+    """Split-plane variant of the k1-leading staged path
+    (:func:`fir_decimate_fft` with ``_staged_layout=True``): takes f32
+    re/im planes, runs the two stage contractions as explicit REAL einsums
+    (4 per stage), and returns ``(zr, zi)`` planes in the ``[n1, ...,
+    nsym, r]`` layout, unscaled, wrap-corrected.
+
+    The point: on boundary-safe TPU runtimes the data already arrives as
+    split planes, and sign-test demod consumes planes — so the complex64
+    merge before and the re/im extraction after the einsums are pure
+    wasted bandwidth. XLA decomposes a complex GEMM into the same four
+    real GEMMs internally; doing it explicitly deletes the packing passes
+    on both sides of the hot loop.
+    """
+    xr = jnp.asarray(xr, jnp.float32)
+    xi = jnp.asarray(xi, jnp.float32)
+    taps = np.asarray(taps, dtype=np.complex64).ravel()
+    k = taps.shape[-1]
+    span = dec * fft_len
+    n = xr.shape[-1]
+    if n % span:
+        raise ValueError(f"length {n} not divisible by dec*fft_len = {span}")
+    if k - 1 > span:
+        raise ValueError(f"taps ({k}) longer than a frame ({span}) + 1")
+    backend = fft_backend or _fft.default_backend()
+    n1 = _fused_stage_n1(dec, fft_len) if backend == "matmul" else None
+    if n1 is None:
+        raise ValueError("plane path requires the two-einsum matmul backend")
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
+    batch = xr.shape[:-1]
+    nsym = n // span
+    n2 = span // n1
+    r = fft_len // n1
+    f1, gp = _fused_stage_matrices(taps.tobytes(), k, dec, fft_len, n1)
+    f1r, f1i = np.ascontiguousarray(f1.real), np.ascontiguousarray(f1.imag)
+    gpr, gpi = np.ascontiguousarray(gp.real), np.ascontiguousarray(gp.imag)
+
+    fr = xr.reshape(batch + (nsym, span))
+    fi = xi.reshape(batch + (nsym, span))
+    xvr = fr.reshape(batch + (nsym, n1, n2))
+    xvi = fi.reshape(batch + (nsym, n1, n2))
+
+    def e1(x, m):
+        return jnp.einsum("...nm,nk->k...m", x, jnp.asarray(m), precision=prec)
+
+    def e2(x, m):
+        return jnp.einsum("k...m,kmd->k...d", x, jnp.asarray(m), precision=prec)
+
+    ar = e1(xvr, f1r) - e1(xvi, f1i)
+    ai = e1(xvr, f1i) + e1(xvi, f1r)
+    zr = e2(ar, gpr) - e2(ai, gpi)
+    zi = e2(ar, gpi) + e2(ai, gpr)
+
+    if k > 1:
+        _, cm = _fused_rx_matrices(taps.tobytes(), k, dec, fft_len)
+        cm_kd = np.ascontiguousarray(cm.reshape(k - 1, r, n1).transpose(0, 2, 1))
+        cmr, cmi = np.ascontiguousarray(cm_kd.real), np.ascontiguousarray(cm_kd.imag)
+        tr = fr[..., :, span - (k - 1):]
+        ti = fi[..., :, span - (k - 1):]
+        if history is None:
+            h0r = jnp.zeros(batch + (1, k - 1), jnp.float32)
+            h0i = h0r
+        else:
+            hr, hi = history
+            hr = jnp.asarray(hr, jnp.float32)
+            hi = jnp.asarray(hi, jnp.float32)
+            if hr.shape[-1] != k - 1:
+                raise ValueError(f"history must have K-1 = {k - 1} samples")
+            h0r = jnp.broadcast_to(hr, batch + (k - 1,))[..., None, :]
+            h0i = jnp.broadcast_to(hi, batch + (k - 1,))[..., None, :]
+        dr = tr - jnp.concatenate([h0r, tr[..., :-1, :]], axis=-2)
+        di = ti - jnp.concatenate([h0i, ti[..., :-1, :]], axis=-2)
+
+        def ec(x, m):
+            return jnp.einsum(
+                "...nu,ukd->k...nd", x, jnp.asarray(m),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        zr = zr - (ec(dr, cmr) - ec(di, cmi))
+        zi = zi - (ec(dr, cmi) + ec(di, cmr))
+    return zr, zi
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_tx_matrices(
     taps_bytes: bytes, k: int, dec: int, fft_len: int, scale_f: float

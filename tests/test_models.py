@@ -318,3 +318,23 @@ def test_rx_chain_sign_fast_path_sharded(eight_devices):
     single = np.asarray(chain.step(x))
     sharded = np.asarray(chain.sharded_step(x, mesh))
     assert (single == sharded).mean() == 1.0
+
+
+def test_step_split_plane_path_matches_reference():
+    # the all-real plane path (no complex merge anywhere) must produce the
+    # same bits as the complex step and the exact time-domain chain
+    from aether_primitives_tpu import split as _split
+    from aether_primitives_tpu.cli import numpy_reference_bits
+
+    rng = np.random.default_rng(90)
+    n = 4 * 256 * 6
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    fast = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="fused",
+                                 fft_backend="matmul"))
+    assert fast._sign_fast_path_ok()
+    via_planes = np.asarray(fast.jitted(donate=False, split_boundary=True)(_split(x)))
+    via_complex = np.asarray(fast.step(x))
+    ref = numpy_reference_bits(x, fast.taps, 4, 256)
+    assert (via_planes == ref).mean() == 1.0
+    assert (via_complex == ref).mean() == 1.0
+    assert via_planes.shape == via_complex.shape
