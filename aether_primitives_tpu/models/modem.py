@@ -372,23 +372,18 @@ class RxChain:
         input — the boundary-safe signature for backends that cannot transfer
         complex arrays (bits out are uint8, already real).
 
-        On the sign-demod fast path the planes never merge into complex64
-        at all: the staged einsums run as explicit real contractions
-        (:func:`~aether_primitives_tpu.ops.fir.fir_decimate_fft_planes`)
-        and the sign tests read the result planes directly.
+        Merges the planes and takes the complex fast path: the explicit
+        all-real alternative (:func:`~aether_primitives_tpu.ops.fir.
+        fir_decimate_fft_planes` + :meth:`_bits_from_planes`) measured
+        ~8% SLOWER on chip (1.20 vs 1.11 ms/block) — XLA's complex GEMM
+        shares operand loads across the four real products that separate
+        real einsums each re-read (DEVNOTES.md), so the merge pass pays
+        for itself.
         """
         from ..boundary import Split
 
         if not isinstance(block_split, Split):
             raise TypeError("step_split expects a boundary.Split block")
-        if self._sign_fast_path_ok():
-            cfg = self.config
-            zr, zi = _fir.fir_decimate_fft_planes(
-                block_split.re, block_split.im, self.taps,
-                cfg.decimation, cfg.fft_len, fft_backend=cfg.fft_backend,
-                precision=self._einsum_precision(),
-            )
-            return self._bits_from_planes(zr, zi)
         return self.step(block_split.to_complex())
 
     def jitted(self, donate: bool = True, split_boundary: bool = False):

@@ -457,12 +457,15 @@ def fir_decimate_fft_planes(
     (4 per stage), and returns ``(zr, zi)`` planes in the ``[n1, ...,
     nsym, r]`` layout, unscaled, wrap-corrected.
 
-    The point: on boundary-safe TPU runtimes the data already arrives as
-    split planes, and sign-test demod consumes planes — so the complex64
-    merge before and the re/im extraction after the einsums are pure
-    wasted bandwidth. XLA decomposes a complex GEMM into the same four
-    real GEMMs internally; doing it explicitly deletes the packing passes
-    on both sides of the hot loop.
+    Rationale vs measurement: the idea was to delete the complex64
+    merge/extract passes around the hot loop on boundary-safe runtimes.
+    On the v5e chip it measured ~8% SLOWER than merge + complex einsums
+    (1.20 vs 1.11 ms/block whole-chain): XLA's complex GEMM shares each
+    operand load across the four real products, while four separate real
+    einsums re-read their operands (2x operand traffic), outweighing the
+    saved packing passes. Kept as an API for plane-native pipelines and
+    as the measured record of the trade-off (DEVNOTES.md); the RX chain
+    uses the complex path.
     """
     xr = jnp.asarray(xr, jnp.float32)
     xi = jnp.asarray(xi, jnp.float32)

@@ -320,11 +320,12 @@ def test_rx_chain_sign_fast_path_sharded(eight_devices):
     assert (single == sharded).mean() == 1.0
 
 
-def test_step_split_plane_path_matches_reference():
-    # the all-real plane path (no complex merge anywhere) must produce the
-    # same bits as the complex step and the exact time-domain chain
+def test_step_split_and_plane_op_match_reference():
+    # step_split (merge + complex fast path) and the standalone all-real
+    # plane op must both produce reference-exact bits
     from aether_primitives_tpu import split as _split
     from aether_primitives_tpu.cli import numpy_reference_bits
+    from aether_primitives_tpu.ops import fir as fir_ops
 
     rng = np.random.default_rng(90)
     n = 4 * 256 * 6
@@ -332,9 +333,24 @@ def test_step_split_plane_path_matches_reference():
     fast = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode="fused",
                                  fft_backend="matmul"))
     assert fast._sign_fast_path_ok()
-    via_planes = np.asarray(fast.jitted(donate=False, split_boundary=True)(_split(x)))
-    via_complex = np.asarray(fast.step(x))
+    via_split = np.asarray(fast.jitted(donate=False, split_boundary=True)(_split(x)))
     ref = numpy_reference_bits(x, fast.taps, 4, 256)
+    assert (via_split == ref).mean() == 1.0
+    zr, zi = fir_ops.fir_decimate_fft_planes(
+        x.real.copy(), x.imag.copy(), fast.taps, 4, 256, fft_backend="matmul"
+    )
+    via_planes = np.asarray(fast._bits_from_planes(zr, zi))
     assert (via_planes == ref).mean() == 1.0
-    assert (via_complex == ref).mean() == 1.0
-    assert via_planes.shape == via_complex.shape
+    # plane op with history stitches streams exactly like the complex op
+    k = fast.taps.shape[-1]
+    h = n // 2
+    zr1, zi1 = fir_ops.fir_decimate_fft_planes(
+        x.real[:h].copy(), x.imag[:h].copy(), fast.taps, 4, 256,
+        fft_backend="matmul")
+    zr2, zi2 = fir_ops.fir_decimate_fft_planes(
+        x.real[h:].copy(), x.imag[h:].copy(), fast.taps, 4, 256,
+        fft_backend="matmul",
+        history=(x.real[h - (k - 1):h].copy(), x.imag[h - (k - 1):h].copy()))
+    b1 = np.asarray(fast._bits_from_planes(zr1, zi1))
+    b2 = np.asarray(fast._bits_from_planes(zr2, zi2))
+    assert (np.concatenate([b1, b2]) == ref).mean() == 1.0
