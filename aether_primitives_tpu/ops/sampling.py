@@ -23,27 +23,84 @@ import numpy as np
 from ..types import cf32
 
 
-def interpolate(src, n_between: int) -> jnp.ndarray:
-    """Linearly interpolate ``n_between`` samples between consecutive pairs.
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(chunk: int, b1: int) -> np.ndarray:
+    """[chunk+1, chunk*b1] linear-interp operator: output ``j = i*b1 + t``
+    draws ``(1 - t/b1)`` from input ``i`` and ``t/b1`` from ``i+1``."""
+    m = np.zeros((chunk + 1, chunk * b1), np.float32)
+    for i in range(chunk):
+        for t in range(b1):
+            w = t / b1
+            m[i, i * b1 + t] = 1.0 - w
+            m[i + 1, i * b1 + t] = w
+    return m
 
-    Output length is ``n + (n - 1) * n_between`` (verified by the reference's
-    tests, src/sampling.rs:98): each of the ``n-1`` source intervals expands
-    to ``n_between + 1`` points, plus the final source sample.
 
-    Batched over leading axes; one broadcasted multiply-add on the VPU.
+def _dense_interpolate(src: jnp.ndarray, n_between: int) -> jnp.ndarray:
+    """Interpolation as a chunked dense **matmul** — the TPU formulation.
+
+    The broadcasted form materializes a ``[..., n-1, n_between+1]`` tensor
+    whose tiny minor axis lane-pads badly on TPU (measured ~6x down on the
+    HBM-bound rate). Instead: split the ``n-1`` intervals into chunks of
+    ``c``, extend each chunk with its right-neighbor sample, and apply a
+    precomputed ``[c+1, c*(n_between+1)]`` interpolation operator on the
+    MXU — all dense, ~``c`` MACs per output sample.
     """
-    src = jnp.asarray(src, dtype=cf32)
     n = src.shape[-1]
-    if n < 2:
-        return src
+    b1 = n_between + 1
+    nseg = n - 1
+    divisors = [c for c in range(1, min(nseg, 256) + 1) if nseg % c == 0]
+    aligned = [c for c in divisors if c % 8 == 0]
+    chunk = max(aligned) if aligned else max(divisors)
+    if chunk < 8:
+        return _broadcast_interpolate(src, n_between)
+    g = nseg // chunk
+    batch = src.shape[:-1]
+    a = src[..., :-1].reshape(batch + (g, chunk))
+    # right-neighbor sample of each chunk: the next chunk's first element,
+    # then the final source sample (g values total — negligible traffic)
+    nxt = jnp.concatenate([a[..., 1:, :1], src[..., None, -1:]], axis=-2)
+    ext = jnp.concatenate([a, nxt], axis=-1)  # [..., g, chunk+1]
+    m = jnp.asarray(_interp_matrix(chunk, b1))
+    y = jnp.matmul(ext, m.astype(src.dtype)
+                   if jnp.issubdtype(src.dtype, jnp.complexfloating) else m)
+    flat = y.reshape(batch + (nseg * b1,))
+    return jnp.concatenate([flat, src[..., -1:]], axis=-1)
+
+
+def _broadcast_interpolate(src: jnp.ndarray, n_between: int) -> jnp.ndarray:
     x1 = src[..., :-1]  # [..., n-1]
     x2 = src[..., 1:]
     step = jnp.float32(1.0 / (n_between + 1))
     rate = (x2 - x1) * step
     i = jnp.arange(n_between + 1, dtype=jnp.float32)  # [n_between+1]
     seg = x1[..., :, None] + i * rate[..., :, None]  # [..., n-1, n_between+1]
+    n = src.shape[-1]
     flat = seg.reshape(src.shape[:-1] + ((n - 1) * (n_between + 1),))
     return jnp.concatenate([flat, src[..., -1:]], axis=-1)
+
+
+def interpolate(src, n_between: int, dense: Optional[bool] = None) -> jnp.ndarray:
+    """Linearly interpolate ``n_between`` samples between consecutive pairs.
+
+    Output length is ``n + (n - 1) * n_between`` (verified by the reference's
+    tests, src/sampling.rs:98): each of the ``n-1`` source intervals expands
+    to ``n_between + 1`` points, plus the final source sample.
+
+    Batched over leading axes. Realization is platform-dependent (override
+    with ``dense``): a chunked interpolation-operator matmul on TPU
+    (:func:`_dense_interpolate` — the broadcasted form's small minor axis
+    lane-pads there), one broadcasted multiply-add on the VPU elsewhere.
+    """
+    src = jnp.asarray(src, dtype=cf32)
+    n = src.shape[-1]
+    if n < 2:
+        return src
+    if dense is None:
+        dense = _on_tpu()
+    if dense:
+        return _dense_interpolate(src, n_between)
+    return _broadcast_interpolate(src, n_between)
 
 
 def _on_tpu() -> bool:

@@ -132,3 +132,20 @@ def test_dense_decimate_matches_strided():
     assert np.array_equal(
         np.asarray(sampling.downsample_by(xr, 4, dense=True)), xr[::4]
     )
+
+
+def test_dense_interpolate_matches_broadcast():
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(31)
+    for n, between in [(1024, 4), (2048, 4), (400, 3), (129, 2), (9, 5)]:
+        x = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))).astype(
+            np.complex64
+        )
+        a = np.asarray(sampling.interpolate(x, between, dense=True))
+        b = np.asarray(sampling.interpolate(x, between, dense=False))
+        assert a.shape == b.shape == (2, n + (n - 1) * between)
+        assert np.allclose(a, b, atol=2e-6), (n, between)
+        # exact at the source points and the final sample
+        assert np.array_equal(a[..., :: between + 1][..., : n - 1], x[..., :-1])
+        assert np.array_equal(a[..., -1], x[..., -1])
