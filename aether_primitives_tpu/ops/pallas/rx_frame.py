@@ -1,0 +1,210 @@
+"""Pallas TPU mega-kernel for the fused RX frame op (QPSK sign demod).
+
+One kernel = the whole per-frame chain that the jnp path runs as separate
+XLA ops (`ops/fir.py:fir_decimate_fft` staged layout + sign demod): split
+f32 planes are read from HBM exactly once, stage 1 (DFT_{n1}) runs as four
+real MXU dots per frame, stage 2 (the combined twiddle*H*DFT_{n2}*fold
+tensor) as per-output-column VPU multiply-reduces, the circular-wrap
+correction is applied from precomputed per-frame tail deltas, and the sign
+bits leave as one packed int32 word per symbol (b0 | b1 << 8; caller
+narrows + bitcasts to the LSB-first uint8 stream). Minimum HBM traffic:
+read the block, write 4 bytes per symbol — no intermediate spectra ever
+touch HBM.
+
+Restrictions (fall back to the jnp path otherwise): two-einsum geometry
+must exist (``n1 | fft_len``, ``n2 = span/n1``); tile size adapts to
+divide the frame count.
+
+Constants per kernel instance: F1 [n1, n1], G' [n1, n2, r], Cm [K-1, n1, r]
+split into f32 planes — ~2.3 MB VMEM for the flagship (128, 64, 16) shape,
+well under the ~12 MB axon budget (DEVNOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import fir as _fir
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _kernel(
+    xr_ref, xi_ref, dr_ref, di_ref,
+    f1r_ref, f1i_ref, gr_ref, gi_ref, cr_ref, ci_ref,
+    out_ref,
+    *, frames_per_tile: int, r: int, precision,
+):
+    f1r = f1r_ref[...]
+    f1i = f1i_ref[...]
+
+    def dot(a, b):
+        # A[k, m] = sum_n a[n, k] b[n, m]
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+
+    for f in range(frames_per_tile):
+        xr = xr_ref[f]  # [n1, n2]
+        xi = xi_ref[f]
+        ar = dot(f1r, xr) - dot(f1i, xi)  # [n1(k), n2(m)]
+        ai = dot(f1r, xi) + dot(f1i, xr)
+        dr = dr_ref[f]  # [K-1] tail delta (current - previous frame)
+        di = di_ref[f]
+        word_cols = []
+        for d in range(r):
+            gr = gr_ref[d]  # [n1, n2]
+            gi = gi_ref[d]
+            zr = jnp.sum(ar * gr - ai * gi, axis=1)  # [n1]
+            zi = jnp.sum(ar * gi + ai * gr, axis=1)
+            cr = cr_ref[d]  # [K-1, n1]
+            ci = ci_ref[d]
+            er = jnp.sum(dr[:, None] * cr - di[:, None] * ci, axis=0)  # [n1]
+            ei = jnp.sum(dr[:, None] * ci + di[:, None] * cr, axis=0)
+            zr = zr - er
+            zi = zi - ei
+            b0 = (zr < 0).astype(jnp.int32)
+            b1 = (zi < 0).astype(jnp.int32)
+            word_cols.append(b0 | (b1 << 8))
+        v = jnp.stack(word_cols, axis=0)  # [r, n1] — natural symbol order
+        out_ref[f] = v
+
+
+@functools.lru_cache(maxsize=None)
+def _split_constants(taps_bytes: bytes, k: int, dec: int, fft_len: int, n1: int):
+    """f32 planes of the staged matrices, laid out kernel-friendly:
+    G' as [r, n1, n2] (per-d 2-D slabs), Cm as [r, K-1, n1]."""
+    f1, gp = _fir._fused_stage_matrices(taps_bytes, k, dec, fft_len, n1)
+    _, cm = _fir._fused_rx_matrices(taps_bytes, k, dec, fft_len)
+    r = fft_len // n1
+    # cm [K-1, fft_len] -> [K-1, r(d), n1] -> [r, K-1, n1]
+    cm_r = cm.reshape(k - 1, r, n1).transpose(1, 0, 2) if k > 1 else (
+        np.zeros((r, 1, n1), np.complex64)
+    )
+    gp_r = gp.transpose(2, 0, 1)  # [r, n1, n2]
+    c = np.ascontiguousarray
+    return (
+        c(f1.real), c(f1.imag),
+        c(gp_r.real), c(gp_r.imag),
+        c(cm_r.real), c(cm_r.imag),
+    )
+
+
+def rx_frame_qpsk_words(
+    xr,
+    xi,
+    taps: np.ndarray,
+    dec: int,
+    fft_len: int,
+    history=None,
+    frames_per_tile: int = 8,
+    precision=None,
+    interpret: bool = False,
+):
+    """Split planes ``[n]`` -> packed QPSK sign words ``[nsym, r, n1]`` int32
+    (``b0 | b1 << 8`` per symbol, natural bin order ``k = k1 + n1*d`` after
+    flattening the last two axes). See module docstring; use
+    :func:`rx_frame_qpsk_bits` for the uint8 bit stream.
+    """
+    xr = jnp.asarray(xr, jnp.float32)
+    xi = jnp.asarray(xi, jnp.float32)
+    taps = np.asarray(taps, dtype=np.complex64).ravel()
+    k = taps.shape[-1]
+    span = dec * fft_len
+    n = xr.shape[-1]
+    if xr.ndim != 1:
+        raise ValueError("rx_frame kernel takes a single [n] block")
+    if n % span:
+        raise ValueError(f"length {n} not divisible by span {span}")
+    n1 = _fir._fused_stage_n1(dec, fft_len)
+    if n1 is None:
+        raise ValueError("no two-einsum geometry for this (dec, fft_len)")
+    n2 = span // n1
+    r = fft_len // n1
+    if k - 1 > span:
+        raise ValueError(f"taps ({k}) longer than a frame ({span}) + 1")
+    nsym = n // span
+    if nsym % frames_per_tile:
+        for t in range(frames_per_tile, 0, -1):
+            if nsym % t == 0:
+                frames_per_tile = t
+                break
+    f1r, f1i, gr, gi, cr, ci = _split_constants(
+        taps.tobytes(), k, dec, fft_len, n1
+    )
+    ku = max(k - 1, 1)
+
+    fr = xr.reshape(nsym, n1, n2)
+    fi = xi.reshape(nsym, n1, n2)
+    # per-frame tail delta (current minus previous tail; zeros = causal),
+    # taken from the flat frame view so any K-1 <= span works
+    tails_r = xr.reshape(nsym, span)[:, span - ku:]
+    tails_i = xi.reshape(nsym, span)[:, span - ku:]
+    if history is None:
+        h0r = jnp.zeros((1, ku), jnp.float32)
+        h0i = h0r
+    else:
+        hr, hi = history
+        h0r = jnp.asarray(hr, jnp.float32).reshape(1, ku)
+        h0i = jnp.asarray(hi, jnp.float32).reshape(1, ku)
+    dr = tails_r - jnp.concatenate([h0r, tails_r[:-1]], axis=0)
+    di = tails_i - jnp.concatenate([h0i, tails_i[:-1]], axis=0)
+    if k <= 1:
+        dr = jnp.zeros((nsym, 1), jnp.float32)
+        di = dr
+
+    grid = (nsym // frames_per_tile,)
+    kern = functools.partial(
+        _kernel, frames_per_tile=frames_per_tile, r=r,
+        precision=_PREC if precision is None else precision,
+    )
+    tile = lambda i: (i, 0, 0)
+    tile2 = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((frames_per_tile, n1, n2), tile),
+            pl.BlockSpec((frames_per_tile, n1, n2), tile),
+            pl.BlockSpec((frames_per_tile, ku), tile2),
+            pl.BlockSpec((frames_per_tile, ku), tile2),
+            pl.BlockSpec((n1, n1), lambda i: (0, 0)),
+            pl.BlockSpec((n1, n1), lambda i: (0, 0)),
+            pl.BlockSpec((r, n1, n2), lambda i: (0, 0, 0)),
+            pl.BlockSpec((r, n1, n2), lambda i: (0, 0, 0)),
+            pl.BlockSpec((r, ku, n1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((r, ku, n1), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((frames_per_tile, r, n1), tile),
+        out_shape=jax.ShapeDtypeStruct((nsym, r, n1), jnp.int32),
+        interpret=interpret,
+    )(fr, fi, dr, di,
+      jnp.asarray(f1r), jnp.asarray(f1i),
+      jnp.asarray(gr), jnp.asarray(gi),
+      jnp.asarray(cr), jnp.asarray(ci))
+    return out
+
+
+def rx_frame_qpsk_bits(
+    xr, xi, taps, dec: int, fft_len: int,
+    history=None, frames_per_tile: int = 8,
+    precision=None, interpret: bool = False,
+) -> jnp.ndarray:
+    """Full block -> LSB-first {0,1} uint8 bit stream via the mega-kernel
+    (drop-in for the chain's fast path on a 1-D block)."""
+    words = rx_frame_qpsk_words(
+        xr, xi, taps, dec, fft_len, history=history,
+        frames_per_tile=frames_per_tile, precision=precision,
+        interpret=interpret,
+    )
+    v16 = words.astype(jnp.uint16)  # low byte b0, high byte b1
+    bits = jax.lax.bitcast_convert_type(v16, jnp.uint8)  # [nsym, r, n1, 2]
+    return bits.reshape(-1)

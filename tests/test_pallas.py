@@ -110,3 +110,41 @@ def test_halo_rdma_multi_axis_hardware_trace_builds_mesh_device_id():
     )
     shape = jax.eval_shape(sharded, jnp.zeros((2, 32), jnp.float32))
     assert shape.shape == (2, 16)  # 4 halo samples per time shard
+
+
+def test_rx_frame_megakernel_matches_reference_interpret():
+    # the whole-chain Pallas kernel (stage1 MXU dots + stage2 VPU reduce +
+    # wrap correction + sign demod + bit pack) vs the f64 reference, in
+    # interpret mode, incl. the streaming history path
+    import numpy as np
+
+    from aether_primitives_tpu.cli import numpy_reference_bits
+    from aether_primitives_tpu.models.modem import _default_lowpass
+    from aether_primitives_tpu.ops.pallas.rx_frame import rx_frame_qpsk_bits
+
+    rng = np.random.default_rng(100)
+    dec, n_fft = 4, 256
+    span = dec * n_fft
+    n = span * 8
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    taps = _default_lowpass(65, 1.0 / 8)
+    ref = numpy_reference_bits(x, taps, dec, n_fft)
+    bits = np.asarray(
+        rx_frame_qpsk_bits(x.real.copy(), x.imag.copy(), taps, dec, n_fft,
+                           interpret=True)
+    )
+    assert (bits == ref).mean() == 1.0
+    k = taps.shape[-1]
+    h = n // 2
+    b1 = np.asarray(
+        rx_frame_qpsk_bits(x.real[:h].copy(), x.imag[:h].copy(), taps, dec,
+                           n_fft, interpret=True)
+    )
+    b2 = np.asarray(
+        rx_frame_qpsk_bits(
+            x.real[h:].copy(), x.imag[h:].copy(), taps, dec, n_fft,
+            history=(x.real[h - (k - 1):h].copy(), x.imag[h - (k - 1):h].copy()),
+            interpret=True,
+        )
+    )
+    assert (np.concatenate([b1, b2]) == ref).mean() == 1.0
