@@ -11,13 +11,25 @@ narrows + bitcasts to the LSB-first uint8 stream). Minimum HBM traffic:
 read the block, write 4 bytes per symbol — no intermediate spectra ever
 touch HBM.
 
+MEASURED OUTCOME (v5e, 4M-sample flagship config): bit-exact vs the f64
+reference (agreement 1.0000000 at HIGHEST — better than the jnp HIGH
+path's 0.9999957) but ~2.8 ms vs the XLA path's ~1.1 ms: stage 2's
+per-k1 [1, n2] x [n2, r] contractions have no MXU-shaped mapping here and
+run as VPU multiply-reduces inside unrolled per-frame/per-column loops,
+which serializes. Beating XLA's batched-GEMM schedule would need a
+block-diagonal stage-2 reformulation (g-way k1 grouping, ~g x extra
+flops) plus wider tiles; not pursued — the kernel stays as a
+correctness-verified reference implementation and the chain uses the jnp
+path (DEVNOTES.md).
+
 Restrictions (fall back to the jnp path otherwise): two-einsum geometry
 must exist (``n1 | fft_len``, ``n2 = span/n1``); tile size adapts to
 divide the frame count.
 
 Constants per kernel instance: F1 [n1, n1], G' [n1, n2, r], Cm [K-1, n1, r]
-split into f32 planes — ~2.3 MB VMEM for the flagship (128, 64, 16) shape,
-well under the ~12 MB axon budget (DEVNOTES.md).
+split into f32 planes — ~2.3 MB VMEM for the flagship (128, 64, 16) shape.
+``frames_per_tile=4`` keeps the scoped VMEM stack under the v5e's 16 MB
+limit (8 frames/tile measured 16.03 MB — 32 KB over).
 """
 
 from __future__ import annotations
@@ -44,6 +56,7 @@ def _kernel(
 ):
     f1r = f1r_ref[...]
     f1i = f1i_ref[...]
+    base = pl.program_id(0) * frames_per_tile
 
     def dot(a, b):
         # A[k, m] = sum_n a[n, k] b[n, m]
@@ -57,8 +70,10 @@ def _kernel(
         xi = xi_ref[f]
         ar = dot(f1r, xr) - dot(f1i, xi)  # [n1(k), n2(m)]
         ai = dot(f1r, xi) + dot(f1i, xr)
-        dr = dr_ref[f]  # [K-1] tail delta (current - previous frame)
-        di = di_ref[f]
+        # tail deltas ride untiled (tiny): tile-relative rows would need an
+        # (8, 128)-divisible block shape, which frames_per_tile=4 is not
+        dr = dr_ref[base + f]  # [K-1] delta (current - previous frame)
+        di = di_ref[base + f]
         word_cols = []
         for d in range(r):
             gr = gr_ref[d]  # [n1, n2]
@@ -105,7 +120,7 @@ def rx_frame_qpsk_words(
     dec: int,
     fft_len: int,
     history=None,
-    frames_per_tile: int = 8,
+    frames_per_tile: int = 4,
     precision=None,
     interpret: bool = False,
 ):
@@ -167,15 +182,14 @@ def rx_frame_qpsk_words(
         precision=_PREC if precision is None else precision,
     )
     tile = lambda i: (i, 0, 0)
-    tile2 = lambda i: (i, 0)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((frames_per_tile, n1, n2), tile),
             pl.BlockSpec((frames_per_tile, n1, n2), tile),
-            pl.BlockSpec((frames_per_tile, ku), tile2),
-            pl.BlockSpec((frames_per_tile, ku), tile2),
+            pl.BlockSpec((nsym, ku), lambda i: (0, 0)),
+            pl.BlockSpec((nsym, ku), lambda i: (0, 0)),
             pl.BlockSpec((n1, n1), lambda i: (0, 0)),
             pl.BlockSpec((n1, n1), lambda i: (0, 0)),
             pl.BlockSpec((r, n1, n2), lambda i: (0, 0, 0)),
@@ -195,7 +209,7 @@ def rx_frame_qpsk_words(
 
 def rx_frame_qpsk_bits(
     xr, xi, taps, dec: int, fft_len: int,
-    history=None, frames_per_tile: int = 8,
+    history=None, frames_per_tile: int = 4,
     precision=None, interpret: bool = False,
 ) -> jnp.ndarray:
     """Full block -> LSB-first {0,1} uint8 bit stream via the mega-kernel
