@@ -107,6 +107,11 @@ class RxChainConfig:
     # -80 dB assert_evm contract — with 1.000000 demod bit agreement;
     # DEFAULT (-46.9 dB) fails the gate and is rejected.
     precision: Optional[str] = None
+    # First-stage size of the fused op's two-einsum path (must divide
+    # fft_len). None = heuristic (largest divisor <= 128). The choice
+    # trades stage-1 contraction depth against stage-2 minor-dim lane
+    # utilisation; sweep on hardware with benches/n1_sweep.py.
+    stage_n1: Optional[int] = None
 
 
 
@@ -207,7 +212,7 @@ class RxChain:
             return _fir.fir_decimate_fft(
                 x, self.taps, cfg.decimation, cfg.fft_len, Scale.SN,
                 history=history, fft_backend=cfg.fft_backend,
-                precision=self._einsum_precision(),
+                precision=self._einsum_precision(), stage_n1=cfg.stage_n1,
             )
         y = self._fir(x, history=history)
         span = cfg.fft_len * cfg.decimation
@@ -273,7 +278,8 @@ class RxChain:
         backend = cfg.fft_backend or _fft_default_backend()
         return (
             backend == "matmul"
-            and _fir._fused_stage_n1(cfg.decimation, cfg.fft_len) is not None
+            and _fir._fused_stage_n1(cfg.decimation, cfg.fft_len, cfg.stage_n1)
+            is not None
         )
 
     def _bits_fast(self, x, history=None) -> jnp.ndarray:
@@ -292,7 +298,8 @@ class RxChain:
         zk = _fir.fir_decimate_fft(
             x, self.taps, cfg.decimation, cfg.fft_len, Scale.NONE,
             history=history, fft_backend=cfg.fft_backend,
-            precision=self._einsum_precision(), _staged_layout=True,
+            precision=self._einsum_precision(), stage_n1=cfg.stage_n1,
+            _staged_layout=True,
         )  # [n1, ..., nsym, r] — k1 leading
         re, im = jnp.real(zk), jnp.imag(zk)
         if cfg.modulation == "bpsk":

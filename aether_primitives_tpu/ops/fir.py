@@ -254,10 +254,51 @@ def _fused_stage_matrices(
     return f1.astype(np.complex64), g.astype(np.complex64)
 
 
-def _fused_stage_n1(dec: int, fft_len: int) -> Optional[int]:
-    """Largest usable first-stage size: ``n1 | fft_len``, ``n1 <= 128``, and
-    the G' tensor (``span * fft_len / n1`` entries) bounded to ~4 MB."""
+#: Hardware-measured first-stage sizes for the fused op, keyed by
+#: ``(dec, fft_len)`` — applied on TPU when no explicit override is given.
+#: v5e whole-chain sweep (benches/n1_sweep.py, two independent interleaved
+#: sweeps, min-of-rounds): n1=16 won or tied both (0.997/1.026 ms per
+#: 4M block) vs the heuristic's 128 (1.154 ms): stage 2's minor dim is
+#: ``r = fft_len/n1`` lanes, so large n1 pads 128-lane registers 8x, and
+#: n1<=64 also computes ~33% fewer FLOPs than 128. 256 and 8 measured
+#: consistently worse (shallow stage-1 contraction / tiny r).
+_TPU_STAGE_N1: dict = {(4, 2048): 16}
+
+
+def _fused_stage_n1(
+    dec: int, fft_len: int, override: Optional[int] = None
+) -> Optional[int]:
+    """First-stage size for the two-einsum path.
+
+    Resolution order: explicit ``override`` (validated), then the
+    hardware-measured ``_TPU_STAGE_N1`` table (TPU only), then the
+    heuristic — the largest ``n1 | fft_len`` with ``n1 <= 128`` whose
+    G' tensor (``span * fft_len / n1`` entries) stays under ~4 MB.
+    ``override`` wins when given — the chain exposes it as
+    ``RxChainConfig.stage_n1`` because the choice trades stage-1 contraction
+    depth against stage-2's minor-dim lane utilisation (``r = fft_len/n1``
+    lanes of 128) and total FLOPs; the sweet spot is hardware-measured
+    (``benches/n1_sweep.py``), not derivable from the heuristic.
+    """
     span = dec * fft_len
+    if override is not None:
+        n1 = int(override)
+        if n1 < 1 or fft_len % n1:
+            raise ValueError(
+                f"stage_n1 {n1} must divide fft_len {fft_len}"
+            )
+        # G' has span * (fft_len/n1) complex64 entries; cap at 64 MB to
+        # catch typos, not to tune (the tensor is HBM-resident weights)
+        if span * (fft_len // n1) * 8 > 64 << 20:
+            raise ValueError(f"stage_n1 {n1} implies a >64 MB G' tensor")
+        return n1
+    tuned = _TPU_STAGE_N1.get((dec, fft_len))
+    if tuned is not None:
+        try:
+            if jax.devices()[0].platform == "tpu":
+                return tuned
+        except Exception:
+            pass
     for n1 in range(min(fft_len, 128), 0, -1):
         if fft_len % n1 == 0:
             if span * (fft_len // n1) * 8 <= 4 << 20:
@@ -309,6 +350,7 @@ def fir_decimate_fft(
     history=None,
     fft_backend: Optional[str] = None,
     precision=None,
+    stage_n1: Optional[int] = None,
     _staged_layout: bool = False,
 ) -> jnp.ndarray:
     """Fused causal FIR -> decimate-by-``dec`` -> blocked ``fft_len``-point
@@ -343,6 +385,8 @@ def fir_decimate_fft(
     optional ``[..., K-1]`` samples preceding ``x`` (zeros = causal start;
     the sharded chain passes the halo received from the left neighbor).
     Returns ``[..., n // span, fft_len]`` spectra, scaled by ``scale``.
+    ``stage_n1`` overrides the two-einsum path's first-stage size (must
+    divide ``fft_len``; see :func:`_fused_stage_n1`).
 
     ``_staged_layout=True`` (two-einsum path only; internal, used by the
     RX chain's sign-demod fast path): returns ``[n1, ..., nsym, r]`` with
@@ -372,7 +416,7 @@ def fir_decimate_fft(
     # vs f64; callers with relaxed accuracy needs may pass Precision.HIGH
     # (half the MXU passes) — measured trade-off in DEVNOTES.md
     prec = jax.lax.Precision.HIGHEST if precision is None else precision
-    n1 = _fused_stage_n1(dec, fft_len) if backend == "matmul" else None
+    n1 = _fused_stage_n1(dec, fft_len, stage_n1) if backend == "matmul" else None
     if n1 is not None:
         # two-einsum matmul path: stage-1 DFT, then the combined
         # (twiddle * H * DFT_{n2} * spectral-fold) tensor — the folded

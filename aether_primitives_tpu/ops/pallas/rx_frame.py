@@ -35,13 +35,11 @@ limit (8 frames/tile measured 16.03 MB — 32 KB over).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .. import fir as _fir
 

@@ -229,6 +229,33 @@ def test_fir_decimate_fft_dec1_and_identity():
     assert evm_rms_db(got, ref) < -110
 
 
+@pytest.mark.parametrize("n1", [8, 16, 32, 64, 128])
+def test_fir_decimate_fft_stage_n1_override(n1):
+    # any divisor of fft_len is a valid first-stage size; all must match
+    # the f64 reference (the sweet spot is chosen on hardware —
+    # benches/n1_sweep.py — so correctness must hold across the sweep)
+    rng = np.random.default_rng(25)
+    dec, fft_len = 4, 128
+    n = dec * fft_len * 5
+    x = rand_c(rng, n)
+    taps = (0.1 * rand_c(rng, 17)).astype(np.complex64)
+    got = np.asarray(
+        fir.fir_decimate_fft(
+            x, taps, dec, fft_len, fft_backend="matmul", stage_n1=n1
+        )
+    )
+    assert evm_rms_db(got, _fused_reference(x, taps, dec, fft_len)) < -110
+
+
+def test_fir_decimate_fft_stage_n1_invalid():
+    x = np.zeros(4 * 128 * 2, np.complex64)
+    taps = np.ones(5, np.complex64)
+    with pytest.raises(ValueError, match="divide"):
+        fir.fir_decimate_fft(
+            x, taps, 4, 128, fft_backend="matmul", stage_n1=7
+        )
+
+
 def test_fir_decimate_fft_scale_and_errors():
     from aether_primitives_tpu.ops.fft import Scale
 
