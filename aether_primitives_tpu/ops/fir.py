@@ -258,10 +258,12 @@ def _fused_stage_matrices(
 #: ``(dec, fft_len)`` — applied on TPU when no explicit override is given.
 #: v5e whole-chain sweep (benches/n1_sweep.py, two independent interleaved
 #: sweeps, min-of-rounds): n1=16 won or tied both (0.997/1.026 ms per
-#: 4M block) vs the heuristic's 128 (1.154 ms): stage 2's minor dim is
-#: ``r = fft_len/n1`` lanes, so large n1 pads 128-lane registers 8x, and
-#: n1<=64 also computes ~33% fewer FLOPs than 128. 256 and 8 measured
-#: consistently worse (shallow stage-1 contraction / tiny r).
+#: 4M block) vs the heuristic's 128 (1.154 ms). FLOPs are symmetric in
+#: ``n1 <-> r = fft_len/n1`` (total cmacs = ``nsym*span*(n1+r)``), so the
+#: win is layout: stage 2's output ``[n1, ..., r]`` — the tensor the sign
+#: demod streams — has an ``r``-lane minor dim, and r=128 keeps every
+#: register full where the heuristic's r=16 padded them 8x. 256 and 8
+#: measured consistently worse (tiny r / shallow stage-1 contraction).
 _TPU_STAGE_N1: dict = {(4, 2048): 16}
 
 

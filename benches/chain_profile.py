@@ -77,24 +77,44 @@ def main():
     def stage_spectra(b):
         return fir_mod.fir_decimate_fft(b.to_complex(), taps, dec, n_fft, Scale.SN)
 
+    prec_chain = chain._einsum_precision()
+
+    def stage_staged_spectra(b):
+        # the production front half: k1-leading staged layout, chain precision
+        return fir_mod.fir_decimate_fft(
+            b.to_complex(), taps, dec, n_fft, Scale.NONE,
+            precision=prec_chain, _staged_layout=True,
+        )
+
+    def stage_demod_only(zk):
+        # the production back half, fed a device-resident staged tensor
+        re, im = jnp.real(zk), jnp.imag(zk)
+        v = (re < 0).astype(jnp.uint16) | ((im < 0).astype(jnp.uint16) << 8)
+        v = jnp.moveaxis(v, 0, -1)
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint8)
+        return bits.reshape(bits.shape[:-4] + (-1,))
+
     stages = [
-        ("full step (spectra+demod)", stage_full),
-        ("boundary merge only", stage_merge),
-        ("einsum1 (stage-1 DFT)", stage_e1),
-        ("einsum1+einsum2", stage_e1e2),
-        ("full spectra (with correction)", stage_spectra),
+        ("full step (spectra+demod)", stage_full, blk),
+        ("boundary merge only", stage_merge, blk),
+        ("einsum1 (stage-1 DFT)", stage_e1, blk),
+        ("einsum1+einsum2", stage_e1e2, blk),
+        ("full spectra (with correction)", stage_spectra, blk),
+        ("staged spectra (chain precision)", stage_staged_spectra, blk),
     ]
-    for name, fn in stages:
+    jitted = {}
+    for name, fn, arg in stages:
         jfn = jax.jit(fn)
-        out = jfn(blk)
+        jitted[name] = jfn
+        out = jfn(arg)
         jax.block_until_ready(out)
         digest(out)
 
-        def run(kk, f=jfn):
+        def run(kk, f=jfn, a=arg):
             t0 = time.perf_counter()
             o = None
             for _ in range(kk):
-                o = f(blk)
+                o = f(a)
             digest(o)
             return time.perf_counter() - t0
 
@@ -104,6 +124,50 @@ def main():
             print(f"{name:34s} < {floor*1e6:8.1f} us (below floor)", flush=True)
         else:
             print(f"{name:34s} {dt*1e3:8.3f} ms  {n/dt/1e6:8.0f} Msa/s", flush=True)
+
+    # demod in isolation (device-resident staged input) and the two-dispatch
+    # composition: does splitting the jit at the spectra/demod seam dodge
+    # whatever fusion penalty the composed graph pays?
+    zk_dev = jitted["staged spectra (chain precision)"](blk)
+    jax.block_until_ready(zk_dev)
+    jd = jax.jit(stage_demod_only)
+    out = jd(zk_dev)
+    jax.block_until_ready(out)
+    digest(out)
+
+    def run_demod(kk):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(kk):
+            o = jd(zk_dev)
+        digest(o)
+        return time.perf_counter() - t0
+
+    run_demod(2)
+    dt, floor = marginal_cost(run_demod, 10, 50)
+    name = "demod only (staged input)"
+    if dt is None:
+        print(f"{name:34s} < {floor*1e6:8.1f} us (below floor)", flush=True)
+    else:
+        print(f"{name:34s} {dt*1e3:8.3f} ms  {n/dt/1e6:8.0f} Msa/s", flush=True)
+
+    js = jitted["staged spectra (chain precision)"]
+
+    def run_two_dispatch(kk):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(kk):
+            o = jd(js(blk))
+        digest(o)
+        return time.perf_counter() - t0
+
+    run_two_dispatch(2)
+    dt, floor = marginal_cost(run_two_dispatch, 10, 50)
+    name = "two-dispatch (spectra | demod)"
+    if dt is None:
+        print(f"{name:34s} < {floor*1e6:8.1f} us (below floor)", flush=True)
+    else:
+        print(f"{name:34s} {dt*1e3:8.3f} ms  {n/dt/1e6:8.0f} Msa/s", flush=True)
 
 
 if __name__ == "__main__":
