@@ -5,7 +5,15 @@ reference's examples (modem loopback, waterfall)."""
 from . import modem
 from . import channelizer
 from .modem import Modem, ModemConfig, RxChain, RxChainConfig, TxChain, loopback_delay
-from .channelizer import Channelizer
+from .channelizer import (
+    Channelizer,
+    PfbChannelizer,
+    PfbSynthesizer,
+    pfb_channelize,
+    pfb_prototype,
+    pfb_synthesis_taps,
+    pfb_synthesize,
+)
 from . import sync
 from . import ber
 from .sync import OfdmEqualizer, detect_preamble
@@ -20,6 +28,12 @@ __all__ = [
     "TxChain",
     "loopback_delay",
     "Channelizer",
+    "PfbChannelizer",
+    "PfbSynthesizer",
+    "pfb_channelize",
+    "pfb_prototype",
+    "pfb_synthesis_taps",
+    "pfb_synthesize",
     "sync",
     "ber",
     "OfdmEqualizer",

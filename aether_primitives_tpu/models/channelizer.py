@@ -355,6 +355,161 @@ def sharded_pfb(
     return fn(x)
 
 
+def pfb_synthesis_taps(
+    analysis_taps,
+    n_chan: int,
+    taps_per_branch: Optional[int] = None,
+) -> np.ndarray:
+    """Least-squares near-perfect-reconstruction synthesis prototype for
+    :func:`pfb_synthesize`, given the analysis prototype.
+
+    Per polyphase branch ``r`` the analysis/synthesis cascade is the frame-
+    domain FIR convolution ``h_r ⊛ g_r`` (``h_r[p] = h[p*M + r]``); perfect
+    reconstruction requires it to be a pure ``d``-frame delay for every
+    branch. Each ``g_r`` is the length-``Q`` least-squares FIR inverse of
+    ``h_r`` targeting the common delay ``d = (P + Q - 2) // 2`` (a delay
+    scan confirms the midpoint is optimal) — solved in f64 at design time
+    (``M`` independent ``[P+Q-1, Q]`` lstsq problems).
+
+    Returns ``[Q * n_chan]`` taps (branch view ``g[p*M + r]``); the
+    round-trip ``pfb_synthesize(pfb_channelize(x, h), g)`` reproduces ``x``
+    delayed by ``d`` frames. Exactness is structurally bounded: a
+    critically sampled DFT bank has exact FIR PR only for trivial (pure
+    delay+gain) polyphase branches, and the default prototype's branches
+    carry zeros near the unit circle (worst |z| ≈ 1.16), so the LS
+    residual decays only geometrically in ``Q``. Default ``Q = 8 P``
+    measures ≈ −35 dB RMS reconstruction for the default prototype
+    (−25 dB at ``Q = 4 P``); push ``taps_per_branch`` higher for more.
+    """
+    h = np.asarray(analysis_taps).ravel()
+    m = int(n_chan)
+    p = max(1, -(-h.shape[-1] // m))
+    if h.shape[-1] < p * m:
+        h = np.pad(h, (0, p * m - h.shape[-1]))
+    hb = h.reshape(p, m).astype(np.complex128)
+    q = int(taps_per_branch) if taps_per_branch else 8 * p
+    d = (p + q - 2) // 2
+    gb = np.zeros((q, m), np.complex128)
+    for r in range(m):
+        c = np.zeros((p + q - 1, q), np.complex128)
+        for i in range(q):
+            c[i : i + p, i] = hb[:, r]
+        e = np.zeros(p + q - 1, np.complex128)
+        e[d] = 1.0
+        gr, *_ = np.linalg.lstsq(c, e, rcond=None)
+        gb[:, r] = gr
+    g = gb.reshape(-1)
+    if np.abs(g.imag).max() < 1e-12 * max(np.abs(g.real).max(), 1e-30):
+        return g.real.astype(np.float32)
+    return g.astype(np.complex64)
+
+
+def pfb_synthesize(
+    frames,
+    n_chan: Optional[int] = None,
+    taps: Optional[np.ndarray] = None,
+    scale: Scale = Scale.N,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Critically sampled polyphase synthesis filterbank (the dual of
+    :func:`pfb_channelize`): ``[..., T, n_chan]`` channel frames ->
+    ``[..., (T + Q - 1) * n_chan]`` samples.
+
+    Weighted overlap-add form: with ``M = n_chan`` and synthesis prototype
+    ``g[0..Q*M)`` (branch view ``gb[p, r] = g[p*M + r]``),
+
+        v[t, r]          = backward DFT of y[t, :] at point r
+        x[(t+p)*M + r]  += gb[p, r] * v[t, r]        for p in [0, Q)
+
+    The default ``scale=Scale.N`` makes the channel DFT/iDFT pair the exact
+    identity, so analysis->synthesis reduces to the per-branch cascade
+    ``h_r ⊛ g_r`` (see :func:`pfb_synthesis_taps`). ``Q = 1`` unit taps
+    inverts the plain chunked FFT exactly. The trailing ``(Q-1)*M`` samples
+    are the partial overlap-add tail — keep them when stitching blocks
+    (:class:`PfbSynthesizer` does) or trim for a one-shot call.
+
+    TPU notes: the channel iDFT is the batched matmul FFT; the ``Q``
+    overlap-adds are stride-1 pads of whole ``[T, M]`` slabs — no scatter.
+    """
+    y = jnp.asarray(frames, dtype=cf32)
+    m = int(n_chan) if n_chan is not None else y.shape[-1]
+    if y.shape[-1] != m:
+        raise ValueError(f"frames minor dim {y.shape[-1]} != n_chan {m}")
+    if taps is None:
+        taps = np.ones(m, np.float32)  # rectangle: inverse of chunked FFT
+    g = np.asarray(taps, dtype=np.complex64).ravel()
+    q = max(1, -(-g.shape[-1] // m))
+    if g.shape[-1] < q * m:
+        g = np.pad(g, (0, q * m - g.shape[-1]))
+    gb = g.reshape(q, m)
+
+    v = fft_plan(m, fft_backend).bwd(y, scale)  # [..., T, M]
+    t_frames = v.shape[-2]
+    nb = v.ndim
+    acc = None
+    for pi in range(q):
+        term = v * jnp.asarray(gb[pi])
+        padded = jnp.pad(
+            term, [(0, 0)] * (nb - 2) + [(pi, q - 1 - pi), (0, 0)]
+        )
+        acc = padded if acc is None else acc + padded
+    return acc.reshape(acc.shape[:-2] + ((t_frames + q - 1) * m,))
+
+
+class PfbSynthesizer:
+    """Streaming synthesis stage: carries the ``(Q-1)``-frame overlap-add
+    tail between blocks so block-by-block synthesis concatenates to exactly
+    the single-shot :func:`pfb_synthesize` output (minus the final tail,
+    which :meth:`flush` returns)."""
+
+    def __init__(
+        self,
+        n_chan: int,
+        taps: Optional[np.ndarray] = None,
+        scale: Scale = Scale.N,
+        fft_backend: Optional[str] = None,
+    ):
+        self.n_chan = int(n_chan)
+        if taps is None:
+            taps = np.ones(self.n_chan, np.float32)
+        self.taps = np.asarray(taps, np.complex64).ravel()
+        self.q = max(1, -(-self.taps.shape[-1] // self.n_chan))
+        self.scale = scale
+        self.fft_backend = fft_backend
+        self._tail = None  # [..., (Q-1)*M] partial overlap-add carry
+
+    def step(self, frames) -> jnp.ndarray:
+        """``[..., T, n_chan]`` frames -> ``[..., T*n_chan]`` samples."""
+        full = pfb_synthesize(
+            frames, self.n_chan, taps=self.taps, scale=self.scale,
+            fft_backend=self.fft_backend,
+        )
+        keep = (self.q - 1) * self.n_chan
+        if not keep:
+            return full
+        body, tail = full[..., :-keep], full[..., -keep:]
+        if body.shape[-1] < keep:
+            raise ValueError(
+                f"block must carry at least Q-1 = {self.q - 1} frames"
+            )
+        if self._tail is not None:
+            pad = body.shape[-1] - keep
+            carry = jnp.pad(
+                self._tail, [(0, 0)] * (body.ndim - 1) + [(0, pad)]
+            )
+            body = body + carry
+        self._tail = tail
+        return body
+
+    def flush(self) -> Optional[jnp.ndarray]:
+        """The final ``(Q-1)*n_chan`` overlap-add tail (None when Q == 1)."""
+        t = self._tail
+        self._tail = None
+        return t
+
+    __call__ = step
+
+
 def sharded_waterfall(
     samples,
     fft_len: int,
