@@ -27,12 +27,20 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_CXXFLAGS = [
+    "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+    "-march=native", "-funroll-loops",
+]
+
+
 def _lib_path() -> Path:
-    # Key the artifact on a source hash, never mtime: a stale or foreign
-    # (different-ISA, -march=native) binary must never be dlopen'd just
-    # because its mtime looks fresh. A new source hash -> a new file name
-    # -> a fresh local compile.
-    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    # Key the artifact on a source+flags hash, never mtime: a stale or
+    # foreign (different-ISA, -march=native) binary must never be dlopen'd
+    # just because its mtime looks fresh. A new hash -> a new file name ->
+    # a fresh local compile.
+    digest = hashlib.sha256(
+        _SRC.read_bytes() + " ".join(_CXXFLAGS).encode()
+    ).hexdigest()[:12]
     return _BUILD / f"libaether_hostops-{digest}.so"
 
 
@@ -44,11 +52,7 @@ def _build() -> Optional[Path]:
     # build to a temp path and rename into place: a concurrent process must
     # never dlopen a half-written .so
     tmp = lib_path.with_suffix(f".tmp.{os.getpid()}.so")
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-march=native", "-funroll-loops",
-        str(_SRC), "-o", str(tmp),
-    ]
+    cmd = ["g++", *_CXXFLAGS, str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, lib_path)
@@ -80,6 +84,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.pack_bits_lsb.argtypes = [u8p, u8p, ctypes.c_size_t]
         lib.unpack_bits_lsb.argtypes = [u8p, u8p, ctypes.c_size_t]
+        lib.feeder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+        ]
+        lib.feeder_open.restype = ctypes.c_void_p
+        lib.feeder_next.argtypes = [ctypes.c_void_p, fp, fp]
+        lib.feeder_next.restype = ctypes.c_size_t
+        lib.feeder_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -168,3 +179,81 @@ def unpack_bits(packed: np.ndarray, n_bits: int) -> np.ndarray:
     else:
         out[...] = np.unpackbits(packed, count=n_bits, bitorder="little")
     return out
+
+
+class BlockFeeder:
+    """Threaded capture feeder: a native producer thread reads an
+    interleaved-complex64 capture and deinterleaves each block into a
+    bounded ring of f32 plane buffers, so disk I/O + deinterleave overlap
+    the consumer's device work (the reference's feeder-thread + pool
+    steady state, reference src/pipeline.rs / src/pool.rs, with the
+    bounded ring replacing the unbounded channel's OOM risk).
+
+    Iterate to receive ``(re, im)`` f32 plane pairs (fresh arrays, safe to
+    donate to the device); the final pair may be shorter than
+    ``block_samples``. Falls back to a synchronous numpy reader when the
+    native extension is unavailable — same yielded values either way.
+    Use as a context manager or rely on iterator exhaustion to release
+    the native handle.
+    """
+
+    def __init__(self, path, block_samples: int, depth: int = 4):
+        self.path = str(path)
+        self.block = int(block_samples)
+        if self.block <= 0:
+            raise ValueError("block_samples must be positive")
+        self.depth = max(2, int(depth))
+        self._handle = None
+        self._fallback = None
+        lib = _load()
+        if lib is not None:
+            h = lib.feeder_open(
+                self.path.encode(), self.block, self.depth
+            )
+            if not h:
+                raise FileNotFoundError(self.path)
+            self._handle = ctypes.c_void_p(h)
+        else:
+            self._fallback = open(self.path, "rb")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._handle is not None:
+            lib = _load()
+            re = np.empty(self.block, np.float32)
+            im = np.empty(self.block, np.float32)
+            n = lib.feeder_next(self._handle, _fptr(re), _fptr(im))
+            if n == 0:
+                self.close()
+                raise StopIteration
+            return re[:n], im[:n]
+        if self._fallback is None:
+            raise StopIteration
+        raw = np.fromfile(self._fallback, dtype=np.complex64, count=self.block)
+        if raw.size == 0:
+            self.close()
+            raise StopIteration
+        return deinterleave(raw)
+
+    def close(self):
+        if self._handle is not None:
+            lib = _load()
+            lib.feeder_close(self._handle)
+            self._handle = None
+        if self._fallback is not None:
+            self._fallback.close()
+            self._fallback = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # last-resort release; close() is the real contract
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -178,3 +178,17 @@ def csv_reader(filepath) -> np.ndarray:
     """Read headerless ``re,im`` rows into a complex64 vector."""
     raw = np.loadtxt(str(filepath), delimiter=",", dtype=np.float32, ndmin=2)
     return (raw[:, 0] + 1j * raw[:, 1]).astype(np.complex64)
+
+
+def stream_blocks(filepath, block_samples: int, depth: int = 4):
+    """Threaded block streamer over an interleaved-complex64 capture:
+    iterate to get ``(re, im)`` f32 plane pairs, ready for the device
+    boundary (:mod:`~aether_primitives_tpu.boundary`). A native producer
+    thread (csrc/hostops.cpp) prefetches + deinterleaves ``depth`` blocks
+    ahead so file I/O overlaps device compute — the reference's
+    feeder-thread/pool steady state (reference src/pipeline.rs,
+    src/pool.rs) with bounded-ring backpressure. Numpy fallback without a
+    toolchain."""
+    from .. import native
+
+    return native.BlockFeeder(filepath, block_samples, depth)

@@ -13,9 +13,14 @@
 // Everything here is plain C ABI, single-threaded per call (callers shard
 // blocks across threads if needed).
 
+#include <condition_variable>
 #include <cstddef>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -71,6 +76,122 @@ void unpack_bits_lsb(const uint8_t* __restrict packed,
   for (size_t i = 0; i < n_bits; ++i) {
     bits[i] = (packed[i / 8] >> (i % 8)) & 1u;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded capture feeder: the native runtime analog of the reference's
+// feeder-thread + pool steady state (reference src/pipeline.rs spawn_stage,
+// src/pool.rs, examples/pipeline.rs:57-85). A producer thread reads an
+// interleaved-complex64 capture file block-by-block and deinterleaves each
+// block into a bounded ring of (re, im) f32 plane buffers; the consumer
+// (the Python device-feed loop) pops blocks while the NEXT blocks' disk
+// read + deinterleave proceed concurrently. The bounded ring is the
+// backpressure the reference's unbounded mpsc channel lacked (its
+// documented OOM pitfall, examples/pipeline.rs:61-66).
+
+namespace {
+
+struct FeederSlot {
+  std::vector<float> re, im;
+  size_t nvalid = 0;
+  bool ready = false;
+};
+
+struct Feeder {
+  FILE* f = nullptr;
+  size_t block = 0;          // samples per block
+  std::vector<FeederSlot> ring;
+  size_t head = 0;           // next slot the producer fills
+  size_t tail = 0;           // next slot the consumer drains
+  bool eof = false;          // producer saw end-of-file
+  bool stop = false;         // consumer asked for shutdown
+  std::mutex mu;
+  std::condition_variable cv_prod, cv_cons;
+  std::thread th;
+  std::vector<float> staging;  // interleaved read buffer, 2*block floats
+
+  void run() {
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_prod.wait(lk, [&] { return stop || !ring[head].ready; });
+        if (stop) return;
+      }
+      const size_t got =
+          fread(staging.data(), sizeof(float), 2 * block, f);
+      const size_t n = got / 2;
+      FeederSlot& s = ring[head];
+      deinterleave_c64(staging.data(), s.re.data(), s.im.data(), n);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        s.nvalid = n;
+        s.ready = true;
+        head = (head + 1) % ring.size();
+        if (n < block) eof = true;
+        cv_cons.notify_one();
+      }
+      if (n < block) return;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Open `path` (raw interleaved complex64) for threaded block streaming.
+// Returns an opaque handle or null. `depth` >= 2 ring slots bound memory
+// at depth * block * 8 bytes.
+void* feeder_open(const char* path, size_t block_samples, size_t depth) {
+  if (block_samples == 0 || depth < 2) return nullptr;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  Feeder* fd = new Feeder();
+  fd->f = f;
+  fd->block = block_samples;
+  fd->ring.resize(depth);
+  for (auto& s : fd->ring) {
+    s.re.resize(block_samples);
+    s.im.resize(block_samples);
+  }
+  fd->staging.resize(2 * block_samples);
+  fd->th = std::thread([fd] { fd->run(); });
+  return fd;
+}
+
+// Pop the next block into caller-owned [block] f32 plane buffers.
+// Returns the number of valid samples (== block for full blocks, < block
+// for the final partial block, 0 once the capture is exhausted).
+size_t feeder_next(void* h, float* __restrict re, float* __restrict im) {
+  Feeder* fd = static_cast<Feeder*>(h);
+  std::unique_lock<std::mutex> lk(fd->mu);
+  FeederSlot& s = fd->ring[fd->tail];
+  fd->cv_cons.wait(lk, [&] { return s.ready || fd->eof; });
+  if (!s.ready) return 0;  // eof and ring drained
+  const size_t n = s.nvalid;
+  lk.unlock();
+  memcpy(re, s.re.data(), n * sizeof(float));
+  memcpy(im, s.im.data(), n * sizeof(float));
+  lk.lock();
+  s.ready = false;
+  s.nvalid = 0;
+  fd->tail = (fd->tail + 1) % fd->ring.size();
+  fd->cv_prod.notify_one();
+  return n;
+}
+
+void feeder_close(void* h) {
+  Feeder* fd = static_cast<Feeder*>(h);
+  {
+    std::lock_guard<std::mutex> lk(fd->mu);
+    fd->stop = true;
+    fd->cv_prod.notify_all();
+  }
+  if (fd->th.joinable()) fd->th.join();
+  fclose(fd->f);
+  delete fd;
 }
 
 }  // extern "C"

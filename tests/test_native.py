@@ -50,3 +50,54 @@ def test_pack_unpack_bits(rng):
     assert packed[0] == sum(int(bits[i]) << i for i in range(8))
     back = native.unpack_bits(packed, 1003)
     assert (back == bits).all()
+
+
+def test_block_feeder_roundtrip(rng, tmp_path):
+    from aether_primitives_tpu.utils import file as file_mod
+
+    x = (rng.normal(size=10000) + 1j * rng.normal(size=10000)).astype(
+        np.complex64
+    )
+    p = tmp_path / "cap.bin"
+    file_mod.save(p, x)
+    # 10000 = 3 full 4096-blocks? no: 2*4096=8192, final partial 1808
+    blocks = list(file_mod.stream_blocks(p, 4096, depth=3))
+    assert [b[0].size for b in blocks] == [4096, 4096, 1808]
+    re = np.concatenate([b[0] for b in blocks])
+    im = np.concatenate([b[1] for b in blocks])
+    assert (re == x.real).all() and (im == x.imag).all()
+
+
+def test_block_feeder_exact_multiple(rng, tmp_path):
+    from aether_primitives_tpu.utils import file as file_mod
+
+    x = (rng.normal(size=2048) + 1j * rng.normal(size=2048)).astype(
+        np.complex64
+    )
+    p = tmp_path / "cap2.bin"
+    file_mod.save(p, x)
+    with file_mod.stream_blocks(p, 1024, depth=2) as f:
+        blocks = list(f)
+    assert [b[0].size for b in blocks] == [1024, 1024]
+    assert (np.concatenate([b[0] for b in blocks]) == x.real).all()
+
+
+def test_block_feeder_numpy_fallback(rng, tmp_path, monkeypatch):
+    from aether_primitives_tpu.utils import file as file_mod
+
+    monkeypatch.setattr(native, "_load", lambda: None)
+    x = (rng.normal(size=5000) + 1j * rng.normal(size=5000)).astype(
+        np.complex64
+    )
+    p = tmp_path / "cap3.bin"
+    file_mod.save(p, x)
+    blocks = list(file_mod.stream_blocks(p, 2048))
+    assert [b[0].size for b in blocks] == [2048, 2048, 904]
+    assert (np.concatenate([b[1] for b in blocks]) == x.imag).all()
+
+
+def test_block_feeder_missing_file(tmp_path):
+    from aether_primitives_tpu.utils import file as file_mod
+
+    with pytest.raises(FileNotFoundError):
+        file_mod.stream_blocks(tmp_path / "nope.bin", 1024)
