@@ -214,6 +214,105 @@ def fir_filter_os(
     return y.reshape(batch + (n_pad,))[..., :n].astype(cf32)
 
 
+def fir_filter_os_decimate(
+    x,
+    taps,
+    factor: int,
+    block_len: Optional[int] = None,
+    fft_backend: Optional[str] = None,
+    history=None,
+) -> jnp.ndarray:
+    """Fused overlap-save FIR + decimation with a **time-domain** output:
+    ``y[m] = sum_k taps[k] x[m*factor - k]`` — equal (to rounding) to
+    ``fir_filter_decimate(x, taps, factor)`` but at the overlap-save cost
+    model, with the inverse transform shrunk by ``factor``.
+
+    The TPU formulation (contrast :func:`fir_decimate_fft`, whose output is
+    the *frame spectrum* for chains that FFT right after): keeping every
+    ``factor``-th sample of the block's circular convolution is a spectral
+    fold — with ``M = fft_len / factor``,
+
+        y_dec[i] = iFFT_M( fold )[i],
+        fold[r] = (1/factor) * sum_p Y[r + p*M]
+
+    where ``Y`` is the product spectrum *pre-rotated* by
+    ``e^{+2pi i q (K-1)/fft_len}`` so the overlap-save discard of the first
+    ``K-1`` samples lands on fold index 0 (the rotation rides the
+    precomputed tap spectrum — free). The fold is a major-axis reshape +
+    mean (stride-1, lane-safe); no strided slice ever materializes, and the
+    backward FFT runs at ``1/factor`` the points of the plain
+    :func:`fir_filter_os` + ``downsample`` composition.
+
+    Output positions are global multiples of ``factor`` (causal
+    convention), ``ceil(n / factor)`` samples total. ``history`` as in
+    :func:`fir_filter_os`. This is the core of the digital down-converter
+    (:class:`aether_primitives_tpu.models.ddc.Ddc`).
+    """
+    x = _as_c64(x)
+    taps = _as_c64(taps)
+    n = x.shape[-1]
+    k = taps.shape[-1]
+    s = int(factor)
+    if s < 1:
+        raise ValueError("factor must be >= 1")
+    if s == 1:
+        return fir_filter_os(
+            x, taps, block_len=block_len, fft_backend=fft_backend,
+            history=history,
+        )
+    if block_len is None:
+        target = max(1024, 8 * k)
+        block_len = s
+        while block_len * 2 <= target:
+            block_len *= 2
+    block_len = int(block_len)
+    if block_len % s:
+        raise ValueError(f"block_len {block_len} must be a multiple of {s}")
+    if k > 1 and block_len < k - 1:
+        raise ValueError(f"block_len {block_len} must be >= taps-1 ({k - 1})")
+    # fft_len = factor * M with M 7-smooth: guarantees the fold divides
+    # evenly and the backward M-point plan factors well
+    m_len = _good_fft_size(-(-(block_len + k - 1) // s))
+    fft_len = s * m_len
+
+    n_pad = -(-n // block_len) * block_len
+    if n_pad != n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)])
+    nblocks = n_pad // block_len
+    batch = x.shape[:-1]
+    xb = x.reshape(batch + (nblocks, block_len))
+    if k > 1:
+        if history is None:
+            h0 = jnp.zeros(batch + (1, k - 1), dtype=cf32)
+        else:
+            h0 = _as_c64(history)
+            if h0.shape[-1] != k - 1:
+                raise ValueError(f"history must have K-1 = {k - 1} samples")
+            h0 = jnp.broadcast_to(h0, batch + (k - 1,))[..., None, :]
+        prev_tails = xb[..., :-1, -(k - 1):]
+        hist = jnp.concatenate([h0, prev_tails], axis=-2)
+    else:
+        hist = xb[..., :0]
+    ext = jnp.concatenate([hist, xb], axis=-1)
+    pad = fft_len - ext.shape[-1]
+    if pad:
+        ext = jnp.pad(ext, [(0, 0)] * (ext.ndim - 1) + [(0, pad)])
+
+    # tap spectrum x discard rotation, precomputed in f64 on host
+    hs = np.fft.fft(np.asarray(taps, np.complex64).astype(np.complex128),
+                    fft_len)
+    hs *= np.exp(2j * np.pi * np.arange(fft_len) * (k - 1) / fft_len)
+    spec = _fft.plan(fft_len, fft_backend).fwd(ext, Scale.NONE)
+    spec = spec * jnp.asarray(hs.astype(np.complex64))
+    fold = jnp.mean(
+        spec.reshape(spec.shape[:-1] + (s, m_len)), axis=-2
+    )
+    yd = _fft.plan(m_len, fft_backend).bwd(fold, Scale.N)
+    yd = yd[..., : block_len // s]  # fresh decimated outputs of each block
+    n_out = -(-n // s)
+    return yd.reshape(batch + (n_pad // s,))[..., :n_out].astype(cf32)
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_stage_matrices(
     taps_bytes: bytes, k: int, dec: int, fft_len: int, n1: int

@@ -90,6 +90,48 @@ def test_overlap_save_block_too_small_raises():
         fir.fir_filter_os(np.zeros(1000, np.complex64), np.ones(9, np.complex64), block_len=4)
 
 
+@pytest.mark.parametrize(
+    "n,k,factor", [(4096, 65, 4), (5000, 33, 5), (300, 9, 3), (1024, 1, 4)]
+)
+def test_os_decimate_equals_direct(n, k, factor):
+    rng = np.random.default_rng(n + k + factor)
+    x, taps = rand_c(rng, n), rand_c(rng, k)
+    direct = np.asarray(fir.fir_filter_decimate(x, taps, factor))
+    got = np.asarray(fir.fir_filter_os_decimate(x, taps, factor))
+    assert got.shape == direct.shape == (-(-n // factor),)
+    assert evm_rms_db(got, direct.astype(np.complex128)) < -110
+
+
+def test_os_decimate_history_stitches_streams():
+    rng = np.random.default_rng(51)
+    x, taps = rand_c(rng, 8192), rand_c(rng, 33)
+    whole = np.asarray(fir.fir_filter_os_decimate(x, taps, 4))
+    a = np.asarray(fir.fir_filter_os_decimate(x[:4096], taps, 4))
+    b = np.asarray(
+        fir.fir_filter_os_decimate(x[4096:], taps, 4, history=x[4096 - 32 : 4096])
+    )
+    assert evm_rms_db(np.concatenate([a, b]), whole.astype(np.complex128)) < -120
+
+
+def test_os_decimate_batched_and_factor_one():
+    rng = np.random.default_rng(52)
+    x, taps = rand_c(rng, 2048).reshape(2, 1024), rand_c(rng, 17)
+    got = np.asarray(fir.fir_filter_os_decimate(x, taps, 2))
+    assert got.shape == (2, 512)
+    for i in range(2):
+        ref = np.asarray(fir.fir_filter_decimate(x[i], taps, 2))
+        assert evm_rms_db(got[i], ref.astype(np.complex128)) < -110
+    f1 = np.asarray(fir.fir_filter_os_decimate(x, taps, 1))
+    assert evm_rms_db(f1, np.asarray(fir.fir_filter(x, taps)).astype(np.complex128)) < -115
+
+
+def test_os_decimate_bad_block_len_raises():
+    x = np.zeros(1024, np.complex64)
+    taps = np.ones(9, np.complex64)
+    with pytest.raises(ValueError, match="multiple"):
+        fir.fir_filter_os_decimate(x, taps, 4, block_len=130)
+
+
 def test_correlator_peak():
     # a 4-sample signature repeated every 4 samples, like the reference
     # bench setup (benches/benches.rs:388-400): circular correlation peaks
