@@ -9,5 +9,9 @@ from . import modulation
 from . import sequence
 from . import noise
 from . import fir
+from . import frontend
 
-__all__ = ["vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir"]
+__all__ = [
+    "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
+    "frontend",
+]
