@@ -16,7 +16,9 @@ from .channelizer import (
 )
 from . import sync
 from . import ber
+from . import ddc
 from .sync import OfdmEqualizer, detect_preamble
+from .ddc import Ddc, DdcConfig, Duc, DucConfig
 
 __all__ = [
     "modem",
@@ -36,6 +38,11 @@ __all__ = [
     "pfb_synthesize",
     "sync",
     "ber",
+    "ddc",
+    "Ddc",
+    "DdcConfig",
+    "Duc",
+    "DucConfig",
     "OfdmEqualizer",
     "detect_preamble",
 ]
