@@ -13,6 +13,12 @@ signal and undo the channel. Both steps reuse the framework's primitives:
   estimate from a known pilot frame (``H = Y_pilot / X_pilot``), applied as
   a per-bin divide before demod. Exact for any channel shorter than the
   frame's effective guard (here: the TX/RX pulse-shaping cascade).
+- :func:`estimate_timing` — non-data-aided symbol-timing estimate
+  (Oerder & Meyr square-law): the squared envelope of a pulse-shaped
+  stream carries a spectral line at the symbol rate whose phase IS the
+  timing offset. One reduction over the block — fully feedforward (no
+  per-symbol feedback loop to serialize), the TPU-native form of timing
+  recovery. Correct with :func:`~aether_primitives_tpu.ops.sampling.fractional_delay`.
 """
 
 from __future__ import annotations
@@ -44,6 +50,38 @@ def detect_preamble(x, preamble, fft_backend: Optional[str] = None):
     # matched filter peaks at offset + len(pre) - 1 (causal convention)
     offset = peak_pos - (pre.shape[-1] - 1)
     return offset, peak_val / jnp.float32(energy**2)
+
+
+def estimate_timing(x, sps: int) -> jnp.ndarray:
+    """Non-data-aided symbol-timing offset (Oerder & Meyr 1988 square-law).
+
+    For a pulse-shaped linear modulation oversampled by ``sps`` (>= 3;
+    classically 4) with excess bandwidth (e.g. RRC beta > 0), the squared
+    envelope ``|x[n]|^2`` contains a tone at the symbol rate whose phase
+    encodes the timing::
+
+        tau = -sps/(2*pi) * arg( sum_n |x[n]|^2 e^{-j 2 pi n / sps} )
+
+    Returns ``tau`` in SAMPLES, wrapped to ``[-sps/2, sps/2)``: the
+    fractional delay by which the symbol instants lead the sample grid —
+    advance the stream by ``tau`` (``fractional_delay(x, -tau)``) to put
+    optimal sampling instants on indices ``0, sps, 2*sps, ...``. Fully
+    feedforward (one reduction; batched over leading axes) — the
+    block-parallel alternative to a Gardner/Mueller-Muller feedback loop,
+    which would serialize per symbol.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    env = jnp.real(x) ** 2 + jnp.imag(x) ** 2
+    n = x.shape[-1]
+    # e^{-j 2 pi n / sps} is periodic in sps: embed one exact period and
+    # tile by reshape when sps divides n (the usual case), else build the
+    # full ramp from host f64 (still exact mod 1)
+    idx = np.arange(n, dtype=np.float64)
+    tone = np.exp(-2j * np.pi * np.mod(idx, sps) / sps).astype(np.complex64)
+    c = jnp.sum(env * jnp.asarray(tone), axis=-1)
+    tau = -jnp.angle(c) * (sps / (2.0 * np.pi))
+    # wrap to [-sps/2, sps/2)
+    return jnp.mod(tau + sps / 2.0, float(sps)) - sps / 2.0
 
 
 def estimate_cfo(x, rep_len: int) -> jnp.ndarray:

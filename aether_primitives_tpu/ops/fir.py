@@ -70,6 +70,38 @@ def _good_fft_size(n: int) -> int:
     return int(best)
 
 
+def rrc_taps(sps: int, span: int = 10, beta: float = 0.35) -> np.ndarray:
+    """Root-raised-cosine pulse-shaping taps (host f64 design, complex64).
+
+    ``sps`` samples/symbol, ``span`` symbols each side (length
+    ``2*span*sps + 1``), roll-off ``beta`` in (0, 1]. Normalized to unit
+    energy so a matched TX/RX pair has unity cascade gain at the symbol
+    instants. The standard pulse for the timing-recovery path
+    (:func:`~aether_primitives_tpu.models.sync.estimate_timing` needs the
+    excess-bandwidth line beta > 0 provides).
+    """
+    if not 0.0 < beta <= 1.0:
+        raise ValueError("beta must be in (0, 1]")
+    t = np.arange(-span * sps, span * sps + 1, dtype=np.float64) / sps
+    h = np.empty_like(t)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-12:
+            h[i] = 1.0 - beta + 4.0 * beta / np.pi
+        elif abs(abs(4.0 * beta * ti) - 1.0) < 1e-9:
+            h[i] = (beta / np.sqrt(2.0)) * (
+                (1.0 + 2.0 / np.pi) * np.sin(np.pi / (4.0 * beta))
+                + (1.0 - 2.0 / np.pi) * np.cos(np.pi / (4.0 * beta))
+            )
+        else:
+            num = np.sin(np.pi * ti * (1.0 - beta)) + 4.0 * beta * ti * np.cos(
+                np.pi * ti * (1.0 + beta)
+            )
+            den = np.pi * ti * (1.0 - (4.0 * beta * ti) ** 2)
+            h[i] = num / den
+    h /= np.sqrt(np.sum(h * h))
+    return h.astype(np.complex64)
+
+
 def fir_filter(x, taps) -> jnp.ndarray:
     """Causal FIR: ``y[n] = sum_k taps[k] x[n-k]``, output same length as x.
 

@@ -229,6 +229,40 @@ def resample_fft(src, out_len: int, fft_backend=None) -> jnp.ndarray:
     return y * (jnp.float32(out_len) / jnp.float32(n))
 
 
+def fractional_delay(src, tau, fft_backend=None) -> jnp.ndarray:
+    """Delay ``src`` by ``tau`` samples (any real value) via the spectral
+    phase ramp: ``y = ifft( fft(x) * e^{-j 2 pi f tau} )`` with ``f`` the
+    signed bin frequencies.
+
+    Exact for bandlimited signals; the shift is **circular** (the last
+    ``ceil(|tau|)`` samples wrap) — keep a margin or trim the edges for
+    linear use. Integer ``tau`` reduces to an exact circular roll. Batched;
+    composed of two batched FFTs + one elementwise multiply (the ramp is
+    host-precomputed f64 when ``tau`` is a host value). The correction
+    partner of
+    :func:`~aether_primitives_tpu.models.sync.estimate_timing`:
+    ``fractional_delay(x, -tau_hat)`` aligns symbol instants to the grid.
+    """
+    from . import fft as _fft
+
+    src = jnp.asarray(src, dtype=cf32)
+    n = src.shape[-1]
+    freqs = np.fft.fftfreq(n)  # signed cycles/sample, f64
+    if isinstance(tau, (int, float, np.floating, np.integer)):
+        ramp = jnp.asarray(
+            np.exp(-2j * np.pi * freqs * float(tau)).astype(np.complex64)
+        )
+    else:
+        t = jnp.asarray(tau, jnp.float32)
+        ang = -2.0 * np.float32(np.pi) * jnp.asarray(
+            freqs.astype(np.float32)
+        ) * t[..., None]
+        ramp = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    plan = _fft.plan(n, fft_backend)
+    spec = plan.fwd(src, _fft.Scale.NONE) * ramp
+    return plan.bwd(spec, _fft.Scale.N).astype(cf32)
+
+
 def downsample_by(src, factor: int, dense: Optional[bool] = None) -> jnp.ndarray:
     """Decimate by an explicit integer factor (platform-aware like
     :func:`downsample`)."""

@@ -171,3 +171,94 @@ def test_apply_freq_shift_batched(rng):
     for i in range(3):
         ref = np.asarray(apply_freq_shift(x[i], float(fs[i])))
         assert np.allclose(out[i], ref, atol=1e-6)
+
+
+# ---- symbol-timing recovery (Oerder & Meyr) --------------------------------
+
+
+def _shaped_qpsk(rng, nsym, sps, beta=0.35):
+    from aether_primitives_tpu.ops import fir as fir_mod
+    from aether_primitives_tpu.ops import modulation
+
+    bits = rng.integers(0, 2, nsym * 2).astype(np.uint8)
+    syms = np.asarray(modulation.qpsk().modulate(bits))
+    up = np.zeros(nsym * sps, np.complex64)
+    up[::sps] = syms
+    taps = fir_mod.rrc_taps(sps, span=8, beta=beta)
+    return np.asarray(fir_mod.fir_filter(up, taps))
+
+
+def test_rrc_taps_properties():
+    from aether_primitives_tpu.ops import fir as fir_mod
+
+    h = np.asarray(fir_mod.rrc_taps(4, span=10, beta=0.35)).real
+    assert h.shape == (81,)
+    assert abs(np.sum(h * h) - 1.0) < 1e-6  # unit energy
+    assert (h == h[::-1]).all()  # symmetric
+    # matched cascade (RC pulse) has (near-)zero ISI at symbol instants
+    rc = np.convolve(h, h)
+    mid = len(rc) // 2
+    isi = rc[mid % 4 :: 4]
+    isi = np.delete(isi, np.argmax(np.abs(isi)))
+    assert np.abs(isi).max() < 0.01 * np.abs(rc[mid])
+
+
+@pytest.mark.parametrize("tau_true", [0.0, 0.3, -0.45, 1.2])
+def test_estimate_timing_recovers_fractional_offset(tau_true):
+    from aether_primitives_tpu.models import sync
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(1815)
+    sps = 4
+    x = _shaped_qpsk(rng, 2048, sps)
+    delayed = np.asarray(sampling.fractional_delay(x, tau_true))
+    tau_hat = float(np.asarray(sync.estimate_timing(delayed, sps)))
+    err = (tau_hat - tau_true + sps / 2) % sps - sps / 2
+    assert abs(err) < 0.05, (tau_true, tau_hat)
+
+
+def test_timing_correction_restores_symbol_instants():
+    from aether_primitives_tpu.models import sync
+    from aether_primitives_tpu.ops import fir as fir_mod
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(42)
+    sps, tau_true = 4, 0.37
+    x = _shaped_qpsk(rng, 1024, sps)
+    delayed = np.asarray(sampling.fractional_delay(x, tau_true))
+    tau_hat = float(np.asarray(sync.estimate_timing(delayed, sps)))
+    fixed = np.asarray(sampling.fractional_delay(delayed, -tau_hat))
+    # matched filter + symbol-rate sampling: corrected stream has much
+    # lower EVM at the symbol instants than the mis-timed one
+    mf = fir_mod.rrc_taps(sps, span=8, beta=0.35)
+    def symbol_evm(sig):
+        y = np.asarray(fir_mod.fir_filter(sig, mf))
+        d = 2 * 8 * sps // 2 * 2  # two RRC group delays
+        pts = y[d : d + 800 * sps : sps]
+        pts = pts / np.sqrt(np.mean(np.abs(pts) ** 2))
+        ideal = (np.sign(pts.real) + 1j * np.sign(pts.imag)) / np.sqrt(2)
+        return np.sqrt(np.mean(np.abs(pts - ideal) ** 2))
+    assert symbol_evm(fixed) < 0.5 * symbol_evm(delayed)
+
+
+def test_fractional_delay_integer_is_roll(rng):
+    from aether_primitives_tpu.ops import sampling
+
+    x = (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+    y = np.asarray(sampling.fractional_delay(x, 3))
+    from aether_primitives_tpu.evm import evm_rms_db
+
+    assert evm_rms_db(y, np.roll(x, 3).astype(np.complex128)) < -110
+
+
+def test_fractional_delay_traced_tau(rng):
+    import jax
+    import jax.numpy as jnp
+    from aether_primitives_tpu.ops import sampling
+
+    x = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex64)
+    host = np.asarray(sampling.fractional_delay(x, 0.25))
+    traced = np.asarray(jax.jit(sampling.fractional_delay)(x, jnp.float32(0.25)))
+    from aether_primitives_tpu.evm import evm_rms_db
+
+    assert evm_rms_db(traced, host.astype(np.complex128)) < -100
