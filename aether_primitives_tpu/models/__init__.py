@@ -7,6 +7,7 @@ from . import channelizer
 from .modem import Modem, ModemConfig, RxChain, RxChainConfig, TxChain, loopback_delay
 from .channelizer import (
     Channelizer,
+    welch_psd,
     PfbChannelizer,
     PfbSynthesizer,
     pfb_channelize,
@@ -32,6 +33,7 @@ __all__ = [
     "Channelizer",
     "PfbChannelizer",
     "PfbSynthesizer",
+    "welch_psd",
     "pfb_channelize",
     "pfb_prototype",
     "pfb_synthesis_taps",

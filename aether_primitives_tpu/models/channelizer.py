@@ -125,6 +125,58 @@ def waterfall_spectra(
     return mag
 
 
+def welch_psd(
+    samples,
+    fft_len: int,
+    hop: Optional[int] = None,
+    window="hann",
+    fs: float = 1.0,
+    fft_backend: Optional[str] = None,
+    shift: bool = False,
+):
+    """Welch power-spectral-density estimate: windowed overlapped frames,
+    per-frame periodogram, averaged — the statistical companion to
+    :func:`waterfall_spectra` (same TPU-safe framing: dense slab concat, one
+    batched FFT, one mean; no gathers).
+
+    Conventions match ``scipy.signal.welch(..., detrend=False,
+    return_onesided=False, scaling="density")``: density scaling
+    ``Pxx[k] = E[|FFT(w*frame)[k]|^2] / (fs * sum(w^2))`` with frames every
+    ``hop`` samples (default ``fft_len // 2``, scipy's 50% overlap;
+    ``fft_len % hop == 0`` required). Only complete frames enter the
+    average (trailing remainder dropped, like scipy). Returns
+    ``(freqs f64 numpy, psd f32 jnp [..., fft_len])``, bins in FFT order —
+    pass ``shift=True`` for monotonic frequencies (fftshift applied to
+    both). Batched over leading axes.
+    """
+    x = jnp.asarray(samples, dtype=cf32)
+    hop = int(hop) if hop is not None else fft_len // 2
+    n = x.shape[-1]
+    if n < fft_len:
+        raise ValueError(f"capture shorter than one frame ({n} < {fft_len})")
+    # complete frames only: trim so the zero-padded tail frame never forms
+    n_frames = (n - fft_len) // hop + 1
+    x = x[..., : (n_frames - 1) * hop + fft_len]
+    rows = _frames_overlapped(x, fft_len, hop)
+    if isinstance(window, str):
+        # periodic (DFT-even) windows for spectral estimation — the scipy
+        # convention; the symmetric np.* forms are for filter design
+        w = _resolve_window(window, fft_len + 1)[:-1].copy()
+    else:
+        w = _resolve_window(window, fft_len)
+    if w is None:
+        w = np.ones(fft_len, np.float32)
+    spec = fft_plan(fft_len, fft_backend).fwd(rows * jnp.asarray(w), Scale.NONE)
+    p = jnp.mean(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2, axis=-2)
+    scale = 1.0 / (float(fs) * float(np.sum(w.astype(np.float64) ** 2)))
+    psd = (p * jnp.float32(scale)).astype(jnp.float32)
+    freqs = np.fft.fftfreq(fft_len, d=1.0 / fs)
+    if shift:
+        freqs = np.fft.fftshift(freqs)
+        psd = jnp.fft.fftshift(psd, axes=-1)
+    return freqs, psd
+
+
 class Channelizer:
     """Streaming waterfall channelizer stage (pipeline-ready).
 

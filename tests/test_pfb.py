@@ -261,3 +261,48 @@ def test_pfb_synthesizer_rejects_short_block():
     st = PfbSynthesizer(8, taps=np.ones(8 * 4, np.float32))
     with pytest.raises(ValueError, match="Q-1"):
         st.step(np.zeros((2, 8), np.complex64))
+
+
+# ---- Welch PSD --------------------------------------------------------------
+
+
+def test_welch_psd_matches_scipy(rng):
+    scipy_signal = pytest.importorskip("scipy.signal")
+    from aether_primitives_tpu.models.channelizer import welch_psd
+
+    x = (rng.normal(size=1 << 14) + 1j * rng.normal(size=1 << 14)).astype(
+        np.complex64
+    )
+    f_ref, p_ref = scipy_signal.welch(
+        x, fs=2.5, window="hann", nperseg=512, noverlap=256,
+        detrend=False, return_onesided=False, scaling="density",
+    )
+    f_got, p_got = welch_psd(x, 512, hop=256, window="hann", fs=2.5)
+    assert np.allclose(f_got, f_ref)
+    assert np.allclose(np.asarray(p_got), p_ref, rtol=2e-4, atol=1e-6)
+
+
+def test_welch_psd_tone_power():
+    from aether_primitives_tpu.models.channelizer import welch_psd
+
+    n, fft_len = 1 << 14, 1024
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * (200 / fft_len) * t).astype(np.complex64)
+    freqs, psd = welch_psd(x, fft_len, shift=True)
+    psd = np.asarray(psd)
+    k = psd.argmax()
+    assert abs(freqs[k] - 200 / fft_len) < 1e-9
+    # a unit tone's PSD integrates to ~1 (density * df)
+    assert abs(psd.sum() / fft_len - 1.0) < 1e-2
+
+
+def test_welch_psd_batched_and_short_raises(rng):
+    from aether_primitives_tpu.models.channelizer import welch_psd
+
+    x = (rng.normal(size=2 * 4096) + 1j * rng.normal(size=2 * 4096)).astype(
+        np.complex64
+    ).reshape(2, 4096)
+    _, psd = welch_psd(x, 256)
+    assert np.asarray(psd).shape == (2, 256)
+    with pytest.raises(ValueError, match="shorter"):
+        welch_psd(x[0, :100], 256)
