@@ -122,8 +122,10 @@ def _modulation_by_name(name: str):
         return _mod.bpsk()
     if name == "qam16":
         return _mod.qam16()
+    if name.startswith("qam") and name[3:].isdigit():
+        return _mod.qam(int(name[3:]))  # any Gray square QAM: qam64, qam256, ...
     raise ValueError(
-        f"unknown modulation {name!r} (expected 'bpsk', 'qpsk' or 'qam16')"
+        f"unknown modulation {name!r} (expected 'bpsk', 'qpsk' or 'qamN')"
     )
 
 

@@ -250,3 +250,48 @@ def qam16() -> Modulation:
 def qpsk() -> Modulation:
     """Generic Gray-coded QPSK (reference src/modulation.rs:66-68)."""
     return Modulation(GENERIC_QPSK_TABLE, name="qpsk")
+
+
+def _gray_levels(bits: int) -> np.ndarray:
+    """PAM levels indexed by their Gray-coded bit pattern, unit spacing 2:
+    ``levels[g] = 2*rank(g) - (2^bits - 1)`` where ``rank`` inverts the
+    Gray code (binary-reflected)."""
+    m = 1 << bits
+    levels = np.empty(m, np.float64)
+    for g in range(m):
+        # inverse binary-reflected Gray code: b = g ^ (g>>1) ^ (g>>2) ...
+        b, shift = g, 1
+        while (g >> shift) > 0:
+            b ^= g >> shift
+            shift += 1
+        levels[g] = 2.0 * b - (m - 1)
+    return levels
+
+
+def qam(order: int) -> Modulation:
+    """Gray-coded square QAM of the given ``order`` (4, 16, 64, 256, ...),
+    unit average symbol energy.
+
+    LSB-first split: the low ``bits/2`` index bits Gray-select the I level,
+    the high half the Q level — adjacent constellation points differ in
+    exactly one bit along each axis (verified by test). ``qam(16)`` equals
+    :func:`qam16`'s table exactly; higher orders extend the same rule
+    (the reference's blanket demod could not scan these — SURVEY.md §2
+    quirk 4 — the framework's 2^bits demod and soft LLRs handle any order).
+    """
+    order = int(order)
+    bits = int(np.log2(order))
+    if 2**bits != order or bits % 2 or bits < 2:
+        raise ValueError(
+            f"order must be an even power of two >= 4, got {order}"
+        )
+    half = bits // 2
+    m = 1 << half
+    levels = _gray_levels(half)
+    energy = np.sqrt(2.0 * (m * m - 1) / 3.0)  # E|s|^2 of the unit-spaced grid
+    table = np.empty(order, np.complex64)
+    for idx in range(order):
+        i_bits = idx & (m - 1)
+        q_bits = (idx >> half) & (m - 1)
+        table[idx] = (levels[i_bits] + 1j * levels[q_bits]) / energy
+    return Modulation(table, name=f"qam{order}")

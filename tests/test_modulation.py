@@ -180,3 +180,37 @@ def test_interleave_bits_matches_stack():
         expect = np.stack(planes, axis=-1).reshape(3, 17 * bps)
         assert got.dtype == np.uint8
         assert np.array_equal(got, expect), bps
+
+
+# ---- generic square QAM ------------------------------------------------------
+
+
+def test_qam_16_matches_qam16_table():
+    assert (mod.qam(16).table == mod.qam16().table).all()
+
+
+@pytest.mark.parametrize("order", [4, 16, 64, 256])
+def test_qam_properties_and_roundtrip(order, rng):
+    m = mod.qam(order)
+    bps = m.bits_per_symbol
+    assert 2**bps == order
+    # unit average energy
+    assert abs(np.mean(np.abs(m.table) ** 2) - 1.0) < 1e-6
+    # Gray property: nearest neighbors differ in exactly one bit
+    for idx in range(order):
+        d = np.abs(m.table - m.table[idx])
+        d[idx] = np.inf
+        for nb in np.where(np.isclose(d, d.min()))[0]:
+            assert bin(idx ^ nb).count("1") == 1, (idx, nb)
+    # noiseless modulate -> demod roundtrip is exact
+    bits = rng.integers(0, 2, 1024 * bps).astype(np.uint8)
+    syms = m.modulate(bits)
+    back = np.asarray(m.demod(syms))
+    assert (back == bits).all()
+
+
+def test_qam_rejects_non_square():
+    with pytest.raises(ValueError, match="even power"):
+        mod.qam(32)
+    with pytest.raises(ValueError, match="even power"):
+        mod.qam(2)
