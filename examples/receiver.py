@@ -1,5 +1,7 @@
 """Complete burst receiver demo: TX burst -> realistic channel (unknown
-delay, multipath, carrier frequency offset, AWGN) -> timing acquisition
+delay, multipath, carrier frequency offset, AWGN) + analog front end
+(DC offset, IQ imbalance, low drive level) -> front-end conditioning
+(DC removal, blind IQ-imbalance correction, AGC) -> timing acquisition
 (matched-filter preamble detection) -> CFO estimation/correction
 (Schmidl-Cox) -> RX chain -> pilot-based per-subcarrier equalization ->
 exact data bits.
@@ -58,6 +60,26 @@ def main():
     rxed = (rxed * np.exp(2j * np.pi * f0 * np.arange(len(rxed)))).astype(np.complex64)
     rxed = np.asarray(noise.new(1e-6, 815).apply(rxed))
     print(f"channel: delay={delay}, CFO={f0:+.2e} cyc/sample, 3-tap multipath, AWGN")
+
+    # ---- analog front end: low drive, Q-arm imbalance, DC offset ----
+    from aether_primitives_tpu.ops import frontend
+
+    rxed = np.asarray(
+        frontend.apply_iq_imbalance(0.06 * rxed, gain=1.08, phase=0.04)
+    ) + np.complex64(0.013 - 0.008j)
+    print("front end: x0.06 level, IQ gain 1.08 / phase 0.04 rad, DC offset")
+
+    # ---- front-end conditioning (all blind) ----
+    rxed = np.asarray(frontend.remove_dc(rxed))
+    g_hat, ph_hat = (float(np.asarray(v)) for v in
+                     frontend.estimate_iq_imbalance(rxed))
+    rxed = np.asarray(frontend.correct_iq_imbalance(rxed, g_hat, ph_hat))
+    # one-shot level recovery: a burst capture is mostly silence, so a
+    # block AGC would pump between noise-floor and burst gains mid-burst
+    # (frontend.agc is for continuous streams); normalize the capture once
+    rxed = np.asarray(frontend.normalize_rms(rxed))
+    print(f"conditioned: IQ estimate gain={g_hat:.3f} phase={ph_hat:+.3f}, "
+          f"level normalized to rms {np.sqrt(np.mean(np.abs(rxed)**2)):.3f}")
 
     # ---- receiver ----
     off, metric = detect_preamble(rxed, preamble)
