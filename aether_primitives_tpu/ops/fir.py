@@ -278,10 +278,11 @@ def fir_filter_os_decimate(
     Output positions are global multiples of ``factor`` (causal
     convention), ``ceil(n / factor)`` samples total. ``history`` as in
     :func:`fir_filter_os`. This is the core of the digital down-converter
-    (:class:`aether_primitives_tpu.models.ddc.Ddc`).
+    (:class:`aether_primitives_tpu.models.ddc.Ddc`). ``taps`` must be host
+    numpy (the rotated tap spectrum precomputes in f64 at trace time).
     """
     x = _as_c64(x)
-    taps = _as_c64(taps)
+    taps = np.asarray(taps, dtype=np.complex64).ravel()
     n = x.shape[-1]
     k = taps.shape[-1]
     s = int(factor)
