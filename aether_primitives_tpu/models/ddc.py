@@ -32,6 +32,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..types import cf32
 from ..ops import fir as _fir
 from ..ops import frontend as _fe
@@ -116,6 +118,75 @@ class Ddc:
         return y
 
     __call__ = step
+
+
+def sharded_ddc(
+    x,
+    config: DdcConfig,
+    mesh: jax.sharding.Mesh,
+    axis_name: str = "time",
+) -> jnp.ndarray:
+    """DDC over a time-sharded capture: bit-close to single-device
+    ``Ddc(config).step`` on the gathered signal, scaled over ICI.
+
+    Each shard holds a contiguous span of the capture. Two pieces make the
+    result exactly continuous across shards:
+
+    - **global oscillator phase**: shard ``i`` starts at global sample
+      ``i * n_local``, so its local mix is the phase-0 mix rotated by the
+      per-shard constant ``e^{-j 2 pi f i n_local}``. The rotators are
+      f64-exact host constants indexed by ``axis_index`` (a
+      ``[mesh_size]`` table — no long in-shard ramps, same precision as
+      the exact-mod NCO).
+    - **filter halo**: the left neighbor's last ``K-1`` *mixed* samples
+      arrive over ICI (:func:`~aether_primitives_tpu.parallel.halo.left_tail`)
+      as the decimating overlap-save history.
+
+    ``n_local`` must be divisible by ``decimation`` so the decimated
+    streams concatenate on the global grid (asserted).
+    """
+    from functools import partial
+
+    from ..parallel.halo import left_tail
+
+    pspec = jax.sharding.PartitionSpec
+    size = mesh.shape[axis_name]
+    n = x.shape[-1]
+    if n % size:
+        raise ValueError(f"capture length {n} must divide over {size} shards")
+    n_local = n // size
+    if n_local % config.decimation:
+        raise ValueError(
+            f"local shard length {n_local} must be divisible by the "
+            f"decimation {config.decimation}"
+        )
+    taps = config.resolved_taps()
+    # f64-exact per-shard phase rotators: e^{-j 2 pi f * i * n_local}
+    cyc = np.mod(-np.float64(config.freq) * n_local * np.arange(size), 1.0)
+    rotators = np.exp(2j * np.pi * cyc).astype(np.complex64)
+
+    def shard_fn(x_local):
+        i = jax.lax.axis_index(axis_name)
+        rot = jnp.asarray(rotators)[i]
+        mixed = rot * _fe.nco_mix(x_local, -config.freq)
+        k = taps.shape[-1]
+        h = left_tail(mixed, k - 1, axis_name) if k > 1 else None
+        return _fir.fir_filter_os_decimate(
+            mixed,
+            taps,
+            config.decimation,
+            block_len=config.block_len,
+            fft_backend=config.fft_backend,
+            history=h,
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=pspec(*([None] * (x.ndim - 1) + [axis_name])),
+        out_specs=pspec(*([None] * (x.ndim - 1) + [axis_name])),
+    )
+    return fn(x)
 
 
 @dataclass(frozen=True)

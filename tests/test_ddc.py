@@ -102,3 +102,28 @@ def test_ddc_decimation_one_is_pure_mixer(rng):
     y = np.asarray(Ddc(DdcConfig(freq=0.05, decimation=1)).step(x))
     gold = x.astype(np.complex128) * np.exp(-2j * np.pi * 0.05 * np.arange(1024))
     assert evm_rms_db(y, gold) < -100
+
+
+def test_sharded_ddc_matches_single_device(rng, eight_devices):
+    import jax
+    from aether_primitives_tpu.models.ddc import sharded_ddc
+
+    mesh = jax.sharding.Mesh(np.array(eight_devices), ("time",))
+    f, dec = 0.173, 4
+    x = rand_c(rng, 8 * 4096)
+    cfg = DdcConfig(freq=f, decimation=dec)
+    single = np.asarray(Ddc(cfg).step(x))
+    sharded = np.asarray(jax.jit(
+        lambda v: sharded_ddc(v, cfg, mesh)
+    )(x))
+    assert sharded.shape == single.shape
+    assert evm_rms_db(sharded, single.astype(np.complex128)) < -110
+
+
+def test_sharded_ddc_rejects_bad_lengths(rng, eight_devices):
+    import jax
+    from aether_primitives_tpu.models.ddc import sharded_ddc
+
+    mesh = jax.sharding.Mesh(np.array(eight_devices), ("time",))
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_ddc(rand_c(rng, 8 * 4098), DdcConfig(decimation=4), mesh)
