@@ -104,6 +104,35 @@ def spectrum(
     _finish(fig, file)
 
 
+def psd(
+    samples,
+    fft_len: int,
+    title: str,
+    file: Optional[str] = None,
+    fs: float = 1.0,
+    window: str = "hann",
+    fft_backend: Optional[str] = None,
+):
+    """Welch power-spectral-density plot (dB/Hz, fftshifted frequencies) —
+    the statistical upgrade of :func:`spectrum` (which shows one noisy
+    chunk): frames the whole capture and averages periodograms via
+    :func:`~aether_primitives_tpu.models.channelizer.welch_psd`."""
+    from ..models.channelizer import welch_psd as _welch
+
+    plt = _plt()
+    freqs, p = _welch(
+        np.asarray(samples).reshape(-1), fft_len, window=window, fs=fs,
+        fft_backend=fft_backend, shift=True,
+    )
+    fig, ax = plt.subplots()
+    ax.plot(freqs, 10.0 * np.log10(np.asarray(p) + 1e-30), color="green")
+    ax.set_title(title)
+    ax.set_xlabel("frequency" + (" [Hz]" if fs != 1.0 else " [cycles/sample]"))
+    ax.set_ylabel("PSD [dB/Hz]")
+    ax.grid(True, alpha=0.3)
+    _finish(fig, file)
+
+
 def time(symbol, title: str, file: Optional[str] = None):
     """Real/imag traces with a magnitude subplot (reference ``time``,
     src/util/plot.rs:157-225)."""

@@ -47,3 +47,10 @@ def test_compare(sig, tmp_path):
 def test_compare_length_mismatch(sig):
     with pytest.raises(ValueError, match="equal length"):
         plot.compare(sig[:10], sig[:20], "x")
+
+
+def test_psd_plot_saves(tmp_path, rng):
+    x = (rng.normal(size=8192) + 1j * rng.normal(size=8192)).astype(np.complex64)
+    out = tmp_path / "psd.png"
+    plot.psd(x, 512, "psd", file=str(out))
+    assert out.stat().st_size > 0
