@@ -289,7 +289,16 @@ def bench_main(argv=None):
         return time.perf_counter() - t0
 
     run(3)  # settle
-    dt, floor = marginal_cost(run, 10, 60)
+    # relay timing noise is one-sided (stalls, never speed-ups) and varies
+    # +/-30% between whole marginal-cost rounds even warmed (DEVNOTES.md);
+    # each round costs well under a second at this workload, so take the
+    # best of several interleaved rounds as the hardware estimate
+    dt, floor = None, float("inf")
+    for _ in range(5):
+        dt_i, floor_i = marginal_cost(run, 10, 60)
+        floor = min(floor, floor_i)
+        if dt_i is not None:
+            dt = dt_i if dt is None else min(dt, dt_i)
     if dt is None:
         print(json.dumps({
             "metric": "rx_chain_msamples_per_s_per_chip",
