@@ -19,7 +19,7 @@ from . import sync
 from . import ber
 from . import ddc
 from .sync import OfdmEqualizer, detect_preamble
-from .ddc import Ddc, DdcConfig, Duc, DucConfig
+from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc
 
 __all__ = [
     "modem",
@@ -45,6 +45,8 @@ __all__ = [
     "DdcConfig",
     "Duc",
     "DucConfig",
+    "ddc_bank",
+    "sharded_ddc",
     "OfdmEqualizer",
     "detect_preamble",
 ]

@@ -120,6 +120,31 @@ class Ddc:
     __call__ = step
 
 
+def ddc_bank(x, freqs, decimation: int, taps=None, fft_backend=None) -> jnp.ndarray:
+    """Extract ``C`` arbitrarily-placed channels at once: one batched
+    mix + fold over a ``[C, n]`` broadcast of the capture.
+
+    The non-uniform counterpart of the PFB channelizer
+    (:func:`~aether_primitives_tpu.models.channelizer.pfb_channelize`,
+    which needs uniformly spaced channels): each row mixes by its own
+    f64-exact NCO tables (``nco_mix`` broadcasts per-row frequencies) and
+    all rows share one batched decimating overlap-save — XLA sees a single
+    ``[C, ...]`` FFT workload. Returns ``[C, ceil(n/decimation)]``.
+    One-shot (phase starts at 0); for streaming state use one
+    :class:`Ddc` per channel.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    if x.ndim != 1:
+        raise ValueError("ddc_bank takes a 1-D capture")
+    f = np.asarray(freqs, np.float64).ravel()
+    if taps is None:
+        taps = DdcConfig(decimation=decimation).resolved_taps()
+    mixed = _fe.nco_mix(jnp.broadcast_to(x, (f.shape[0], x.shape[-1])), -f)
+    return _fir.fir_filter_os_decimate(
+        mixed, taps, decimation, fft_backend=fft_backend
+    )
+
+
 def sharded_ddc(
     x,
     config: DdcConfig,

@@ -191,6 +191,32 @@ def image_rejection_db(x, tone_bin: int) -> jnp.ndarray:
     return (10.0 * jnp.log10(p_sig / (p_img + 1e-30))).astype(jnp.float32)
 
 
+def estimate_snr_m2m4(y) -> jnp.ndarray:
+    """Blind SNR estimate from second/fourth moments (M2M4, the classic
+    NDA in-service estimator): for a constant-modulus signal ``s``
+    (``|s|^2 = S``) in circular complex AWGN of power ``N``::
+
+        m2 = E[|y|^2] = S + N
+        m4 = E[|y|^4] = S^2 + 4 S N + 2 N^2
+        =>  S = sqrt(2 m2^2 - m4),  N = m2 - S
+
+    Returns the linear SNR ``S / N`` (f32; per-row for batched input;
+    ``inf`` when the noise estimate underflows to <= 0 on clean signals).
+    Exact in expectation for PSK; for QAM the constant-modulus assumption
+    biases the estimate (the standard M2M4 caveat) — calibrate or use a
+    pilot-aided estimate when the constellation has amplitude rings.
+    """
+    y = jnp.asarray(y, dtype=cf32)
+    p = jnp.real(y) ** 2 + jnp.imag(y) ** 2
+    m2 = jnp.mean(p, axis=-1)
+    m4 = jnp.mean(p * p, axis=-1)
+    s = jnp.sqrt(jnp.maximum(2.0 * m2 * m2 - m4, 0.0))
+    n = m2 - s
+    return jnp.where(n > 0, s / jnp.where(n > 0, n, 1.0), jnp.inf).astype(
+        jnp.float32
+    )
+
+
 def agc(
     x,
     target_rms: float = 1.0,

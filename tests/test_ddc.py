@@ -127,3 +127,15 @@ def test_sharded_ddc_rejects_bad_lengths(rng, eight_devices):
     mesh = jax.sharding.Mesh(np.array(eight_devices), ("time",))
     with pytest.raises(ValueError, match="divisible"):
         sharded_ddc(rand_c(rng, 8 * 4098), DdcConfig(decimation=4), mesh)
+
+
+def test_ddc_bank_matches_per_channel(rng):
+    from aether_primitives_tpu.models.ddc import ddc_bank
+
+    x = rand_c(rng, 8192)
+    freqs = [-0.2, 0.05, 0.31]
+    bank = np.asarray(ddc_bank(x, freqs, 4))
+    assert bank.shape == (3, 2048)
+    for i, f in enumerate(freqs):
+        single = np.asarray(Ddc(DdcConfig(freq=f, decimation=4)).step(x))
+        assert evm_rms_db(bank[i], single.astype(np.complex128)) < -110, f

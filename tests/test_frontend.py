@@ -130,3 +130,24 @@ def test_normalize_rms(rng):
     y = np.asarray(frontend.normalize_rms(x, 2.0))
     for i in range(2):
         assert abs(np.sqrt(np.mean(np.abs(y[i]) ** 2)) - 2.0) < 1e-3
+
+
+@pytest.mark.parametrize("snr_db", [0.0, 10.0, 20.0])
+def test_estimate_snr_m2m4(rng, snr_db):
+    from aether_primitives_tpu.ops import modulation
+
+    n = 1 << 16
+    bits = rng.integers(0, 2, 2 * n).astype(np.uint8)
+    s = np.asarray(modulation.qpsk().modulate(bits)) / np.sqrt(2)  # |s|=1
+    npow = 10 ** (-snr_db / 10)
+    noise = np.sqrt(npow / 2) * (
+        rng.normal(size=n) + 1j * rng.normal(size=n)
+    )
+    y = (s + noise).astype(np.complex64)
+    est_db = 10 * np.log10(float(np.asarray(frontend.estimate_snr_m2m4(y))))
+    assert abs(est_db - snr_db) < 0.5, (snr_db, est_db)
+
+
+def test_estimate_snr_clean_signal_is_inf():
+    tone = np.exp(2j * np.pi * 0.1 * np.arange(4096)).astype(np.complex64)
+    assert np.isinf(float(np.asarray(frontend.estimate_snr_m2m4(tone))))
