@@ -82,7 +82,19 @@ class Ddc:
     and the ``K-1``-sample filter history carry across calls, so feeding a
     capture block-by-block equals the single-shot result exactly (tested).
     Reset by constructing a new instance. For independent channels, run one
-    ``Ddc`` per channel center over the same block — XLA batches the FFTs.
+    ``Ddc`` per channel center over the same block (streaming) or
+    :func:`ddc_bank` (one-shot batched extraction).
+
+    A tone at the channel center comes out at DC at the low rate:
+
+    >>> import numpy as np
+    >>> t = np.arange(4096)
+    >>> x = np.exp(2j * np.pi * 0.2 * t).astype(np.complex64)
+    >>> y = np.asarray(Ddc(DdcConfig(freq=0.2, decimation=4)).step(x))
+    >>> y.shape
+    (1024,)
+    >>> bool(np.abs(np.fft.fft(y[256:768])).argmax() == 0)
+    True
     """
 
     def __init__(self, config: DdcConfig = DdcConfig()):

@@ -66,6 +66,13 @@ def nco_mix(x, freq, phase0=0.0) -> jnp.ndarray:
 
     For streaming continuity across blocks, carry
     ``phase0' = next_phase(n, freq, phase0)`` into the next call.
+
+    >>> import numpy as np
+    >>> y = np.asarray(nco_mix(np.ones(4, np.complex64), 0.25))
+    >>> bool(np.allclose(y, [1, 1j, -1, -1j], atol=1e-6))
+    True
+    >>> float(next_phase(4, 0.25))  # a whole number of cycles -> phase 0
+    0.0
     """
     x = jnp.asarray(x, dtype=cf32)
     n = x.shape[-1]

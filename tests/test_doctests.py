@@ -10,7 +10,9 @@ import doctest
 
 import pytest
 
+import aether_primitives_tpu.models.ddc as ddc_mod
 import aether_primitives_tpu.ops.fft as fft_mod
+import aether_primitives_tpu.ops.frontend as frontend_mod
 import aether_primitives_tpu.ops.sequence as sequence_mod
 import aether_primitives_tpu.ops.vecops as vecops_mod
 import aether_primitives_tpu.parallel.streaming as streaming_mod
@@ -18,6 +20,8 @@ import aether_primitives_tpu.utils.db as db_mod
 import aether_primitives_tpu.utils.profiling as profiling_mod
 
 _MODULES = [
+    ddc_mod,
+    frontend_mod,
     fft_mod,
     sequence_mod,
     vecops_mod,
