@@ -18,6 +18,7 @@ from .channelizer import (
 from . import sync
 from . import ber
 from . import ddc
+from . import equalizer
 from .sync import OfdmEqualizer, detect_preamble
 from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc
 
@@ -41,6 +42,7 @@ __all__ = [
     "sync",
     "ber",
     "ddc",
+    "equalizer",
     "Ddc",
     "DdcConfig",
     "Duc",
