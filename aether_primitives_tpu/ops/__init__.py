@@ -10,8 +10,10 @@ from . import sequence
 from . import noise
 from . import fir
 from . import frontend
+from . import analog
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
+    "analog",
 ]
