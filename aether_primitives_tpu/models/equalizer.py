@@ -129,6 +129,86 @@ def dd_equalize(
     return y.astype(cf32), w
 
 
+def fdaf(
+    x,
+    d,
+    ntaps: int,
+    mu: float = 0.5,
+    forget: float = 0.9,
+    eps: float = 1e-6,
+    fft_backend=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frequency-domain adaptive filter (constrained overlap-save block
+    NLMS): identify/track the system mapping ``x -> d`` with one weight
+    update per ``B``-sample block — the TPU-idiomatic adaptive filter.
+
+    Where :func:`lms_equalize` updates per symbol (a serial scan of tiny
+    dots), FDAF does all of its work as ``2B``-point batched FFTs and
+    elementwise math, adapting ``B`` samples at a time: per block,
+    ``Y = X . W`` (overlap-save), the error transforms back, each bin's
+    step is normalized by its running input power (per-bin NLMS — uniform
+    convergence across the spectrum, the classic FDAF advantage), and the
+    gradient is projected back to causal length-``B`` support (the
+    "constrained" variant — unbiased, exact LMS equivalence in
+    expectation). The classic echo-canceller / long-channel-tracker
+    structure.
+
+    ``B`` is the smallest power of two >= ``ntaps`` (FFT size ``2B``).
+    Returns ``(y, w, err)``: the filter output stream (length of ``x``,
+    adapting as it goes), the final ``[ntaps]`` time-domain weights, and
+    per-block RMS error (convergence monitor).
+    """
+    from ..ops import fft as _fft
+
+    x = jnp.asarray(x, dtype=cf32)
+    dd = jnp.asarray(d, dtype=cf32)
+    n = x.shape[-1]
+    if dd.shape[-1] != n:
+        raise ValueError("x and d must have equal lengths")
+    b = 1
+    while b < ntaps:
+        b *= 2
+    nfft = 2 * b
+    nb = -(-n // b)
+    npad = nb * b
+    if npad != n:
+        pad = [(0, npad - n)]
+        x = jnp.pad(x, pad)
+        dd = jnp.pad(dd, pad)
+    xb = x.reshape(nb, b)
+    db = dd.reshape(nb, b)
+    plan = _fft.plan(nfft, fft_backend)
+    scale_n = _fft.Scale.N
+    none = _fft.Scale.NONE
+    mu = jnp.float32(mu)
+    lam = jnp.float32(forget)
+    zeros_b = jnp.zeros((b,), cf32)
+
+    def step(carry, inp):
+        w, p, prev = carry
+        xcur, dcur = inp
+        buf = jnp.concatenate([prev, xcur])
+        xf = plan.fwd(buf, none)
+        y = plan.bwd(xf * w, scale_n)[b:]
+        e = dcur - y
+        ef = plan.fwd(jnp.concatenate([zeros_b, e]), none)
+        p = lam * p + (1.0 - lam) * (jnp.real(xf) ** 2 + jnp.imag(xf) ** 2)
+        g = jnp.conj(xf) * ef / (p + eps)
+        # gradient constraint: causal length-B support
+        gt = plan.bwd(g, scale_n)
+        g = plan.fwd(jnp.concatenate([gt[:b], zeros_b]), none)
+        w = w + mu * g
+        rms = jnp.sqrt(jnp.mean(jnp.real(e) ** 2 + jnp.imag(e) ** 2))
+        return (w, p, xcur), (y, rms)
+
+    w0 = jnp.zeros((nfft,), cf32)
+    p0 = jnp.full((nfft,), jnp.float32(eps))
+    (w, _, _), (yb, err) = jax.lax.scan(step, (w0, p0, zeros_b), (xb, db))
+    y = yb.reshape(npad)[:n]
+    w_time = plan.bwd(w, scale_n)[:ntaps]
+    return y.astype(cf32), w_time.astype(cf32), err
+
+
 def cma_equalize(
     x,
     ntaps: int = 11,

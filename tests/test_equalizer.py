@@ -89,3 +89,50 @@ def test_lms_scale_free_step(rng):
     r1 = np.mean(np.asarray(e1)[-100:]) / np.mean(np.asarray(e1)[:100])
     r2 = np.mean(np.asarray(e2)[-100:]) / np.mean(np.asarray(e2)[:100])
     assert abs(r1 - r2) < 0.05
+
+
+def test_fdaf_system_identification(rng):
+    # identify an unknown 33-tap channel from input/output observation
+    h = (0.5 * (rng.normal(size=33) + 1j * rng.normal(size=33))).astype(
+        np.complex64
+    )
+    h /= np.sqrt(np.sum(np.abs(h) ** 2))
+    n = 1 << 15
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    d = np.convolve(x, h)[:n] + 1e-3 * (
+        rng.normal(size=n) + 1j * rng.normal(size=n)
+    )
+    y, w, err = equalizer.fdaf(x, d.astype(np.complex64), ntaps=33, mu=0.5)
+    w = np.asarray(w)
+    mis = np.sum(np.abs(w - h) ** 2) / np.sum(np.abs(h) ** 2)
+    assert mis < 1e-3, mis  # -30 dB weight misadjustment
+    err = np.asarray(err)
+    assert err[-1] < 0.05 * err[0]  # converged
+    # output tracks d once converged
+    tail = slice(n // 2, n)
+    rel = np.sqrt(
+        np.mean(np.abs(np.asarray(y)[tail] - d[tail]) ** 2)
+        / np.mean(np.abs(d[tail]) ** 2)
+    )
+    assert rel < 0.05
+
+
+def test_fdaf_tracks_channel_change(rng):
+    # the weights follow a mid-stream channel switch (the tracking use-case)
+    h1 = np.array([1.0, 0.5, -0.25], np.complex64)
+    h2 = np.array([0.3, -1.0, 0.4j], np.complex64)
+    n = 1 << 15
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    d1 = np.convolve(x[: n // 2], h1)[: n // 2]
+    d2 = np.convolve(x[n // 2 :], h2)[: n // 2]
+    d = np.concatenate([d1, d2]).astype(np.complex64)
+    y, w, err = equalizer.fdaf(x, d, ntaps=8, mu=0.5)
+    w = np.asarray(w)
+    assert np.sum(np.abs(w[:3] - h2) ** 2) / np.sum(np.abs(h2) ** 2) < 1e-2
+
+
+def test_fdaf_length_mismatch_raises(rng):
+    with pytest.raises(ValueError, match="equal lengths"):
+        equalizer.fdaf(
+            np.zeros(128, np.complex64), np.zeros(100, np.complex64), 8
+        )
