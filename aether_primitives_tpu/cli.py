@@ -202,6 +202,29 @@ def microbench_main(argv=None):
             B * nfft,
         )
 
+    # framework extensions beyond the criterion surface: the front-end
+    # mixer and the fused DDC core (mix -> lowpass -> /8)
+    from aether_primitives_tpu.models.ddc import DdcConfig
+    from aether_primitives_tpu.ops import frontend
+
+    nddc = B * 2048
+    ddc_taps = DdcConfig(decimation=8).resolved_taps()
+    one = rsplit((nddc,))
+    timed(
+        "nco mix [flat]",
+        f32_boundary(lambda x: frontend.nco_mix(x, 0.1375)),
+        one, nddc,
+    )
+    timed(
+        "ddc core: mix+fir129+/8 [flat]",
+        f32_boundary(
+            lambda x: fir.fir_filter_os_decimate(
+                frontend.nco_mix(x, 0.1375), ddc_taps, 8
+            )
+        ),
+        one, nddc,
+    )
+
     payload = {"platform": platform, "batch": B, "results": results}
     if args.json:
         with open(args.json, "w") as f:
