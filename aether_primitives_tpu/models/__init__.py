@@ -19,8 +19,10 @@ from . import sync
 from . import ber
 from . import ddc
 from . import equalizer
+from . import ofdm
 from .sync import OfdmEqualizer, detect_preamble
 from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc
+from .ofdm import OfdmConfig, OfdmModem, cp_sync
 
 __all__ = [
     "modem",
@@ -43,6 +45,10 @@ __all__ = [
     "ber",
     "ddc",
     "equalizer",
+    "ofdm",
+    "OfdmConfig",
+    "OfdmModem",
+    "cp_sync",
     "Ddc",
     "DdcConfig",
     "Duc",
