@@ -84,6 +84,32 @@ def estimate_timing(x, sps: int) -> jnp.ndarray:
     return jnp.mod(tau + sps / 2.0, float(sps)) - sps / 2.0
 
 
+def estimate_phase_mpsk(x, m: int = 4) -> jnp.ndarray:
+    """Feedforward carrier-phase estimate for M-PSK (Viterbi & Viterbi
+    M-th power): raising M-PSK symbols to the M-th power wipes the data
+    (``s^M`` is constant), leaving ``M`` times the common phase::
+
+        phi = angle( sum_n x[n]^M ) / M
+
+    Returns radians in ``[-pi/M, pi/M)`` — the estimate is modulo the
+    constellation's ``2*pi/M`` rotational symmetry (resolve the ambiguity
+    with a pilot or differential coding). The natural partner of the blind
+    :func:`~aether_primitives_tpu.models.equalizer.cma_equalize`, which
+    converges with an arbitrary rotation. One reduction, batched.
+
+    For the standard QPSK table (constellation on the diagonals at
+    ``pi/4 + k*pi/2``), a zero-offset stream returns ~0: the estimator
+    references the M-th-power phase of the table itself (``(e^{j pi/4})^4
+    = e^{j pi} = -1``), which is divided out before the angle.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    acc = jnp.sum(x**m, axis=-1)
+    # reference rotation of the canonical M-PSK grid: points at
+    # pi/M + 2 pi k/M (the framework's BPSK/QPSK tables) power to e^{j pi}
+    acc = acc * jnp.exp(jnp.complex64(-1j * np.pi))
+    return (jnp.angle(acc) / m).astype(jnp.float32)
+
+
 def estimate_cfo(x, rep_len: int) -> jnp.ndarray:
     """Carrier-frequency-offset estimate from a repeated preamble
     (Schmidl & Cox): with ``x`` starting at two identical ``rep_len``-sample

@@ -262,3 +262,45 @@ def test_fractional_delay_traced_tau(rng):
     from aether_primitives_tpu.evm import evm_rms_db
 
     assert evm_rms_db(traced, host.astype(np.complex128)) < -100
+
+
+@pytest.mark.parametrize("phi", [0.0, 0.2, -0.35])
+def test_estimate_phase_mpsk_qpsk(rng, phi):
+    from aether_primitives_tpu.models.sync import estimate_phase_mpsk
+
+    bits = rng.integers(0, 2, 2 * 4096).astype(np.uint8)
+    s = np.asarray(modulation.qpsk().modulate(bits)) / np.sqrt(2)
+    y = (s * np.exp(1j * phi)).astype(np.complex64)
+    y += (0.02 * (rng.normal(size=s.size) + 1j * rng.normal(size=s.size))).astype(
+        np.complex64
+    )
+    phi_hat = float(np.asarray(estimate_phase_mpsk(y, 4)))
+    err = (phi_hat - phi + np.pi / 4) % (np.pi / 2) - np.pi / 4
+    assert abs(err) < 0.01, (phi, phi_hat)
+
+
+def test_estimate_phase_then_derotate_fixes_cma_output(rng):
+    from aether_primitives_tpu.models import equalizer
+    from aether_primitives_tpu.models.sync import estimate_phase_mpsk
+
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, 2 * 6000).astype(np.uint8)
+    tx = np.asarray(qpsk.modulate(bits)) / np.sqrt(2)
+    chan = np.array([1.0, 0.4 - 0.2j], np.complex64) * np.exp(0.4j)
+    x = np.convolve(tx, chan)[: tx.size].astype(np.complex64)
+    y, _ = equalizer.cma_equalize(x, ntaps=9, mu=0.02, r2=1.0)
+    y = np.asarray(y)[2000:]
+    phi = float(np.asarray(estimate_phase_mpsk(y, 4)))
+    fixed = y * np.exp(-1j * phi)
+    got = np.asarray(qpsk.demod(fixed.astype(np.complex64)))
+    want = bits[2 * 2000 :]
+    # the pi/2 ambiguity maps bits through a fixed permutation; accept any
+    # of the 4 rotations being bit-exact
+    ok = False
+    for k in range(4):
+        rot = (fixed * np.exp(-1j * np.pi / 2 * k)).astype(np.complex64)
+        cand = np.asarray(qpsk.demod(rot))
+        if (cand == want[: cand.size]).all():
+            ok = True
+            break
+    assert ok
