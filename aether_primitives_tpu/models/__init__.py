@@ -21,7 +21,7 @@ from . import ddc
 from . import equalizer
 from . import ofdm
 from .sync import OfdmEqualizer, detect_preamble
-from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc
+from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc, sharded_duc
 from .ofdm import OfdmConfig, OfdmModem, cp_sync
 
 __all__ = [
@@ -55,6 +55,7 @@ __all__ = [
     "DucConfig",
     "ddc_bank",
     "sharded_ddc",
+    "sharded_duc",
     "OfdmEqualizer",
     "detect_preamble",
 ]

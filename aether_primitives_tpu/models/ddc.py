@@ -255,6 +255,16 @@ class DucConfig:
         return (h * self.interpolation).astype(np.complex64)
 
 
+def _polyphase_branches(taps: np.ndarray, ell: int) -> np.ndarray:
+    """``[L, kb]`` polyphase decomposition: branch ``t`` holds
+    ``h[t], h[t+L], h[t+2L], ...`` (zero-padded to equal length)."""
+    k = taps.shape[-1]
+    kb = -(-k // ell)
+    padded = np.zeros(kb * ell, np.complex64)
+    padded[:k] = taps
+    return padded.reshape(kb, ell).T.copy()
+
+
 class Duc:
     """Streaming digital up-converter: polyphase interpolation + NCO mix.
 
@@ -272,13 +282,9 @@ class Duc:
     def __init__(self, config: DucConfig = DucConfig()):
         self.config = config
         self.taps = config.resolved_taps()
-        ell = int(config.interpolation)
-        k = self.taps.shape[-1]
-        kb = -(-k // ell)  # branch length
-        padded = np.zeros(kb * ell, np.complex64)
-        padded[:k] = self.taps
-        # branch t: h[t], h[t+L], h[t+2L], ...
-        self._branches = padded.reshape(kb, ell).T.copy()  # [L, kb]
+        self._branches = _polyphase_branches(
+            self.taps, int(config.interpolation)
+        )
         self._phase = 0.0
         self._history: Optional[jnp.ndarray] = None
 
@@ -318,3 +324,64 @@ class Duc:
         return y
 
     __call__ = step
+
+
+def sharded_duc(
+    x,
+    config: DucConfig,
+    mesh: jax.sharding.Mesh,
+    axis_name: str = "time",
+) -> jnp.ndarray:
+    """DUC over a time-sharded baseband: bit-close to single-device
+    ``Duc(config).step`` on the gathered signal.
+
+    The mirror of :func:`sharded_ddc`: each shard runs the polyphase
+    branch filters with the left neighbor's ``kb-1`` input samples as
+    overlap-save history (ICI halo), interleaves locally (a shard's
+    ``n_local`` inputs produce exactly its ``n_local * L`` contiguous
+    outputs — the interleave never crosses shards), and mixes up with a
+    per-shard f64-exact oscillator rotator at the OUTPUT rate.
+    """
+    from functools import partial
+
+    from ..parallel.halo import left_tail
+
+    pspec = jax.sharding.PartitionSpec
+    size = mesh.shape[axis_name]
+    n = x.shape[-1]
+    if n % size:
+        raise ValueError(f"baseband length {n} must divide over {size} shards")
+    n_local = n // size
+    ell = int(config.interpolation)
+    taps = config.resolved_taps()
+    branches = _polyphase_branches(taps, ell)
+    kb = branches.shape[-1]
+    cyc = np.mod(
+        np.float64(config.freq) * (n_local * ell) * np.arange(size), 1.0
+    )
+    rotators = np.exp(2j * np.pi * cyc).astype(np.complex64)
+
+    def shard_fn(x_local):
+        i = jax.lax.axis_index(axis_name)
+        halo = left_tail(x_local, kb - 1, axis_name) if kb > 1 else None
+        outs = [
+            _fir.fir_filter_os(
+                x_local, branches[t], block_len=config.block_len,
+                fft_backend=config.fft_backend, history=halo,
+            )
+            for t in range(ell)
+        ]
+        y_tu = jnp.stack(outs, axis=-2)
+        y = jnp.swapaxes(y_tu, -1, -2).reshape(
+            x_local.shape[:-1] + (x_local.shape[-1] * ell,)
+        )
+        rot = jnp.asarray(rotators)[i]
+        return rot * _fe.nco_mix(y, config.freq)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=pspec(*([None] * (x.ndim - 1) + [axis_name])),
+        out_specs=pspec(*([None] * (x.ndim - 1) + [axis_name])),
+    )
+    return fn(jnp.asarray(x, dtype=cf32))

@@ -139,3 +139,17 @@ def test_ddc_bank_matches_per_channel(rng):
     for i, f in enumerate(freqs):
         single = np.asarray(Ddc(DdcConfig(freq=f, decimation=4)).step(x))
         assert evm_rms_db(bank[i], single.astype(np.complex128)) < -110, f
+
+
+def test_sharded_duc_matches_single_device(rng, eight_devices):
+    import jax
+    from aether_primitives_tpu.models.ddc import sharded_duc
+
+    mesh = jax.sharding.Mesh(np.array(eight_devices), ("time",))
+    f, ell = 0.27, 4
+    x = rand_c(rng, 8 * 1024)
+    cfg = DucConfig(freq=f, interpolation=ell)
+    single = np.asarray(Duc(cfg).step(x))
+    sharded = np.asarray(jax.jit(lambda v: sharded_duc(v, cfg, mesh))(x))
+    assert sharded.shape == single.shape
+    assert evm_rms_db(sharded, single.astype(np.complex128)) < -110
