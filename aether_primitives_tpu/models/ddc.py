@@ -27,7 +27,7 @@ hood — jit/scan/shard_map-friendly.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -182,8 +182,6 @@ def sharded_ddc(
     ``n_local`` must be divisible by ``decimation`` so the decimated
     streams concatenate on the global grid (asserted).
     """
-    from functools import partial
-
     from ..parallel.halo import left_tail
 
     pspec = jax.sharding.PartitionSpec
@@ -342,8 +340,6 @@ def sharded_duc(
     outputs — the interleave never crosses shards), and mixes up with a
     per-shard f64-exact oscillator rotator at the OUTPUT rate.
     """
-    from functools import partial
-
     from ..parallel.halo import left_tail
 
     pspec = jax.sharding.PartitionSpec
