@@ -230,7 +230,9 @@ def microbench_main(argv=None):
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"wrote {args.json}")
-    return payload
+    # console-script protocol: setuptools passes the return value to
+    # sys.exit(), so returning the payload dict would exit 1 — return None
+    return None
 
 
 def numpy_reference_bits(x: np.ndarray, taps: np.ndarray, dec: int, fft_len: int):
