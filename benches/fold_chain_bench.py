@@ -63,13 +63,33 @@ def main():
 
     fold_front = jax.jit(fold_front_fn)
 
+    # hybrid: fold front (FIR+decimate, time domain) + the two-einsum op at
+    # span = fft_len (dec=1, identity taps) for frame FFT + staged sign
+    # demod — 4x less einsum work than the production span = dec*fft_len
+    def make_hybrid(n1):
+        c1 = RxChain(RxChainConfig(
+            fft_len=m, decimation=1,
+            fir_taps=np.array([1.0 + 0j], np.complex64),
+            fir_mode="fused", stage_n1=n1,
+        ))
+
+        def hybrid_bits(b):
+            y = fir.fir_filter_os_decimate(b.to_complex(), taps, dec)
+            return c1.step(y)
+
+        return jax.jit(hybrid_bits)
+
+    hybrid128 = make_hybrid(None)  # heuristic (128)
+    hybrid16 = make_hybrid(16)
+
     rng = np.random.default_rng(815)
     x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
     blk = jax.device_put(Split(x.real.copy(), x.imag.copy()), dev)
     digest = _Digest()
 
     ref_bits = numpy_reference_bits(x, taps, dec, m)
-    for name, fn in (("production", production), ("fold", fold)):
+    for name, fn in (("production", production), ("fold", fold),
+                     ("hybrid128", hybrid128), ("hybrid16", hybrid16)):
         got = np.asarray(fn(blk))
         agree = float((got == ref_bits).mean())
         print(f"{name:12s} bit agreement vs f64: {agree:.7f}", flush=True)
@@ -80,6 +100,7 @@ def main():
     digest(out)
 
     variants = [("production", production), ("fold", fold),
+                ("hybrid128", hybrid128), ("hybrid16", hybrid16),
                 ("fold-front", fold_front)]
     best = {}
     for rnd in range(args.rounds):
