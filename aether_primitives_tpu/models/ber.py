@@ -32,21 +32,44 @@ def q_function(x: float) -> float:
     return 0.5 * math.erfc(x / math.sqrt(2.0))
 
 
+def _gray_pam_ber(m_axis: int, d_over_sigma: float) -> float:
+    """Exact Gray-coded M-PAM bit error rate (Cho & Yoon 2002, eq. 16):
+    ``d_over_sigma`` is the half-distance between adjacent levels over the
+    per-component noise std. Averaged over the axis's ``log2(M)`` bits."""
+    kbits = int(math.log2(m_axis))
+    total = 0.0
+    for k in range(1, kbits + 1):
+        pk = 0.0
+        top = int((1 - 2.0**-k) * m_axis)
+        for i in range(top):
+            f = math.floor(i * 2.0 ** (k - 1) / m_axis)
+            weight = (-1.0) ** f * (
+                2.0 ** (k - 1) - math.floor(i * 2.0 ** (k - 1) / m_axis + 0.5)
+            )
+            pk += weight * q_function((2 * i + 1) * d_over_sigma)
+        total += (2.0 / m_axis) * pk
+    return total / kbits
+
+
 def theoretical_ber(modulation: str, power: float) -> float:
     """Closed-form BER of the generic constellations at noise ``power``
-    (per-component variance)."""
+    (per-component variance). ``qamN`` uses the exact Gray-coded PAM-per-
+    axis expression (Cho & Yoon) for any square order — ``qam16`` matches
+    the hand-derived 16-QAM form exactly (tested)."""
     sigma = math.sqrt(power)
     if modulation == "qpsk":
         return q_function(1.0 / sigma)
     if modulation == "bpsk":
         return q_function(math.sqrt(2.0) / sigma)
-    if modulation == "qam16":
-        # exact Gray-coded 4-PAM per axis: levels +-d, +-3d with
-        # d = 1/sqrt(10) (unit average symbol energy), averaged over both
-        # bits of the axis
-        d = 1.0 / math.sqrt(10.0)
-        q1, q3, q5 = (q_function(k * d / sigma) for k in (1, 3, 5))
-        return 0.75 * q1 + 0.5 * q3 - 0.25 * q5
+    if modulation.startswith("qam") and modulation[3:].isdigit():
+        order = int(modulation[3:])
+        bits = int(math.log2(order))
+        if 2**bits != order or bits % 2:
+            raise ValueError(f"{modulation!r} is not a square QAM")
+        m_axis = 2 ** (bits // 2)
+        # unit-average-energy grid: half min-distance 1/sqrt(2(Ma^2-1)/3)
+        d = 1.0 / math.sqrt(2.0 * (m_axis**2 - 1) / 3.0)
+        return _gray_pam_ber(m_axis, d / sigma)
     raise ValueError(f"no closed form for {modulation!r}")
 
 
@@ -60,6 +83,7 @@ def simulate_ber(
     from .modem import _modulation_by_name
 
     m = _modulation_by_name(modulation)
+    n_bits -= n_bits % m.bits_per_symbol  # whole symbols only
     key = jax.random.key(seed)
 
     @jax.jit

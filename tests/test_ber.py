@@ -30,3 +30,23 @@ def test_qam16_ber_matches_closed_form():
     rows = ber.simulate_ber("qam16", powers=(0.1, 0.05), n_bits=1 << 19)
     for power, sim, theory in rows:
         assert sim == pytest.approx(theory, rel=0.12), power
+
+
+def test_qam_generic_theory_matches_qam16_hand_form():
+    import math
+
+    from aether_primitives_tpu.models.ber import q_function, theoretical_ber
+
+    for p in (0.02, 0.1, 0.3):
+        sigma = math.sqrt(p)
+        d = 1.0 / math.sqrt(10.0)
+        hand = (0.75 * q_function(d / sigma) + 0.5 * q_function(3 * d / sigma)
+                - 0.25 * q_function(5 * d / sigma))
+        assert abs(theoretical_ber("qam16", p) - hand) < 1e-12
+
+
+def test_qam64_ber_matches_theory():
+    from aether_primitives_tpu.models.ber import simulate_ber
+
+    for p, sim, theo in simulate_ber("qam64", powers=(0.01, 0.02), n_bits=1 << 21):
+        assert abs(sim - theo) < max(0.15 * theo, 3e-5), (p, sim, theo)
