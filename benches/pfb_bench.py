@@ -71,6 +71,17 @@ def main():
     print(f"correctness gate (vs f64 WOLA): {gate:.1f} dB", flush=True)
     assert gate < -80
 
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_synthesis_taps,
+        pfb_synthesize,
+    )
+
+    g = pfb_synthesis_taps(h, m, taps_per_branch=2 * p)
+
+    def synth(b):
+        fr = b.to_complex().reshape(-1, m)  # treat capture as channel frames
+        return pfb_synthesize(fr, m, taps=g)
+
     variants = [
         ("pfb P=%d" % p, lambda b: pfb_channelize(b.to_complex(), m, taps=h)),
         (
@@ -80,6 +91,7 @@ def main():
                 scale=Scale.NONE,
             ),
         ),
+        ("synthesis Q=%d" % (-(-g.shape[-1] // m)), synth),
     ]
 
     best = {}
