@@ -22,7 +22,7 @@ from . import ops
 from . import parallel
 from . import utils
 from . import models
-from .ops import vecops, fft, sampling, modulation, sequence, noise, fir, frontend, analog
+from .ops import vecops, fft, sampling, modulation, sequence, noise, fir, frontend, analog, fec
 from .ops.vecops import CVec
 from .ops.fft import Scale, Fft, plan as fft_plan
 from .utils import DB
@@ -58,4 +58,5 @@ __all__ = [
     "fir",
     "frontend",
     "analog",
+    "fec",
 ]

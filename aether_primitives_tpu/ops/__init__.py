@@ -11,9 +11,11 @@ from . import noise
 from . import fir
 from . import frontend
 from . import analog
+from . import fec
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
+    "fec",
 ]

@@ -1,0 +1,96 @@
+"""FEC tests: convolutional encoder vs an independent bit-serial reference,
+Viterbi hard/soft decode roundtrips, error correction, and coded-vs-uncoded
+gain through the modulation stack."""
+
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.ops import fec
+
+
+def _encode_ref(bits, polys, k):
+    """Independent bit-serial reference encoder (shift register)."""
+    state = [0] * (k - 1)  # newest first
+    out = []
+    for b in list(bits) + [0] * (k - 1):
+        reg = [b] + state
+        for p in polys:
+            taps = [(p >> (k - 1 - j)) & 1 for j in range(k)]
+            out.append(sum(t * r for t, r in zip(taps, reg)) % 2)
+        state = [b] + state[:-1]
+    return np.array(out, np.uint8)
+
+
+@pytest.mark.parametrize("polys,k", [((0o7, 0o5), 3), ((0o171, 0o133), 7)])
+def test_conv_encode_matches_bit_serial_reference(rng, polys, k):
+    bits = rng.integers(0, 2, 200).astype(np.uint8)
+    got = np.asarray(fec.conv_encode(bits, polys, k))
+    ref = _encode_ref(bits, polys, k)
+    assert (got == ref).all()
+
+
+def test_conv_encode_k3_known_vector():
+    # classic (7,5) K=3 example: input 1 0 1 1 -> 11 10 00 01, then flush
+    got = np.asarray(
+        fec.conv_encode(np.array([1, 0, 1, 1], np.uint8), (0o7, 0o5), 3)
+    )
+    assert (got[:8] == np.array([1, 1, 1, 0, 0, 0, 0, 1], np.uint8)).all()
+
+
+@pytest.mark.parametrize("polys,k", [((0o7, 0o5), 3), ((0o171, 0o133), 7)])
+def test_viterbi_clean_roundtrip(rng, polys, k):
+    bits = rng.integers(0, 2, 500).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits, polys, k))
+    out = np.asarray(fec.viterbi_decode(fec.hard_to_llr(coded), polys, k))
+    assert out.shape == bits.shape
+    assert (out == bits).all()
+
+
+def test_viterbi_corrects_bit_errors(rng):
+    bits = rng.integers(0, 2, 1000).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits))
+    # flip 3% of the coded bits (well inside K=7 rate-1/2 correction power)
+    flips = rng.choice(coded.size, size=coded.size * 3 // 100, replace=False)
+    corrupted = coded.copy()
+    corrupted[flips] ^= 1
+    out = np.asarray(fec.viterbi_decode(fec.hard_to_llr(corrupted)))
+    assert (out == bits).all()
+
+
+def test_viterbi_soft_beats_hard(rng):
+    # QPSK at low SNR: soft-decision decoding corrects where hard fails
+    from aether_primitives_tpu.ops import modulation
+
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, 4000).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits))
+    syms = np.asarray(qpsk.modulate(coded))
+    sigma = 0.85  # per-component noise std on the +-1 grid
+    noisy = (syms + sigma * (rng.normal(size=syms.size)
+                             + 1j * rng.normal(size=syms.size))).astype(np.complex64)
+    llr_soft = np.asarray(qpsk.demod_soft(noisy, noise_var=sigma**2)).reshape(-1)
+    hard_bits = np.asarray(qpsk.demod(noisy))
+    out_soft = np.asarray(fec.viterbi_decode(llr_soft))
+    out_hard = np.asarray(fec.viterbi_decode(fec.hard_to_llr(hard_bits)))
+    ber_soft = (out_soft != bits).mean()
+    ber_hard = (out_hard != bits).mean()
+    ber_uncoded = (hard_bits[: 2 * 2000] != coded[: 2 * 2000]).mean()
+    assert ber_soft < ber_hard or (ber_soft == 0 and ber_hard == 0)
+    assert ber_soft < 0.3 * ber_uncoded
+
+
+def test_viterbi_unterminated(rng):
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits, terminate=False))
+    out = np.asarray(
+        fec.viterbi_decode(fec.hard_to_llr(coded), terminated=False)
+    )
+    # truncated decoding is exact except possibly the last few bits
+    assert (out[:-10] == bits[:-10]).all()
+
+
+def test_viterbi_rejects_bad_input(rng):
+    with pytest.raises(ValueError, match="multiple"):
+        fec.viterbi_decode(np.zeros(7, np.float32))
+    with pytest.raises(ValueError, match="flat"):
+        fec.viterbi_decode(np.zeros((2, 4), np.float32))
