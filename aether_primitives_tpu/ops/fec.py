@@ -181,3 +181,28 @@ def viterbi_decode(
 def hard_to_llr(bits) -> jnp.ndarray:
     """Map hard bits {0,1} to the LLR convention (+1 = strong 0)."""
     return (1.0 - 2.0 * jnp.asarray(bits).astype(jnp.float32)).astype(jnp.float32)
+
+
+def interleave(x, rows: int) -> jnp.ndarray:
+    """Block interleaver: write row-wise into a ``[rows, cols]`` matrix,
+    read column-wise — a channel-error burst of up to ``rows`` symbols
+    lands at least ``cols - 1`` positions apart after deinterleaving,
+    i.e. as isolated errors inside the Viterbi decoder's correction span.
+    Length must divide by ``rows``. Works on bits or LLRs (any dtype);
+    invert with :func:`deinterleave` using the same ``rows``."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n % rows:
+        raise ValueError(f"length {n} not divisible by rows {rows}")
+    m = x.reshape(x.shape[:-1] + (rows, n // rows))
+    return jnp.swapaxes(m, -1, -2).reshape(x.shape)
+
+
+def deinterleave(x, rows: int) -> jnp.ndarray:
+    """Inverse of :func:`interleave` (same ``rows``)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n % rows:
+        raise ValueError(f"length {n} not divisible by rows {rows}")
+    m = x.reshape(x.shape[:-1] + (n // rows, rows))
+    return jnp.swapaxes(m, -1, -2).reshape(x.shape)

@@ -295,3 +295,46 @@ def qam(order: int) -> Modulation:
         q_bits = (idx >> half) & (m - 1)
         table[idx] = (levels[i_bits] + 1j * levels[q_bits]) / energy
     return Modulation(table, name=f"qam{order}")
+
+
+def differential_encode(indices, order: int) -> jnp.ndarray:
+    """Differential symbol-index encoding: ``tx[i] = sum_{j<=i} d[j] mod M``
+    (a running sum — ``jnp.cumsum``, fully parallel). The receiver
+    recovers ``d`` from *differences* of detected indices, so a constant
+    index rotation of the whole constellation (e.g. the ``2*pi/M``
+    ambiguity left by blind carrier recovery —
+    :func:`~aether_primitives_tpu.models.sync.estimate_phase_mpsk`)
+    cancels. Use with an M-PSK table whose index maps linearly to phase
+    (:func:`psk_table`), not a Gray table.
+    """
+    d = jnp.asarray(indices).astype(jnp.int32)
+    return jnp.mod(jnp.cumsum(d, axis=-1), order)
+
+
+def differential_decode(indices, order: int) -> jnp.ndarray:
+    """Inverse of :func:`differential_encode`: first-order index
+    difference mod M (the first symbol is referenced to index 0)."""
+    r = jnp.asarray(indices).astype(jnp.int32)
+    prev = jnp.pad(r, [(0, 0)] * (r.ndim - 1) + [(1, 0)])[..., :-1]
+    return jnp.mod(r - prev, order)
+
+
+def psk_table(order: int) -> np.ndarray:
+    """M-PSK constellation with index-linear phase:
+    ``table[i] = e^{j 2 pi i / M}`` (NOT Gray coded — index arithmetic is
+    phase arithmetic, the property differential coding needs)."""
+    i = np.arange(int(order), dtype=np.float64)
+    return np.exp(2j * np.pi * i / order).astype(np.complex64)
+
+
+def nearest_index(symbols, table) -> jnp.ndarray:
+    """Hard nearest-constellation-point indices (the index-level demod —
+    :meth:`Modulation.demod` emits bits; differential decoding needs the
+    indices themselves)."""
+    s = jnp.asarray(symbols, dtype=cf32)
+    t = jnp.asarray(np.asarray(table, np.complex64))
+    d2 = (
+        (jnp.real(s)[..., None] - jnp.real(t)) ** 2
+        + (jnp.imag(s)[..., None] - jnp.imag(t)) ** 2
+    )
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)

@@ -94,3 +94,31 @@ def test_viterbi_rejects_bad_input(rng):
         fec.viterbi_decode(np.zeros(7, np.float32))
     with pytest.raises(ValueError, match="flat"):
         fec.viterbi_decode(np.zeros((2, 4), np.float32))
+
+
+def test_interleaver_roundtrip_and_burst_spread(rng):
+    x = rng.integers(0, 2, 640).astype(np.uint8)
+    inter = np.asarray(fec.interleave(x, 16))
+    assert (np.asarray(fec.deinterleave(inter, 16)) == x).all()
+    # a burst of up to rows=16 errors lands >= cols-1 = 39 apart originally
+    hit = np.zeros(640, bool)
+    hit[100:116] = True
+    orig_positions = np.where(np.asarray(fec.deinterleave(hit, 16)))[0]
+    assert np.diff(orig_positions).min() >= 39
+
+
+def test_interleaved_viterbi_survives_burst(rng):
+    bits = rng.integers(0, 2, 984).astype(np.uint8)  # 984+6 flush -> 1980
+    coded = np.asarray(fec.conv_encode(bits))
+    inter = np.asarray(fec.interleave(coded, 30))
+    corrupted = inter.copy()
+    corrupted[500:530] ^= 1  # a 30-bit burst: fatal without interleaving
+    out = np.asarray(
+        fec.viterbi_decode(fec.hard_to_llr(fec.deinterleave(corrupted, 30)))
+    )
+    assert (out == bits).all()
+    # control: the same burst without interleaving breaks the decoder
+    direct = coded.copy()
+    direct[500:530] ^= 1
+    out2 = np.asarray(fec.viterbi_decode(fec.hard_to_llr(direct)))
+    assert (out2 != bits).any()

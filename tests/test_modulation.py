@@ -214,3 +214,30 @@ def test_qam_rejects_non_square():
         mod.qam(32)
     with pytest.raises(ValueError, match="even power"):
         mod.qam(2)
+
+
+# ---- differential coding -----------------------------------------------------
+
+
+def test_differential_roundtrip_and_rotation_invariance(rng):
+    order = 4
+    table = mod.psk_table(order)
+    d = rng.integers(0, order, 2048).astype(np.int32)
+    tx_idx = np.asarray(mod.differential_encode(d, order))
+    syms = table[tx_idx]
+    # arbitrary constellation rotation by k * 2pi/M (the blind-recovery
+    # ambiguity): decoded differences are unchanged
+    for k in range(order):
+        rot = (syms * np.exp(2j * np.pi * k / order)).astype(np.complex64)
+        rx_idx = np.asarray(mod.nearest_index(rot, table))
+        got = np.asarray(mod.differential_decode(rx_idx, order))
+        # the first difference absorbs the rotation; the rest are exact
+        assert (got[1:] == d[1:]).all(), k
+
+
+def test_nearest_index_matches_table(rng):
+    table = mod.psk_table(8)
+    idx = rng.integers(0, 8, 512)
+    noisy = (table[idx] + 0.05 * (rng.normal(size=512)
+                                  + 1j * rng.normal(size=512))).astype(np.complex64)
+    assert (np.asarray(mod.nearest_index(noisy, table)) == idx).all()
