@@ -1,0 +1,56 @@
+"""Coded-link demo: K=7 rate-1/2 convolutional code + block interleaver +
+QPSK over an AWGN channel with an error burst — soft-decision Viterbi
+recovers exact bits where the uncoded link fails badly.
+
+Run: python examples/coded.py
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if "--tpu" not in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aether_primitives_tpu.ops import fec, modulation
+
+    rng = np.random.default_rng(815)
+    qpsk = modulation.qpsk()
+    n_info = 4000
+    bits = rng.integers(0, 2, n_info).astype(np.uint8)
+
+    # encode -> interleave -> modulate
+    coded = np.asarray(fec.conv_encode(bits))  # rate 1/2 + flush
+    rows = 52
+    pad = (-coded.size) % rows  # interleaver needs divisibility
+    coded_p = np.pad(coded, (0, pad))
+    tx = np.asarray(qpsk.modulate(fec.interleave(coded_p, rows)))
+    print(f"{n_info} info bits -> {coded.size} coded bits -> {tx.size} QPSK symbols")
+
+    # channel: heavy AWGN + a deep fade wiping out 40 consecutive symbols
+    sigma = 0.55
+    rx = tx + sigma * (rng.normal(size=tx.size) + 1j * rng.normal(size=tx.size))
+    rx[1000:1040] = 0.01 * rx[1000:1040]
+    rx = rx.astype(np.complex64)
+
+    # soft demod -> deinterleave -> Viterbi
+    llr = np.asarray(qpsk.demod_soft(rx, noise_var=sigma**2)).reshape(-1)
+    llr = np.asarray(fec.deinterleave(llr, rows))[: coded.size]
+    out = np.asarray(fec.viterbi_decode(llr))
+    ber_coded = float((out != bits).mean())
+
+    hard = np.asarray(qpsk.demod(rx)).reshape(-1)
+    hard = np.asarray(fec.deinterleave(hard, rows))[: coded.size]
+    ber_raw = float((hard != coded).mean())
+    print(f"channel bit error rate (uncoded): {ber_raw:.2%}")
+    print(f"decoded bit error rate (coded):   {ber_coded:.2%}")
+    assert ber_coded == 0.0, "coded link failed"
+    print("bit-exact through AWGN + a 40-symbol fade.")
+
+
+if __name__ == "__main__":
+    main()
