@@ -69,6 +69,21 @@ def main():
         assert agree == 1.0, f"process {pid} shard {sh.index}: {agree}"
         checked += got.size
     assert checked == ref.size // nproc, (checked, ref.size)
+
+    # second cross-process path: the sharded DDC (per-shard exact NCO
+    # rotators + a halo that crosses the process boundary)
+    from aether_primitives_tpu.models.ddc import Ddc, DdcConfig, sharded_ddc
+
+    dcfg = DdcConfig(freq=0.1375, decimation=4)
+    xd = jax.make_array_from_process_local_data(sharding, local, (n,))
+    got_d = sharded_ddc(xd, dcfg, mesh)
+    ref_d = np.asarray(Ddc(dcfg).step(x))
+    for sh in got_d.addressable_shards:
+        g = np.asarray(sh.data)
+        w = ref_d[sh.index[-1]]
+        err = np.sqrt(np.mean(np.abs(g - w) ** 2) / (np.mean(np.abs(w) ** 2)))
+        assert err < 1e-5, f"process {pid} ddc shard {sh.index}: {err}"
+
     print(f"process {pid}: {checked} bits verified OK", flush=True)
 
 
