@@ -165,3 +165,40 @@ def lte_gold(c_init: int, length: int, nc: int = 1600) -> jnp.ndarray:
     #  -> x2(n) = x2(n-28) + x2(n-29) + x2(n-30) + x2(n-31)
     x2 = lfsr_matrix_generate(expand(c_init, 31), (28, 29, 30, 31), total)
     return ((x1[nc:] + x2[nc:]) % 2).astype(jnp.uint8)
+
+
+def bits_to_chips(bits) -> jnp.ndarray:
+    """{0,1} spreading bits -> antipodal f32 chips {+1, -1} (bit 0 -> +1,
+    the standard BPSK chip map)."""
+    return (1.0 - 2.0 * jnp.asarray(bits).astype(jnp.float32)).astype(jnp.float32)
+
+
+def dsss_spread(symbols, chips) -> jnp.ndarray:
+    """Direct-sequence spread: each symbol is multiplied by the ``L``-chip
+    code — ``[..., n]`` symbols -> ``[..., n * L]`` chips at the chip rate.
+
+    Pure broadcast + reshape (one fused elementwise kernel). Spreading by
+    an ``L``-chip code buys ``10*log10(L)`` dB of processing gain on
+    despread (the matched accumulation rejects wideband noise/interference)
+    — the DSSS/CDMA layer the framework's Gold sequences
+    (:func:`lte_gold`) exist to serve.
+    """
+    s = jnp.asarray(symbols)
+    c = jnp.asarray(chips)
+    out = s[..., :, None] * c
+    return out.reshape(s.shape[:-1] + (s.shape[-1] * c.shape[-1],))
+
+
+def dsss_despread(x, chips) -> jnp.ndarray:
+    """Matched despread: correlate each ``L``-chip span with the code and
+    normalize — the inverse of :func:`dsss_spread` (exact on clean input;
+    noise is attenuated by the processing gain). ``[..., n*L] -> [..., n]``.
+    Realized as a reshape + small matvec against ``conj(chips)/L`` (MXU-
+    or VPU-friendly; no strided access)."""
+    x = jnp.asarray(x)
+    c = jnp.asarray(chips)
+    ell = c.shape[-1]
+    n = x.shape[-1] // ell
+    frames = x[..., : n * ell].reshape(x.shape[:-1] + (n, ell))
+    w = jnp.conj(c) / (jnp.sum(jnp.abs(c) ** 2))
+    return jnp.sum(frames * w, axis=-1)
