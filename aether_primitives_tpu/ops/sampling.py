@@ -229,6 +229,79 @@ def resample_fft(src, out_len: int, fft_backend=None) -> jnp.ndarray:
     return y * (jnp.float32(out_len) / jnp.float32(n))
 
 
+@functools.lru_cache(maxsize=None)
+def _farrow_matrix(p: int, q: int) -> np.ndarray:
+    """``[q+3, p]`` cubic-Lagrange resampling operator for one period.
+
+    Output phase ``j`` of each period sits at input position
+    ``t_j = j*q/p = n_j + mu_j``; column ``j`` holds the 4 Lagrange weights
+    of ``x[n_j - 1 .. n_j + 2]`` at fraction ``mu_j`` (f64 design). A
+    period consumes ``q`` inputs and produces ``p`` outputs; the operator
+    contracts an input window of ``q + 3`` samples (1 left + 2 right
+    neighbors)."""
+    m = np.zeros((q + 3, p), np.float64)
+    for j in range(p):
+        t = j * q / p
+        n = int(np.floor(t))
+        mu = t - n
+        # cubic Lagrange weights at points (-1, 0, 1, 2)
+        w = np.array([
+            -mu * (mu - 1) * (mu - 2) / 6.0,
+            (mu + 1) * (mu - 1) * (mu - 2) / 2.0,
+            -(mu + 1) * mu * (mu - 2) / 2.0,
+            (mu + 1) * mu * (mu - 1) / 6.0,
+        ])
+        m[n : n + 4, j] = w  # rows are x[n-1 .. n+2] shifted by the +1 halo
+    return m.astype(np.float32)
+
+
+def resample_poly(src, p: int, q: int) -> jnp.ndarray:
+    """Arbitrary rational resampling by ``p/q`` via cubic (Farrow-style)
+    interpolation — the streaming/chunked complement of
+    :func:`resample_fft` (which transforms the whole block and assumes a
+    hard bandlimit).
+
+    The fractional-position pattern repeats every ``p`` outputs / ``q``
+    inputs, so the whole resampler is one precomputed ``[q+3, p]``
+    operator (:func:`_farrow_matrix`) applied per input period: reshape
+    into ``[n/q, q]`` periods, extend each with 1 left + 2 right neighbor
+    samples (stride-1 slices — the overlap-save pattern), and batch-matmul
+    — MXU/VPU-dense, no gathers. Output length is ``n * p / q`` (input
+    length must divide by ``q``; pad to taste). Cubic interpolation is
+    exact for polynomials up to degree 3 (tested) and ~-50 dB images for
+    oversampled signals; pre-filter with :func:`~..fir.fir_filter_os` when
+    downsampling aliasable content.
+    """
+    src = jnp.asarray(src, dtype=cf32)
+    p = int(p)
+    q = int(q)
+    g = int(np.gcd(p, q))
+    p //= g
+    q //= g
+    if p == q:
+        return src
+    n = src.shape[-1]
+    if n % q:
+        raise ValueError(f"input length {n} must be divisible by q = {q}")
+    nper = n // q
+    batch = src.shape[:-1]
+    # windows: period k needs x[k*q - 1 .. k*q + q + 1] (q + 3 samples);
+    # edge periods use zero padding (the causal/flush convention). Built
+    # from whole q-sized slabs (dense concat of shifted slab views — the
+    # same TPU-safe pattern as the channelizer's overlapped frames)
+    xp = jnp.pad(src, [(0, 0)] * (src.ndim - 1) + [(1, 2)])
+    nslabs = 1 + -(-3 // q)  # slabs covering q + 3 samples
+    total = (nper + nslabs - 1) * q
+    xp = jnp.pad(xp, [(0, 0)] * (src.ndim - 1) + [(0, total - xp.shape[-1])])
+    slabs = xp.reshape(batch + (nper + nslabs - 1, q))
+    parts = [slabs[..., i : i + nper, :] for i in range(nslabs)]
+    win = jnp.concatenate(parts, axis=-1)[..., : q + 3]  # [..., nper, q+3]
+    m = jnp.asarray(_farrow_matrix(p, q))
+    y = jnp.matmul(win, m.astype(src.dtype) if jnp.issubdtype(
+        src.dtype, jnp.complexfloating) else m)
+    return y.reshape(batch + (nper * p,)).astype(cf32)
+
+
 def fractional_delay(src, tau, fft_backend=None) -> jnp.ndarray:
     """Delay ``src`` by ``tau`` samples (any real value) via the spectral
     phase ramp: ``y = ifft( fft(x) * e^{-j 2 pi f tau} )`` with ``f`` the

@@ -149,3 +149,70 @@ def test_dense_interpolate_matches_broadcast():
         # exact at the source points and the final sample
         assert np.array_equal(a[..., :: between + 1][..., : n - 1], x[..., :-1])
         assert np.array_equal(a[..., -1], x[..., -1])
+
+
+# ---- rational Farrow resampler -----------------------------------------------
+
+
+def test_resample_poly_identity_and_gcd(rng):
+    x = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex64)
+    assert (np.asarray(sampling.resample_poly(x, 4, 4)) == x).all()
+    a = np.asarray(sampling.resample_poly(x, 6, 4))
+    b = np.asarray(sampling.resample_poly(x, 3, 2))
+    assert (a == b).all()
+
+
+def test_resample_poly_cubic_exactness():
+    # cubic interpolation reproduces a degree-3 polynomial exactly
+    n = 128
+    t = np.arange(n, dtype=np.float64)
+    poly = 0.3 + 0.02 * t - 1e-4 * t**2 + 5e-7 * t**3
+    x = poly.astype(np.complex64)
+    p, q = 7, 4
+    y = np.asarray(sampling.resample_poly(x, p, q))
+    m = np.arange(y.size, dtype=np.float64)
+    tt = m * q / p
+    want = 0.3 + 0.02 * tt - 1e-4 * tt**2 + 5e-7 * tt**3
+    inner = (tt >= 1) & (tt <= n - 3)  # skip zero-padded edges
+    err = np.abs(y.real[inner] - want[inner])
+    assert err.max() < 1e-5
+
+
+def test_resample_poly_tone_frequency_scales(rng):
+    p, q = 160, 147  # classic audio SRC ratio
+    n = q * 28  # divisible by q
+    f = 0.03
+    x = np.exp(2j * np.pi * f * np.arange(n)).astype(np.complex64)
+    y = np.asarray(sampling.resample_poly(x, p, q))
+    assert y.size == n * p // q
+    core = y[64:-64]
+    spec = np.abs(np.fft.fft(core * np.hanning(core.size)))  # window kills
+    k = spec.argmax()                                        # leakage skirts
+    f_out = k / spec.size
+    assert abs(f_out - f * q / p) < 1.0 / spec.size
+    # image/spur floor of cubic interp on an oversampled tone
+    spur = np.delete(spec, np.arange(k - 3, k + 4)).max()
+    assert 20 * np.log10(spur / spec[k]) < -50
+
+
+def test_resample_poly_matches_fft_resampler_on_oversampled_signal(rng):
+    from aether_primitives_tpu.ops import fir as fir_mod
+
+    n = 2048
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    # heavily oversample so cubic error is small: lowpass to 1/8 band
+    lp = np.real(fir_mod.rrc_taps(8, span=8, beta=0.3)).astype(np.complex64)
+    x = np.asarray(fir_mod.fir_filter(x, lp))
+    p, q = 3, 2
+    got = np.asarray(sampling.resample_poly(x, p, q))
+    ref = np.asarray(sampling.resample_fft(x, n * p // q))
+    inner = slice(32, got.size - 32)
+    err = np.sqrt(np.mean(np.abs(got[inner] - ref[inner]) ** 2)
+                  / np.mean(np.abs(ref[inner]) ** 2))
+    assert err < 0.02, err
+
+
+def test_resample_poly_rejects_bad_length(rng):
+    x = np.zeros(100, np.complex64)
+    with pytest.raises(ValueError, match="divisible"):
+        sampling.resample_poly(x, 3, 7)
