@@ -20,9 +20,11 @@ from . import ber
 from . import ddc
 from . import equalizer
 from . import ofdm
+from . import fsk
 from .sync import OfdmEqualizer, detect_preamble
 from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc, sharded_duc
 from .ofdm import OfdmConfig, OfdmModem, cp_sync
+from .fsk import FskConfig, FskModem
 
 __all__ = [
     "modem",
@@ -49,6 +51,9 @@ __all__ = [
     "OfdmConfig",
     "OfdmModem",
     "cp_sync",
+    "fsk",
+    "FskConfig",
+    "FskModem",
     "Ddc",
     "DdcConfig",
     "Duc",
