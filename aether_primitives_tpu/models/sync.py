@@ -140,6 +140,74 @@ def apply_freq_shift(x, cycles_per_sample) -> jnp.ndarray:
     return (x * rot).astype(cf32)
 
 
+def costas_loop(
+    x,
+    m: int = 4,
+    loop_bw: float = 0.01,
+    damping: float = 0.7071,
+    phase0: float = 0.0,
+    freq0: float = 0.0,
+):
+    """Second-order decision-free carrier-tracking PLL (Costas loop,
+    M-th-power phase detector) — returns ``(y, phase, freq)`` where ``y``
+    is the de-rotated stream and ``phase``/``freq`` are the per-sample
+    loop traces (radians, radians/sample).
+
+    The block estimators above (:func:`estimate_phase_mpsk`,
+    :func:`estimate_cfo`) are the TPU-native fast path for *static*
+    offsets — one reduction each. A *time-varying* carrier (oscillator
+    phase noise, residual CFO drift, Doppler) needs feedback: this is the
+    classic proportional-integral loop as a ``lax.scan`` carrying
+    ``(phase, freq)``, with the M-th-power detector
+    ``e = angle((y_n)^M · e^{-j·pi}) / M`` (data wiped for any M-PSK, same
+    grid-reference rotation as :func:`estimate_phase_mpsk`; estimates are
+    modulo ``2*pi/M``). Gains follow the standard loop-bandwidth
+    normalization: ``theta = Bn/(zeta + 1/(4 zeta))``,
+    ``Kp = 4 zeta theta / d``, ``Ki = 4 theta^2 / d`` with
+    ``d = 1 + 2 zeta theta + theta^2``; ``Bn`` = ``loop_bw`` in cycles per
+    SYMBOL (run at one sample/symbol after timing recovery).
+
+    Serial by nature (each correction feeds the next decision), so the
+    scan step is kept scalar-tiny; for multi-burst workloads batch via
+    leading axes (the scan vectorizes across them). Track, then hand the
+    corrected stream to the block demod.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    zeta = float(damping)
+    theta = float(loop_bw) / (zeta + 1.0 / (4.0 * zeta))
+    d = 1.0 + 2.0 * zeta * theta + theta * theta
+    kp = jnp.float32(4.0 * zeta * theta / d)
+    ki = jnp.float32(4.0 * theta * theta / d)
+    mm = jnp.float32(m)
+
+    def step(carry, xn):
+        phase, freq = carry
+        rot = jax.lax.complex(jnp.cos(-phase), jnp.sin(-phase))
+        y = xn * rot
+        # M-th power detector, grid-referenced like estimate_phase_mpsk
+        ym = y**m * jnp.exp(jnp.complex64(-1j * np.pi))
+        err = jnp.angle(ym) / mm
+        freq = freq + ki * err
+        phase_out = phase
+        phase = phase + freq + kp * err
+        return (phase, freq), (y, phase_out, freq)
+
+    init = (jnp.float32(phase0), jnp.float32(freq0))
+    if x.ndim == 1:
+        _, (y, ph, fr) = jax.lax.scan(step, init, x)
+        return y.astype(cf32), ph, fr
+    scan_t = jax.vmap(
+        lambda row: jax.lax.scan(step, init, row)[1], in_axes=0, out_axes=0
+    )
+    y, ph, fr = scan_t(x.reshape(-1, x.shape[-1]))
+    shp = x.shape
+    return (
+        y.reshape(shp).astype(cf32),
+        ph.reshape(shp),
+        fr.reshape(shp),
+    )
+
+
 class OfdmEqualizer:
     """One-tap per-subcarrier equalizer from a known pilot frame.
 

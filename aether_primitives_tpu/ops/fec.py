@@ -178,6 +178,151 @@ def viterbi_decode(
     return bits
 
 
+@functools.lru_cache(maxsize=None)
+def _crc_matrices(poly: int, width: int, block: int):
+    """GF(2) block matrices for the CRC register recurrence.
+
+    State = the ``width`` CRC register bits MSB-first. One message bit
+    ``b`` (MSB-first convention) updates ``crc' = (crc << 1) ^ ((crc_msb
+    ^ b) ? poly : 0)`` — affine over GF(2):
+    ``crc' = A @ crc ⊕ b·p`` with ``A = shift ⊕ p·e0ᵀ`` and ``p`` the
+    polynomial bit vector. ``block`` bits therefore advance the state as
+    ``state' = A^B @ state ⊕ M @ bits`` with ``M[:, j] = A^(B-1-j) p`` —
+    two small matmuls per block instead of a bit-serial loop (the same
+    companion-matrix trick as :func:`~..sequence.lfsr_matrix_generate`).
+    Exact numpy integer arithmetic here; f32 on device (dot-product sums
+    ≤ ``block + width`` < 2^24).
+    """
+    p = np.array([(poly >> (width - 1 - i)) & 1 for i in range(width)], np.int64)
+    a = np.zeros((width, width), np.int64)
+    a[: width - 1, 1:] = np.eye(width - 1, dtype=np.int64)  # shift left (MSB out)
+    a[:, 0] ^= p  # feedback of the outgoing MSB
+    cols = []
+    power_p = p.copy()
+    for _ in range(block):  # cols[B-1-j] = A^j p, built back to front
+        cols.append(power_p.copy())
+        power_p = (a @ power_p) % 2
+    m = np.stack(cols[::-1], axis=1).astype(np.float32)  # [width, block]
+    a_b = np.eye(width, dtype=np.int64)
+    base, e = a.copy(), block
+    while e:
+        if e & 1:
+            a_b = (a_b @ base) % 2
+        base = (base @ base) % 2
+        e >>= 1
+    return a_b.astype(np.float32), m
+
+
+def crc_compute(
+    bits,
+    poly: int,
+    width: int,
+    init: int = 0,
+    xorout: int = 0,
+    reflect_out: bool = False,
+    block: int = 512,
+) -> jnp.ndarray:
+    """CRC of a bit stream as a GF(2) matrix scan — returns the ``width``
+    check bits MSB-first (uint8).
+
+    The register recurrence is linear, so whole blocks advance with two
+    f32 matmuls (see :func:`_crc_matrices`) instead of one step per bit —
+    the TPU realization of the checksum every deployed framing layer
+    pairs with the FEC in this module. Bits are consumed MSB-first
+    (Rocksoft ``refin`` is a byte-local bit permutation — apply it when
+    unpacking bytes, cf. :func:`crc32`). ``init`` is folded in by the
+    standard identity ``crc(init=I, m) = crc(0, m ⊕ I·x^(n-width))``,
+    which also makes front zero-padding to a block multiple free.
+    """
+    x = jnp.asarray(bits).astype(jnp.float32) % 2
+    if x.ndim != 1:
+        raise ValueError("crc_compute takes a flat bit stream")
+    n = int(x.shape[0])
+    iv_np = np.array([(init >> (width - 1 - i)) & 1 for i in range(width)], np.float32)
+    if n < width:
+        # Too short for the init-fold identity (needs n >= width): one
+        # exact affine step with matrices sized to the message.
+        a_n, m_n = _crc_matrices(int(poly), int(width), n)
+        state = jnp.mod(jnp.asarray(a_n) @ jnp.asarray(iv_np) + jnp.asarray(m_n) @ x, 2.0)
+        return _crc_finalize(state, width, xorout, reflect_out)
+    if init:
+        x = x.at[:width].set(jnp.mod(x[:width] + jnp.asarray(iv_np), 2.0))
+    pad = (-n) % block
+    x = jnp.concatenate([jnp.zeros(pad, jnp.float32), x])  # leading 0s: no-op at state 0
+    a_b, m = _crc_matrices(int(poly), int(width), int(block))
+    a_b = jnp.asarray(a_b)
+    m = jnp.asarray(m)
+
+    def step(state, blk):
+        return jnp.mod(a_b @ state + m @ blk, 2.0), None
+
+    state0 = jnp.zeros(width, jnp.float32)
+    state, _ = jax.lax.scan(step, state0, x.reshape(-1, block))
+    return _crc_finalize(state, width, xorout, reflect_out)
+
+
+def _crc_finalize(state, width: int, xorout: int, reflect_out: bool) -> jnp.ndarray:
+    """Apply Rocksoft ``refout``/``xorout`` to the final register state.
+    ``xorout`` is specified on the (possibly reflected) output integer,
+    so it is applied AFTER the reflection, LSB of the int = last bit."""
+    out = state.astype(jnp.uint8)
+    if reflect_out:
+        out = out[::-1]
+    if xorout:
+        xv = jnp.asarray(
+            [(xorout >> (width - 1 - i)) & 1 for i in range(width)], jnp.uint8
+        )
+        out = out ^ xv
+    return out
+
+
+#: Rocksoft parameter sets: (poly, width, init, refin, refout, xorout).
+CRC_PARAMS = {
+    "crc32": (0x04C11DB7, 32, 0xFFFFFFFF, True, True, 0xFFFFFFFF),  # ISO-HDLC/zlib
+    "crc16-ccitt": (0x1021, 16, 0xFFFF, False, False, 0x0),  # CCITT-FALSE
+    "crc16-usb": (0x8005, 16, 0xFFFF, True, True, 0xFFFF),
+    "crc8": (0x07, 8, 0x00, False, False, 0x00),  # SMBus
+}
+
+
+def crc_bits(bits, kind: str = "crc32") -> jnp.ndarray:
+    """Named-parameter CRC of an MSB-first bit stream (``refin`` does not
+    apply to a raw bit stream; for byte inputs use :func:`crc32`).
+    Returns check bits in transmission order (MSB-first after ``refout``)."""
+    poly, width, init, _refin, refout, xorout = CRC_PARAMS[kind]
+    return crc_compute(bits, poly, width, init, xorout, reflect_out=refout)
+
+
+def crc32(data: bytes) -> int:
+    """CRC-32/ISO-HDLC of a byte string — bit-compatible with
+    ``zlib.crc32`` (the contract test). Bytes are unpacked LSB-first
+    (``refin``), the register runs MSB-first on device, and the output is
+    reflected + inverted (``refout``/``xorout``)."""
+    arr = np.frombuffer(bytes(data), np.uint8)
+    bits = np.unpackbits(arr, bitorder="little")  # refin: LSB of each byte first
+    out = np.asarray(crc_bits(bits, "crc32"))
+    # transmission order here is reflected -> LSB-first integer assembly
+    return int(np.packbits(out[::-1], bitorder="little").view(np.uint32)[0])
+
+
+def crc_append(bits, kind: str = "crc32") -> jnp.ndarray:
+    """Append the ``kind`` check bits to a bit stream (systematic framing:
+    ``[info | crc]``, check bits in transmission order)."""
+    b = jnp.asarray(bits).astype(jnp.uint8) % 2
+    return jnp.concatenate([b, crc_bits(b, kind)])
+
+
+def crc_check(bits, kind: str = "crc32") -> jnp.ndarray:
+    """Verify a ``[info | crc]`` frame produced by :func:`crc_append` —
+    recomputes the check over the info bits and compares. Returns a
+    scalar bool array (jit-friendly; no data-dependent Python branch)."""
+    poly, width, *_ = CRC_PARAMS[kind]
+    del poly
+    b = jnp.asarray(bits).astype(jnp.uint8) % 2
+    want = crc_bits(b[: b.shape[0] - width], kind)
+    return jnp.all(want == b[b.shape[0] - width :])
+
+
 def hard_to_llr(bits) -> jnp.ndarray:
     """Map hard bits {0,1} to the LLR convention (+1 = strong 0)."""
     return (1.0 - 2.0 * jnp.asarray(bits).astype(jnp.float32)).astype(jnp.float32)

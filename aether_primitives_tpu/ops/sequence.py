@@ -167,6 +167,124 @@ def lte_gold(c_init: int, length: int, nc: int = 1600) -> jnp.ndarray:
     return ((x1[nc:] + x2[nc:]) % 2).astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _scramble_block_matrices(delays: tuple, order: int, block: int):
+    """GF(2) block matrices for the multiplicative-scrambler recurrence
+    ``y(n) = x(n) ⊕ Σ_d y(n-d)``.
+
+    With state ``s = [y(n-order), ..., y(n-1)]`` and an input block
+    ``x = [x(n), ..., x(n+B-1)]``, the outputs and next state are affine:
+    ``y = T_s @ s ⊕ T_x @ x`` and ``s' = (last order rows of [s; y])``.
+    Built by running the recurrence symbolically over GF(2) coefficient
+    vectors (exact numpy ints), consumed on device as f32 matmuls
+    (dot-product sums ≤ order + block < 2^24 — exact).
+    """
+    d = tuple(sorted(delays))
+    rows_s = []  # y_j as coefficients over state bits [order]
+    rows_x = []  # ... and over input bits [block]
+    # history[k] = coefficient vectors of y(n-order+k) for k in 0..order-1
+    hist_s = [np.eye(order, dtype=np.int64)[k] for k in range(order)]
+    hist_x = [np.zeros(block, np.int64) for _ in range(order)]
+    for j in range(block):
+        cs = np.zeros(order, np.int64)
+        cx = np.zeros(block, np.int64)
+        cx[j] = 1  # x(n+j)
+        for dd in d:
+            cs ^= hist_s[-dd]
+            cx ^= hist_x[-dd]
+        rows_s.append(cs)
+        rows_x.append(cx)
+        hist_s.append(cs)
+        hist_x.append(cx)
+        hist_s.pop(0)
+        hist_x.pop(0)
+    t_s = np.stack(rows_s).astype(np.float32)  # [block, order]
+    t_x = np.stack(rows_x).astype(np.float32)  # [block, block]
+    n_s = np.stack(hist_s).astype(np.float32)  # [order, order] state' over s
+    n_x = np.stack(hist_x).astype(np.float32)  # [order, block] state' over x
+    return t_s, t_x, n_s, n_x
+
+
+def scramble_multiplicative(
+    bits, delays: Sequence[int] = (14, 15), init=None, block: int = 256
+) -> jnp.ndarray:
+    """Self-synchronizing (multiplicative) scrambler
+    ``y(n) = x(n) ⊕ Σ_d y(n-d)`` — whitens the line bits so clock/DC
+    content never depends on the payload. Default taps ``(14, 15)`` =
+    the DVB/V.35 polynomial ``1 + x^14 + x^15``.
+
+    The recurrence feeds back its own OUTPUT (unlike the free-running
+    LFSR of :func:`lfsr_matrix_generate`), so the serial dependency is
+    broken the same way: ``block`` bits per step as two f32 GF(2)
+    matmuls from precomputed affine maps (:func:`_scramble_block_matrices`).
+    ``init`` is the ``max(delays)`` output-history bits (default zeros).
+    Invert with :func:`descramble_multiplicative` — which needs no state
+    agreement beyond ``order`` bits (self-synchronizing; a channel bit
+    error multiplies into ``1 + len(delays)`` payload errors, the classic
+    trade documented in the tests).
+    """
+    x = jnp.asarray(bits).astype(jnp.float32) % 2
+    if x.ndim != 1:
+        raise ValueError("scramble_multiplicative takes a flat bit stream")
+    delays = tuple(int(v) for v in delays)
+    order = max(delays)
+    state0 = (
+        jnp.zeros(order, jnp.float32)
+        if init is None
+        else jnp.asarray(init).astype(jnp.float32) % 2
+    )
+    if state0.shape[-1] != order:
+        raise ValueError(f"init length {state0.shape[-1]} != max delay {order}")
+    n = int(x.shape[0])
+    pad = (-n) % block
+    x = jnp.concatenate([x, jnp.zeros(pad, jnp.float32)])
+    t_s, t_x, n_s, n_x = _scramble_block_matrices(delays, order, block)
+    t_s, t_x, n_s, n_x = map(jnp.asarray, (t_s, t_x, n_s, n_x))
+
+    def step(s, blk):
+        y = jnp.mod(t_s @ s + t_x @ blk, 2.0)
+        s_next = jnp.mod(n_s @ s + n_x @ blk, 2.0)
+        return s_next, y
+
+    _, y = jax.lax.scan(step, state0, x.reshape(-1, block))
+    return y.reshape(-1)[:n].astype(jnp.uint8)
+
+
+def descramble_multiplicative(
+    bits, delays: Sequence[int] = (14, 15), init=None
+) -> jnp.ndarray:
+    """Inverse of :func:`scramble_multiplicative`:
+    ``x(n) = y(n) ⊕ Σ_d y(n-d)`` — feedFORWARD, so it is one fully
+    parallel XOR shift-add over the received stream (the
+    :func:`~.fec.conv_encode` pattern; no scan at all). ``init`` is the
+    pre-stream history (default zeros); any wrong guess corrupts only the
+    first ``max(delays)`` bits — the self-synchronizing property."""
+    y = jnp.asarray(bits).astype(jnp.uint8) % 2
+    delays = tuple(int(v) for v in delays)
+    order = max(delays)
+    h = (
+        jnp.zeros(order, jnp.uint8)
+        if init is None
+        else jnp.asarray(init).astype(jnp.uint8) % 2
+    )
+    yp = jnp.concatenate([h, y])
+    n = y.shape[-1]
+    acc = y
+    for d in delays:
+        acc = acc ^ jax.lax.slice_in_dim(yp, order - d, order - d + n, axis=-1)
+    return acc
+
+
+def scramble_additive(bits, sequence) -> jnp.ndarray:
+    """Additive (synchronous) scrambler: XOR with a free-running PN
+    sequence (e.g. :func:`lte_gold`) — self-inverse, no error
+    multiplication, but TX/RX must agree on sequence phase. One fused
+    elementwise XOR."""
+    b = jnp.asarray(bits).astype(jnp.uint8) % 2
+    s = jnp.asarray(sequence).astype(jnp.uint8) % 2
+    return b ^ s[: b.shape[-1]]
+
+
 def bits_to_chips(bits) -> jnp.ndarray:
     """{0,1} spreading bits -> antipodal f32 chips {+1, -1} (bit 0 -> +1,
     the standard BPSK chip map)."""

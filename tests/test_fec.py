@@ -122,3 +122,80 @@ def test_interleaved_viterbi_survives_burst(rng):
     direct[500:530] ^= 1
     out2 = np.asarray(fec.viterbi_decode(fec.hard_to_llr(direct)))
     assert (out2 != bits).any()
+
+
+# ---------------------------------------------------------------- CRC
+
+
+def _crc_serial(bits, poly, width, init=0):
+    """Independent bit-serial MSB-first CRC register (no reflection)."""
+    reg = init
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    for b in bits:
+        fb = ((reg >> (width - 1)) & 1) ^ int(b)
+        reg = ((reg << 1) & mask) ^ (poly if fb else 0)
+    return reg
+
+
+def _bits_to_int(vec):
+    """MSB-first bit vector -> int."""
+    out = 0
+    for b in np.asarray(vec):
+        out = (out << 1) | int(b)
+    return out
+
+
+def test_crc32_matches_zlib(rng):
+    import zlib
+
+    for n in (1, 2, 3, 9, 64, 511, 512, 513, 1000):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert fec.crc32(data) == zlib.crc32(data), n
+
+
+def test_crc16_ccitt_check_value():
+    # CRC-16/CCITT-FALSE("123456789") = 0x29B1 (standard check value)
+    bits = np.unpackbits(np.frombuffer(b"123456789", np.uint8))  # MSB-first
+    got = _bits_to_int(fec.crc_bits(bits, "crc16-ccitt"))
+    assert got == 0x29B1
+
+
+def test_crc8_check_value():
+    # CRC-8/SMBUS("123456789") = 0xF4
+    bits = np.unpackbits(np.frombuffer(b"123456789", np.uint8))
+    assert _bits_to_int(fec.crc_bits(bits, "crc8")) == 0xF4
+
+
+def test_crc_compute_matches_bit_serial(rng):
+    poly, width, init = 0x1021, 16, 0xFFFF
+    for n in (200, 512, 700):
+        bits = rng.integers(0, 2, n).astype(np.uint8)
+        got = _bits_to_int(fec.crc_compute(bits, poly, width, init))
+        assert got == _crc_serial(bits, poly, width, init), n
+
+
+def test_crc_compute_short_message_edge(rng):
+    # n < width exercises the dedicated small-matrix path
+    poly, width, init = 0x04C11DB7, 32, 0xFFFFFFFF
+    for n in (1, 5, 31):
+        bits = rng.integers(0, 2, n).astype(np.uint8)
+        got = _bits_to_int(fec.crc_compute(bits, poly, width, init))
+        assert got == _crc_serial(bits, poly, width, init), n
+
+
+def test_crc_block_size_invariance(rng):
+    bits = rng.integers(0, 2, 777).astype(np.uint8)
+    a = np.asarray(fec.crc_compute(bits, 0x04C11DB7, 32, 0xFFFFFFFF, block=64))
+    b = np.asarray(fec.crc_compute(bits, 0x04C11DB7, 32, 0xFFFFFFFF, block=512))
+    assert (a == b).all()
+
+
+def test_crc_append_check_and_detection(rng):
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    frame = np.asarray(fec.crc_append(bits, "crc32"))
+    assert bool(fec.crc_check(frame, "crc32"))
+    for pos in (0, 150, 299, 320):
+        bad = frame.copy()
+        bad[pos] ^= 1
+        assert not bool(fec.crc_check(bad, "crc32")), pos

@@ -121,3 +121,69 @@ def test_dsss_two_user_cdma_separation(rng):
     got2 = np.asarray(qpsk.demod(np.asarray(sequence.dsss_despread(air, c2))))
     assert (got1 == b1).all()
     assert (got2 == b2).all()
+
+
+# ------------------------------------------------- scramblers
+
+
+def _scramble_serial(bits, delays, init):
+    """Independent bit-serial multiplicative scrambler."""
+    order = max(delays)
+    hist = list(init) if init is not None else [0] * order
+    out = []
+    for x in bits:
+        y = int(x)
+        for d in delays:
+            y ^= hist[-d]
+        out.append(y)
+        hist.append(y)
+        hist.pop(0)
+    return np.array(out, np.uint8)
+
+
+def test_scramble_matches_bit_serial(rng):
+    bits = rng.integers(0, 2, 1000).astype(np.uint8)
+    init = rng.integers(0, 2, 15).astype(np.uint8)
+    got = np.asarray(sequence.scramble_multiplicative(bits, (14, 15), init))
+    assert (got == _scramble_serial(bits, (14, 15), init)).all()
+
+
+def test_scramble_block_size_invariance(rng):
+    bits = rng.integers(0, 2, 517).astype(np.uint8)
+    a = np.asarray(sequence.scramble_multiplicative(bits, (14, 15), block=32))
+    b = np.asarray(sequence.scramble_multiplicative(bits, (14, 15), block=256))
+    assert (a == b).all()
+
+
+def test_scramble_descramble_roundtrip(rng):
+    bits = rng.integers(0, 2, 800).astype(np.uint8)
+    init = rng.integers(0, 2, 15).astype(np.uint8)
+    line = sequence.scramble_multiplicative(bits, (14, 15), init)
+    back = np.asarray(sequence.descramble_multiplicative(line, (14, 15), init))
+    assert (back == bits).all()
+
+
+def test_descrambler_self_synchronizes(rng):
+    # wrong init history corrupts at most the first max(delays) bits
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    init = rng.integers(0, 2, 15).astype(np.uint8)
+    line = sequence.scramble_multiplicative(bits, (14, 15), init)
+    back = np.asarray(sequence.descramble_multiplicative(line, (14, 15), None))
+    assert (back[15:] == bits[15:]).all()
+
+
+def test_scrambler_error_multiplication(rng):
+    # one line-bit error -> exactly 1 + len(delays) payload errors
+    bits = rng.integers(0, 2, 400).astype(np.uint8)
+    line = np.array(sequence.scramble_multiplicative(bits, (14, 15)))
+    line[100] ^= 1
+    back = np.asarray(sequence.descramble_multiplicative(line, (14, 15)))
+    errs = np.where(back != bits)[0]
+    assert errs.tolist() == [100, 114, 115]
+
+
+def test_scramble_additive_self_inverse(rng):
+    bits = rng.integers(0, 2, 256).astype(np.uint8)
+    pn = sequence.lte_gold(0x5A5, 256)
+    line = sequence.scramble_additive(bits, pn)
+    assert (np.asarray(sequence.scramble_additive(line, pn)) == bits).all()

@@ -304,3 +304,68 @@ def test_estimate_phase_then_derotate_fixes_cma_output(rng):
             ok = True
             break
     assert ok
+
+
+# ------------------------------------------------- Costas loop (PLL)
+
+
+def test_costas_locks_static_phase(rng):
+    from aether_primitives_tpu.models.sync import costas_loop
+
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, 2 * 4000).astype(np.uint8)
+    tx = np.asarray(qpsk.modulate(bits))
+    rx = (tx * np.exp(1j * 0.3)).astype(np.complex64)
+    y, ph, fr = costas_loop(rx, m=4, loop_bw=0.02)
+    # loop settles onto the offset (well within pi/4 -> no ambiguity)
+    assert abs(float(np.mean(np.asarray(ph)[2000:])) - 0.3) < 0.02
+    got = np.asarray(qpsk.demod(np.asarray(y)[2000:]))
+    assert (got == bits[2 * 2000 :]).all()
+
+
+def test_costas_tracks_residual_cfo(rng):
+    from aether_primitives_tpu.models.sync import costas_loop
+
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, 2 * 6000).astype(np.uint8)
+    tx = np.asarray(qpsk.modulate(bits))
+    f_cyc = 1e-4  # cycles/sample residual CFO
+    n = np.arange(tx.size)
+    rx = (tx * np.exp(2j * np.pi * f_cyc * n)).astype(np.complex64)
+    y, ph, fr = costas_loop(rx, m=4, loop_bw=0.02)
+    # second-order loop: integrator converges to the frequency step
+    assert abs(float(np.mean(np.asarray(fr)[4000:])) - 2 * np.pi * f_cyc) < 2e-4
+    got = np.asarray(qpsk.demod(np.asarray(y)[4000:]))
+    assert (got == bits[2 * 4000 :]).all()
+
+
+def test_costas_tracks_phase_noise_random_walk(rng):
+    from aether_primitives_tpu.models.sync import costas_loop
+
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, 2 * 8000).astype(np.uint8)
+    tx = np.asarray(qpsk.modulate(bits))
+    walk = np.cumsum(rng.normal(scale=2e-3, size=tx.size))
+    rx = (tx * np.exp(1j * walk)).astype(np.complex64)
+    y, ph, _ = costas_loop(rx, m=4, loop_bw=0.03)
+    err = np.asarray(ph)[1000:] - walk[1000:]
+    assert np.sqrt(np.mean(err**2)) < 0.08  # tracks the walk
+    assert np.abs(walk[1000:]).max() > 0.15  # ...which is itself large
+    got = np.asarray(qpsk.demod(np.asarray(y)[1000:]))
+    assert np.mean(got != bits[2 * 1000 :]) < 1e-3
+
+
+def test_costas_batched_matches_rowwise(rng):
+    from aether_primitives_tpu.models.sync import costas_loop
+
+    qpsk = modulation.qpsk()
+    rows = []
+    for _ in range(3):
+        bits = rng.integers(0, 2, 2 * 500).astype(np.uint8)
+        rows.append(np.asarray(qpsk.modulate(bits)) * np.exp(1j * 0.2))
+    batch = np.stack(rows).astype(np.complex64)
+    yb, phb, frb = costas_loop(batch, m=4, loop_bw=0.02)
+    for i in range(3):
+        y1, ph1, fr1 = costas_loop(batch[i], m=4, loop_bw=0.02)
+        assert np.allclose(np.asarray(yb)[i], np.asarray(y1), atol=1e-6)
+        assert np.allclose(np.asarray(phb)[i], np.asarray(ph1), atol=1e-6)
