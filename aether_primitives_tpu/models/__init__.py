@@ -16,6 +16,7 @@ from .channelizer import (
     pfb_synthesize,
 )
 from . import sync
+from . import caf
 from . import ber
 from . import ddc
 from . import equalizer
