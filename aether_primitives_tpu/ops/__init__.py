@@ -12,10 +12,11 @@ from . import fir
 from . import frontend
 from . import analog
 from . import fec
+from . import ldpc
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec",
+    "fec", "ldpc",
 ]
