@@ -17,6 +17,7 @@ from .channelizer import (
 )
 from . import sync
 from . import caf
+from . import packet
 from . import ber
 from . import ddc
 from . import equalizer
@@ -26,6 +27,7 @@ from .sync import OfdmEqualizer, detect_preamble
 from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc, sharded_duc
 from .ofdm import OfdmConfig, OfdmModem, cp_sync
 from .fsk import FskConfig, FskModem
+from .packet import PacketConfig, PacketModem
 
 __all__ = [
     "modem",

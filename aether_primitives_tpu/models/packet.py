@@ -1,0 +1,211 @@
+"""Packet transceiver: the full burst-link composition.
+
+Everything below exists as an independently tested layer; this model
+wires the complete TX / RX stack the way a deployed packet radio does —
+the framework-level equivalent of the reference's modem example
+(reference examples/modem.rs) grown into an actual link protocol:
+
+TX: payload -> CRC (:func:`~..ops.fec.crc_append`)
+            -> self-sync scramble (:func:`~..ops.sequence.scramble_multiplicative`)
+            -> FEC (:func:`~..ops.fec.conv_encode` or :mod:`~..ops.ldpc`)
+            -> block interleave -> modulate -> [preamble | symbols]
+
+RX: capture -> preamble acquisition (:func:`~.sync.detect_preamble`)
+            -> CFO from the preamble's repeated halves (:func:`~.sync.estimate_cfo`)
+            -> complex-gain / noise-variance estimate off the known preamble
+            -> soft demod -> deinterleave -> soft decode -> descramble
+            -> CRC verdict
+
+The RX graph is ONE jittable function: acquisition (argmax), correction,
+demod, and the Viterbi/min-sum scan all run on device; nothing returns
+to the host between the raw capture and the decoded bits. Frame sizes
+are static (config-derived), so XLA sees fixed shapes end-to-end.
+
+Preamble: Gold-sequence QPSK with two identical halves — one matched
+filter finds it, the half-lag autocorrelation yields the CFO
+unambiguously for ``|f| < 1/(2*half_len)`` cycles/sample.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fec as _fec
+from ..ops import ldpc as _ldpc
+from ..ops import modulation as _mod
+from ..ops import sequence as _seq
+from ..types import cf32
+from . import sync as _sync
+
+
+def _modulation_by_name(name: str):
+    return {
+        "bpsk": _mod.bpsk,
+        "qpsk": _mod.qpsk,
+        "qam16": _mod.qam16,
+    }.get(name, lambda: _mod.qam(int(name[3:])))()
+
+
+@dataclass(frozen=True)
+class PacketConfig:
+    payload_bits: int = 960
+    modulation: str = "qpsk"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "none"
+    crc: str = "crc32"
+    scrambler: Tuple[int, ...] = (14, 15)
+    interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
+    preamble_half: int = 64  # symbols per identical half
+    preamble_cinit: int = 0x1234
+    ldpc_seed: int = 7
+
+    @property
+    def crc_width(self) -> int:
+        return _fec.CRC_PARAMS[self.crc][1]
+
+
+class PacketModem:
+    """Config-driven burst packet transceiver (see module docstring).
+
+    ``tx(payload)`` -> complex burst; ``rx(capture)`` -> ``(payload,
+    crc_ok, diag)`` where ``diag`` carries offset / CFO / gain /
+    noise-variance / preamble-metric estimates. ``capture`` may place
+    the burst at any offset the preamble search can cover.
+    """
+
+    def __init__(self, config: PacketConfig = PacketConfig()):
+        self.config = c = config
+        self.modulation = _modulation_by_name(c.modulation)
+        bps = self.modulation.bits_per_symbol
+        # ---- static frame arithmetic
+        self.frame_bits = c.payload_bits + c.crc_width
+        if c.fec == "viterbi":
+            self.coded_bits = 2 * (self.frame_bits + _fec.DEFAULT_K - 1)
+        elif c.fec == "ldpc":
+            h, g, info = _ldpc.make_regular_ldpc(seed=c.ldpc_seed)
+            self._ldpc = (h, g, info)
+            k = g.shape[0]
+            self.ldpc_frames = -(-self.frame_bits // k)
+            self.ldpc_pad = self.ldpc_frames * k - self.frame_bits
+            self.coded_bits = self.ldpc_frames * h.shape[1]
+        elif c.fec == "none":
+            self.coded_bits = self.frame_bits
+        else:
+            raise ValueError(f"unknown fec {c.fec!r}")
+        rows = c.interleave_rows
+        self.inter_pad = 0 if rows <= 1 else (-self.coded_bits) % rows
+        line_bits = self.coded_bits + self.inter_pad
+        self.mod_pad = (-line_bits) % bps
+        self.n_data_symbols = (line_bits + self.mod_pad) // bps
+        # ---- preamble: Gold QPSK, two identical halves
+        pre_bits = np.asarray(
+            _seq.lte_gold(c.preamble_cinit, 2 * c.preamble_half)
+        )
+        half = np.asarray(_mod.qpsk().modulate(pre_bits), dtype=np.complex64)
+        self.preamble = np.concatenate([half, half])
+        self.burst_len = self.preamble.size + self.n_data_symbols
+
+    # ------------------------------------------------------------ TX
+
+    def tx(self, payload) -> jnp.ndarray:
+        c = self.config
+        bits = jnp.asarray(payload).astype(jnp.uint8) % 2
+        if bits.shape[-1] != c.payload_bits:
+            raise ValueError(
+                f"payload must be {c.payload_bits} bits, got {bits.shape[-1]}"
+            )
+        frame = _fec.crc_append(bits, c.crc)
+        line = _seq.scramble_multiplicative(frame, c.scrambler)
+        if c.fec == "viterbi":
+            coded = _fec.conv_encode(line)
+        elif c.fec == "ldpc":
+            h, g, info = self._ldpc
+            padded = jnp.concatenate(
+                [line, jnp.zeros(self.ldpc_pad, jnp.uint8)]
+            ).reshape(self.ldpc_frames, -1)
+            coded = _ldpc.ldpc_encode(padded, g).reshape(-1)
+        else:
+            coded = line
+        if self.inter_pad or c.interleave_rows > 1:
+            coded = jnp.concatenate(
+                [coded, jnp.zeros(self.inter_pad, jnp.uint8)]
+            )
+            coded = _fec.interleave(coded, c.interleave_rows)
+        if self.mod_pad:
+            coded = jnp.concatenate([coded, jnp.zeros(self.mod_pad, jnp.uint8)])
+        symbols = self.modulation.modulate(coded)
+        return jnp.concatenate([jnp.asarray(self.preamble), symbols]).astype(cf32)
+
+    # ------------------------------------------------------------ RX
+
+    def rx(self, capture):
+        """Decode a capture containing one burst. Returns ``(payload,
+        crc_ok, diag)``; ``diag`` is a dict of device scalars."""
+        c = self.config
+        x = jnp.asarray(capture, dtype=cf32)
+        npre = self.preamble.size
+        offset, metric = _sync.detect_preamble(x, self.preamble)
+        offset = jnp.clip(offset, 0, x.shape[-1] - self.burst_len)
+        burst = jax.lax.dynamic_slice(x, (offset,), (self.burst_len,))
+        # CFO off the repeated preamble halves, then correct the burst
+        cfo = _sync.estimate_cfo(burst, c.preamble_half)
+        burst = _sync.apply_freq_shift(burst, cfo)
+        # complex gain + noise variance off the (now derotated) preamble
+        pre = jnp.asarray(self.preamble)
+        rx_pre = burst[:npre]
+        gain = jnp.sum(rx_pre * jnp.conj(pre)) / jnp.sum(jnp.abs(pre) ** 2)
+        eq = burst[npre:] / gain
+        resid = rx_pre / gain - pre
+        noise_var = jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-6)
+        # Fine carrier polish (blind, M-PSK payloads): the preamble-only
+        # CFO estimate has std ~1e-4 cycles/sample, which winds a large
+        # fraction of a radian over a ~1000-symbol burst and erodes the
+        # tail LLRs. estimate_cfo_blind reads the residual off the
+        # periodogram of eq^M (full coherent integration — the lag-1
+        # variant is too noisy at link SNRs), and estimate_phase_mpsk
+        # fixes the leftover constant phase. Safe against the 2*pi/M
+        # ambiguity because the coarse stage leaves well under pi/M of
+        # accumulated error near the preamble anchor.
+        fine = jnp.float32(0.0)
+        if self.modulation.bits_per_symbol <= 2:
+            m_fold = 2 ** self.modulation.bits_per_symbol
+            fine = _sync.estimate_cfo_blind(eq, m_fold)
+            eq = _sync.apply_freq_shift(eq, fine)
+            phi = _sync.estimate_phase_mpsk(eq, m_fold)
+            rot = jax.lax.complex(jnp.cos(-phi), jnp.sin(-phi))
+            eq = eq * rot
+        # soft demod -> de-interleave -> decode -> descramble -> CRC
+        llr = self.modulation.demod_soft(eq, noise_var)
+        if self.mod_pad:
+            llr = llr[: llr.shape[-1] - self.mod_pad]
+        if self.inter_pad or c.interleave_rows > 1:
+            llr = _fec.deinterleave(llr, c.interleave_rows)
+            llr = llr[: self.coded_bits]
+        if c.fec == "viterbi":
+            line = _fec.viterbi_decode(llr)
+        elif c.fec == "ldpc":
+            h, g, info = self._ldpc
+            hard, _ok = _ldpc.ldpc_decode(
+                llr.reshape(self.ldpc_frames, -1), h, iters=30
+            )
+            line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
+        else:
+            line = (llr < 0).astype(jnp.uint8)
+        frame = _seq.descramble_multiplicative(line, c.scrambler)
+        ok = _fec.crc_check(frame, c.crc)
+        diag = {
+            "offset": offset,
+            "metric": metric,
+            "cfo": cfo + fine,
+            "gain": gain,
+            "noise_var": noise_var,
+        }
+        return frame[: c.payload_bits], ok, diag
+
+    def loopback(self, payload):
+        """tx -> rx with no channel (sanity path)."""
+        return self.rx(self.tx(payload))

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import fft as _fft_mod
 from ..ops import fir as _fir
 from ..types import cf32
 
@@ -125,6 +126,39 @@ def estimate_cfo(x, rep_len: int) -> jnp.ndarray:
     b = x[..., rep_len : 2 * rep_len]
     corr = jnp.sum(b * jnp.conj(a), axis=-1)
     return (jnp.angle(corr) / (2.0 * jnp.pi * rep_len)).astype(jnp.float32)
+
+
+def estimate_cfo_blind(x, m: int = 4, osr: int = 4) -> jnp.ndarray:
+    """Blind (non-data-aided) CFO estimate from M-PSK payload symbols.
+
+    Raising the stream to the M-th power wipes the data and leaves a
+    complex tone at ``M`` times the frequency offset; its frequency is
+    read off the PERIODOGRAM peak — full coherent integration, so unlike
+    the lag-1 autocorrelation estimator the variance shrinks with the
+    whole block length even at low SNR (the M-th power costs ~12 dB of
+    effective SNR for QPSK; the FFT gain buys it back). ``osr``
+    zero-pads the transform for a finer grid; a parabolic interpolation
+    of the peak's neighbors refines below the bin. One batched FFT + one
+    argmax, all on device. Unambiguous for ``|f| < 1/(2M)`` cycles/sample.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    z = x**m
+    n = z.shape[-1]
+    nfft = int(osr) * int(2 ** np.ceil(np.log2(max(n, 2))))
+    zp = jnp.concatenate(
+        [z, jnp.zeros(z.shape[:-1] + (nfft - n,), cf32)], axis=-1
+    )
+    plan = _fft_mod.plan(nfft)
+    mag = jnp.abs(plan.fwd(zp, _fft_mod.Scale.NONE))
+    k = jnp.argmax(mag, axis=-1)
+    km1 = jnp.take_along_axis(mag, ((k - 1) % nfft)[..., None], axis=-1)[..., 0]
+    k0 = jnp.take_along_axis(mag, k[..., None], axis=-1)[..., 0]
+    kp1 = jnp.take_along_axis(mag, ((k + 1) % nfft)[..., None], axis=-1)[..., 0]
+    denom = km1 - 2.0 * k0 + kp1
+    off = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (km1 - kp1) / denom, 0.0)
+    kf = k.astype(jnp.float32) + off
+    kf = jnp.where(kf > nfft / 2, kf - nfft, kf)  # signed frequency
+    return (kf / (nfft * m)).astype(jnp.float32)
 
 
 def apply_freq_shift(x, cycles_per_sample) -> jnp.ndarray:

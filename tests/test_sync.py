@@ -369,3 +369,16 @@ def test_costas_batched_matches_rowwise(rng):
         y1, ph1, fr1 = costas_loop(batch[i], m=4, loop_bw=0.02)
         assert np.allclose(np.asarray(yb)[i], np.asarray(y1), atol=1e-6)
         assert np.allclose(np.asarray(phb)[i], np.asarray(ph1), atol=1e-6)
+
+
+def test_estimate_cfo_blind_qpsk(rng):
+    from aether_primitives_tpu.models.sync import estimate_cfo_blind
+
+    qpsk = modulation.qpsk()
+    bits = rng.integers(0, 2, 2 * 2048).astype(np.uint8)
+    tx = np.asarray(qpsk.modulate(bits))
+    for f0 in (3.7e-4, -2.1e-3, 0.0):
+        rx = tx * np.exp(2j * np.pi * f0 * np.arange(tx.size))
+        rx = (rx + 0.3 * (rng.normal(size=tx.size) + 1j * rng.normal(size=tx.size))).astype(np.complex64)
+        got = float(estimate_cfo_blind(rx, m=4))
+        assert abs(got - f0) < 3e-5, (f0, got)
