@@ -13,10 +13,11 @@ from . import frontend
 from . import analog
 from . import fec
 from . import ldpc
+from . import firdes
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc",
+    "fec", "ldpc", "firdes",
 ]
