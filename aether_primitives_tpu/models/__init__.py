@@ -18,6 +18,7 @@ from .channelizer import (
 from . import sync
 from . import caf
 from . import packet
+from . import css
 from . import ber
 from . import ddc
 from . import equalizer
@@ -28,6 +29,7 @@ from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc, sharded_
 from .ofdm import OfdmConfig, OfdmModem, cp_sync
 from .fsk import FskConfig, FskModem
 from .packet import PacketConfig, PacketModem
+from .css import CssConfig, CssModem
 
 __all__ = [
     "modem",
