@@ -19,6 +19,7 @@ from . import sync
 from . import caf
 from . import packet
 from . import css
+from . import channel
 from . import ber
 from . import ddc
 from . import equalizer
@@ -30,6 +31,7 @@ from .ofdm import OfdmConfig, OfdmModem, cp_sync
 from .fsk import FskConfig, FskModem
 from .packet import PacketConfig, PacketModem
 from .css import CssConfig, CssModem
+from .channel import Channel, ChannelConfig
 
 __all__ = [
     "modem",

@@ -320,3 +320,29 @@ def dsss_despread(x, chips) -> jnp.ndarray:
     frames = x[..., : n * ell].reshape(x.shape[:-1] + (n, ell))
     w = jnp.conj(c) / (jnp.sum(jnp.abs(c) ** 2))
     return jnp.sum(frames * w, axis=-1)
+
+
+def zadoff_chu(root: int, length: int, shift: int = 0) -> np.ndarray:
+    """Zadoff-Chu CAZAC sequence (host-side table, complex64):
+    ``x[n] = e^{-j pi u n (n+1+2q) / L}`` for odd ``L`` — constant
+    amplitude, zero cyclic autocorrelation at every nonzero lag, and
+    constant cross-correlation ``1/sqrt(L)`` between coprime roots: the
+    preamble/pilot family of LTE/5G (PRACH, SRS, PSS). ``root`` must be
+    coprime with ``length``. The quadratic phase reduces mod ``2L`` in
+    exact integers before the trig (the framework's exact-mod rule), so
+    the table is phase-accurate at any length.
+
+    Pair with :func:`~aether_primitives_tpu.models.sync.detect_preamble`
+    (ideal flat correlation floor) or cyclic-shift multiplexing
+    (``shift`` = the ``q`` parameter): shifted roots are orthogonal.
+    """
+    length = int(length)
+    root = int(root)
+    if length % 2 == 0:
+        raise ValueError("zadoff_chu: length must be odd")
+    if np.gcd(root, length) != 1:
+        raise ValueError("root must be coprime with length")
+    n = np.arange(length, dtype=np.int64)
+    # phase in half-turns: u n (n + 1 + 2 q) / L, reduced mod 2L
+    ph = (root * n * (n + 1 + 2 * int(shift))) % (2 * length)
+    return np.exp(-1j * np.pi * ph / length).astype(np.complex64)

@@ -187,3 +187,33 @@ def test_scramble_additive_self_inverse(rng):
     pn = sequence.lte_gold(0x5A5, 256)
     line = sequence.scramble_additive(bits, pn)
     assert (np.asarray(sequence.scramble_additive(line, pn)) == bits).all()
+
+
+# ------------------------------------------------- Zadoff-Chu
+
+
+def test_zadoff_chu_cazac_properties():
+    for u, ell in ((25, 839), (5, 63)):
+        x = sequence.zadoff_chu(u, ell)
+        assert np.allclose(np.abs(x), 1.0, atol=1e-6)  # constant amplitude
+        # zero autocorrelation at all nonzero cyclic lags
+        spec = np.fft.fft(x)
+        acorr = np.fft.ifft(spec * np.conj(spec)).real
+        assert acorr[0] > ell - 1e-2
+        assert np.abs(acorr[1:]).max() < 1e-2
+
+
+def test_zadoff_chu_cross_correlation_and_validation():
+    import pytest as _pytest
+
+    a = sequence.zadoff_chu(25, 839)
+    b = sequence.zadoff_chu(29, 839)
+    xc = np.abs(np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(b))))
+    assert np.allclose(xc, np.sqrt(839), rtol=1e-3)  # flat sqrt(L) floor
+    # cyclic shifts of one root are orthogonal at lag 0
+    s = sequence.zadoff_chu(25, 839, shift=7)
+    assert abs(np.vdot(a, s)) < 1e-2
+    with _pytest.raises(ValueError, match="odd"):
+        sequence.zadoff_chu(3, 64)
+    with _pytest.raises(ValueError, match="coprime"):
+        sequence.zadoff_chu(7, 63)
