@@ -225,6 +225,48 @@ def microbench_main(argv=None):
         one, nddc,
     )
 
+    # round-2 extensions: channel coding, acquisition, spread spectrum
+    from aether_primitives_tpu.models.caf import ambiguity
+    from aether_primitives_tpu.models.css import CssConfig, CssModem
+    from aether_primitives_tpu.ops import fec as _fec
+    from aether_primitives_tpu.ops import ldpc as _ldpc
+
+    h_pc, _g, _info = _ldpc.make_regular_ldpc(648, 3, 6, seed=7)
+    nfr = max(B // 16, 1)
+    llr_blk = rng.normal(size=(nfr, 648)).astype(np.float32) * 4.0
+    timed(
+        f"ldpc min-sum 25 iters [{nfr} x 648]",
+        lambda l: _ldpc.ldpc_decode(l, h_pc, iters=25)[0],
+        llr_blk,
+        nfr * 648,
+    )
+
+    css = CssModem(CssConfig(sf=10))
+    n_css = B * 1024
+    timed(
+        "css demod SF10 [flat]",
+        f32_boundary(lambda x: css.demod_symbols(x)[0]),
+        rsplit((n_css,)),
+        n_css,
+    )
+
+    ref_caf = rsplit((4096,)).numpy()
+    dops = np.linspace(-1e-3, 1e-3, 64).astype(np.float32)
+    timed(
+        "caf 64 dopplers x 4096",
+        f32_boundary(lambda x: ambiguity(x, ref_caf, dops)),
+        rsplit((4096,)),
+        64 * 4096,
+    )
+
+    crc_bits_in = rng.integers(0, 2, 1 << 20).astype(np.uint8)
+    timed(
+        "crc32 2^20 bits",
+        lambda b: _fec.crc_compute(b, 0x04C11DB7, 32, 0xFFFFFFFF),
+        crc_bits_in,
+        1 << 20,
+    )
+
     payload = {"platform": platform, "batch": B, "results": results}
     if args.json:
         with open(args.json, "w") as f:

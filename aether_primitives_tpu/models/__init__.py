@@ -20,6 +20,7 @@ from . import caf
 from . import packet
 from . import css
 from . import channel
+from . import detect
 from . import ber
 from . import ddc
 from . import equalizer
@@ -32,6 +33,7 @@ from .fsk import FskConfig, FskModem
 from .packet import PacketConfig, PacketModem
 from .css import CssConfig, CssModem
 from .channel import Channel, ChannelConfig
+from . import detect
 
 __all__ = [
     "modem",

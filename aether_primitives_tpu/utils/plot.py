@@ -178,3 +178,39 @@ def compare(symbols1, symbols2, title: str, file: Optional[str] = None):
     ax1.plot(x, err, "-.", color="red", label="Deviation")
     ax1.legend(loc="upper left")
     _finish(fig, file)
+
+
+def ambiguity_surface(
+    x,
+    ref,
+    max_doppler: float,
+    n_dopplers: int = 64,
+    title: str = "ambiguity",
+    use_db: bool = True,
+    file: Optional[str] = None,
+):
+    """Delay-Doppler magnitude surface of the cross-ambiguity function
+    (:func:`~aether_primitives_tpu.models.caf.ambiguity`) — the
+    acquisition counterpart of :func:`waterfall`. Rows = Doppler
+    hypotheses, columns = circular delay; the peak marks the detected
+    (delay, doppler)."""
+    from ..models.caf import ambiguity as _caf
+
+    dops = np.linspace(-max_doppler, max_doppler, int(n_dopplers))
+    surf = np.abs(np.asarray(_caf(x, ref, dops.astype(np.float32))))
+    if use_db:
+        surf = 20.0 * np.log10(np.maximum(surf, 1e-12))
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 5))
+    im = ax.imshow(
+        surf,
+        aspect="auto",
+        origin="lower",
+        extent=[0, surf.shape[1], dops[0], dops[-1]],
+        cmap="viridis",
+    )
+    ax.set_xlabel("delay [samples]")
+    ax.set_ylabel("doppler [cycles/sample]")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax, label="|CAF| [dB]" if use_db else "|CAF|")
+    _finish(fig, file)

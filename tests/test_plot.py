@@ -54,3 +54,14 @@ def test_psd_plot_saves(tmp_path, rng):
     out = tmp_path / "psd.png"
     plot.psd(x, 512, "psd", file=str(out))
     assert out.stat().st_size > 0
+
+
+def test_ambiguity_surface_saves(tmp_path, rng):
+    from aether_primitives_tpu.utils import plot
+
+    ref = (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+    x = np.roll(ref, 100).astype(np.complex64)
+    out = tmp_path / "caf.png"
+    plot.ambiguity_surface(x, ref, max_doppler=1e-3, n_dopplers=16,
+                           file=str(out))
+    assert out.exists() and out.stat().st_size > 0
