@@ -32,6 +32,12 @@ def test_two_process_distributed_rx_chain():
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # the worker is a fresh interpreter whose sys.path has only the script
+    # dir — make the package importable even when it isn't pip-installed
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(_WORKER), str(i), "2", str(port)],
