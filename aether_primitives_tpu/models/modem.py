@@ -124,8 +124,10 @@ def _modulation_by_name(name: str):
         return _mod.qam16()
     if name.startswith("qam") and name[3:].isdigit():
         return _mod.qam(int(name[3:]))  # any Gray square QAM: qam64, qam256, ...
+    if name.startswith("psk") and name[3:].isdigit():
+        return _mod.psk(int(name[3:]))  # any Gray M-PSK: psk8, psk16, ...
     raise ValueError(
-        f"unknown modulation {name!r} (expected 'bpsk', 'qpsk' or 'qamN')"
+        f"unknown modulation {name!r} (expected 'bpsk', 'qpsk', 'qamN' or 'pskN')"
     )
 
 

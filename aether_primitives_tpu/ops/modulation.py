@@ -252,6 +252,15 @@ def qpsk() -> Modulation:
     return Modulation(GENERIC_QPSK_TABLE, name="qpsk")
 
 
+def _gray_rank(g: int) -> int:
+    """Inverse binary-reflected Gray code: ``b = g ^ (g>>1) ^ (g>>2) ...``."""
+    b, shift = g, 1
+    while (g >> shift) > 0:
+        b ^= g >> shift
+        shift += 1
+    return b
+
+
 def _gray_levels(bits: int) -> np.ndarray:
     """PAM levels indexed by their Gray-coded bit pattern, unit spacing 2:
     ``levels[g] = 2*rank(g) - (2^bits - 1)`` where ``rank`` inverts the
@@ -259,13 +268,30 @@ def _gray_levels(bits: int) -> np.ndarray:
     m = 1 << bits
     levels = np.empty(m, np.float64)
     for g in range(m):
-        # inverse binary-reflected Gray code: b = g ^ (g>>1) ^ (g>>2) ...
-        b, shift = g, 1
-        while (g >> shift) > 0:
-            b ^= g >> shift
-            shift += 1
-        levels[g] = 2.0 * b - (m - 1)
+        levels[g] = 2.0 * _gray_rank(g) - (m - 1)
     return levels
+
+
+def psk(order: int) -> Modulation:
+    """Gray-coded M-PSK of the given ``order`` (2, 4, 8, 16, ...), unit
+    symbol energy: ``table[g] = e^{j 2 pi rank(g) / M}`` where ``rank``
+    inverts the binary-reflected Gray code — phase-adjacent constellation
+    points differ in exactly one bit, so a one-neighbor symbol error costs
+    one bit error (verified by test).
+
+    Completes the constellation family next to :func:`qam` (square orders)
+    for the non-square orders 8/32/...; the reference's blanket demod could
+    not scan past 2 bits/symbol (SURVEY.md §2 quirk 4). For *differential*
+    chains use :func:`psk_table` (index-linear phase, no Gray) instead.
+    """
+    order = int(order)
+    bits = int(np.log2(order))
+    if 2**bits != order or bits < 1:
+        raise ValueError(f"order must be a power of two >= 2, got {order}")
+    table = np.empty(order, np.complex64)
+    for g in range(order):
+        table[g] = np.exp(2j * np.pi * _gray_rank(g) / order)
+    return Modulation(table, name=f"psk{order}")
 
 
 def qam(order: int) -> Modulation:

@@ -216,6 +216,58 @@ def test_qam_rejects_non_square():
         mod.qam(2)
 
 
+# ---- generic Gray M-PSK --------------------------------------------------------
+
+
+@pytest.mark.parametrize("order", [2, 4, 8, 16, 32])
+def test_psk_properties_and_roundtrip(order, rng):
+    m = mod.psk(order)
+    bps = m.bits_per_symbol
+    assert 2**bps == order
+    # unit symbol energy on every point
+    assert np.allclose(np.abs(m.table), 1.0, atol=1e-6)
+    # all M phases present exactly once
+    phases = np.sort(np.mod(np.angle(m.table.astype(np.complex128)), 2 * np.pi))
+    assert np.allclose(phases, 2 * np.pi * np.arange(order) / order, atol=1e-5)
+    # Gray property: phase-adjacent points differ in exactly one bit
+    if order > 2:
+        order_by_phase = np.argsort(np.mod(np.angle(m.table), 2 * np.pi))
+        for k in range(order):
+            a = order_by_phase[k]
+            b = order_by_phase[(k + 1) % order]
+            assert bin(int(a) ^ int(b)).count("1") == 1, (a, b)
+    # noiseless modulate -> demod roundtrip is exact
+    bits = rng.integers(0, 2, 1024 * bps).astype(np.uint8)
+    syms = m.modulate(bits)
+    back = np.asarray(m.demod(syms))
+    assert (back == bits).all()
+
+
+def test_psk8_one_neighbor_error_is_one_bit(rng):
+    # rotate every symbol halfway toward its phase neighbor plus epsilon:
+    # the demod picks the neighbor, costing exactly 1 bit per symbol
+    m = mod.psk(8)
+    bits = rng.integers(0, 2, 3 * 512).astype(np.uint8)
+    syms = np.asarray(m.modulate(bits))
+    nudged = (syms * np.exp(1j * (np.pi / 8 + 1e-3))).astype(np.complex64)
+    back = np.asarray(m.demod(nudged))
+    errs = int((back != bits).sum())
+    assert errs == 512, errs
+
+
+def test_psk_rejects_non_power_of_two():
+    with pytest.raises(ValueError, match="power of two"):
+        mod.psk(6)
+
+
+def test_psk_chain_config_resolves():
+    from aether_primitives_tpu.models.modem import _modulation_by_name
+
+    m = _modulation_by_name("psk8")
+    assert m.bits_per_symbol == 3
+    assert m.name == "psk8"
+
+
 # ---- differential coding -----------------------------------------------------
 
 
