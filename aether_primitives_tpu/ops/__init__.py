@@ -13,11 +13,12 @@ from . import frontend
 from . import analog
 from . import fec
 from . import ldpc
+from . import rs
 from . import firdes
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "firdes",
+    "fec", "ldpc", "rs", "firdes",
 ]
