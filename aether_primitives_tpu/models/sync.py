@@ -242,6 +242,88 @@ def costas_loop(
     )
 
 
+def gardner_loop(
+    x,
+    sps: int = 2,
+    loop_bw: float = 0.01,
+    damping: float = 0.7071,
+    n_symbols: Optional[int] = None,
+):
+    """Decision-free feedback symbol-timing recovery (Gardner 1986) —
+    returns ``(symbols, tau_trace)``: one complex sample per symbol strobed
+    at the loop's interpolated optimum, plus the per-symbol fractional
+    position trace (in samples, for diagnostics).
+
+    :func:`estimate_timing` is the TPU-native fast path for a *static*
+    offset — one reduction. A *drifting* sample clock (TCXO ppm error,
+    Doppler time dilation) needs feedback; this is the classic
+    second-order loop as a ``lax.scan`` over symbols. The Gardner error
+    ``e = Re{(y_k - y_{k-1}) · conj(y_{k-1/2})}`` uses only on-time and
+    midpoint strobes — carrier-phase independent, so it runs *before*
+    carrier recovery (pair with :func:`costas_loop` downstream).
+
+    Strobes are cubic-Lagrange interpolations of 4 adjacent input samples
+    (the same kernel as
+    :func:`~aether_primitives_tpu.ops.sampling.resample_poly`'s Farrow
+    operator) fetched with ``dynamic_slice`` inside the scan — serial by
+    nature, so per-step work is kept tiny; batch bursts via leading axes.
+    Loop gains use the standard bandwidth normalization (``loop_bw`` in
+    cycles/symbol, cf. :func:`costas_loop`).
+
+    ``n_symbols`` bounds the output (static shape). The default leaves an
+    8-sample + 0.2% margin so a clock error up to ~2000 ppm cannot read
+    past the buffer; reads are index-clamped regardless.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    if x.ndim != 1:
+        raise ValueError("gardner_loop takes a single stream; vmap for batches")
+    n = int(x.shape[-1])
+    sps = int(sps)
+    if sps < 2:
+        raise ValueError("Gardner needs >= 2 samples/symbol")
+    if n_symbols is None:
+        n_symbols = max(int((n - 8) // sps * 0.998) - 1, 0)
+    zeta = float(damping)
+    theta = float(loop_bw) / (zeta + 1.0 / (4.0 * zeta))
+    d = 1.0 + 2.0 * zeta * theta + theta * theta
+    kp = jnp.float32(4.0 * zeta * theta / d)
+    ki = jnp.float32(4.0 * theta * theta / d)
+
+    re = jnp.real(x)
+    im = jnp.imag(x)
+    nmax = jnp.float32(n - 3)
+
+    def interp(p):
+        """Cubic Lagrange at fractional position ``p`` (clamped)."""
+        p = jnp.clip(p, 1.0, nmax - 1.0)
+        i = jnp.floor(p).astype(jnp.int32)
+        mu = p - i.astype(jnp.float32)
+        rr = jax.lax.dynamic_slice(re, (i - 1,), (4,))
+        ii = jax.lax.dynamic_slice(im, (i - 1,), (4,))
+        c0 = -mu * (mu - 1.0) * (mu - 2.0) / 6.0
+        c1 = (mu + 1.0) * (mu - 1.0) * (mu - 2.0) / 2.0
+        c2 = -(mu + 1.0) * mu * (mu - 2.0) / 2.0
+        c3 = (mu + 1.0) * mu * (mu - 1.0) / 6.0
+        w = jnp.stack([c0, c1, c2, c3])
+        return jax.lax.complex(jnp.sum(w * rr), jnp.sum(w * ii))
+
+    def step(carry, _):
+        pos, w, prev = carry
+        y_on = interp(pos)
+        y_mid = interp(pos - w * 0.5)
+        # e > 0 <=> strobing LATE (midpoint sits on the transition slope
+        # in the direction of y_on - prev), so the correction SUBTRACTS
+        e = jnp.real((y_on - prev) * jnp.conj(y_mid))
+        w_new = w - ki * e
+        pos_new = pos + w_new - kp * e
+        return (pos_new, w_new, y_on), (y_on, pos)
+
+    w0 = jnp.float32(sps)
+    carry0 = (jnp.float32(2.0 + sps), w0, jnp.complex64(0.0))
+    _, (syms, tau) = jax.lax.scan(step, carry0, None, length=int(n_symbols))
+    return syms.astype(cf32), tau
+
+
 class OfdmEqualizer:
     """One-tap per-subcarrier equalizer from a known pilot frame.
 

@@ -214,3 +214,43 @@ def ambiguity_surface(
     ax.set_title(title)
     fig.colorbar(im, ax=ax, label="|CAF| [dB]" if use_db else "|CAF|")
     _finish(fig, file)
+
+
+def eye(
+    x,
+    sps: int,
+    n_traces: int = 200,
+    offset: int = 0,
+    title: str = "eye",
+    file: Optional[str] = None,
+):
+    """Eye diagram: overlay of 2-symbol-long segments of a pulse-shaped
+    stream (I on top, Q below) — the classic visual check of ISI and
+    timing jitter that pairs with
+    :func:`~aether_primitives_tpu.models.sync.estimate_timing` /
+    ``gardner_loop``. ``offset`` shifts the fold so a recovered timing
+    phase can be centered in the eye."""
+    xs = np.asarray(x).astype(np.complex64)
+    seg = 2 * int(sps)
+    start = int(offset) % int(sps)
+    n_avail = (len(xs) - start - 1) // seg
+    n = min(int(n_traces), n_avail)
+    if n <= 0:
+        raise ValueError("stream too short for one eye trace")
+    traces = xs[start : start + n * seg].reshape(n, seg)
+    t = np.arange(seg + 1) / float(sps)
+    # close each trace with the first sample of the next segment
+    nxt = xs[start + seg : start + n * seg + 1 : seg]
+    if len(nxt) < n:
+        traces, n = traces[: len(nxt)], len(nxt)
+    closed = np.concatenate([traces, nxt[:n, None]], axis=1)
+    plt = _plt()
+    fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for row in closed:
+        ax0.plot(t, row.real, color="steelblue", alpha=0.15, lw=0.8)
+        ax1.plot(t, row.imag, color="darkorange", alpha=0.15, lw=0.8)
+    ax0.set_ylabel("I")
+    ax1.set_ylabel("Q")
+    ax1.set_xlabel("time [symbols]")
+    ax0.set_title(title)
+    _finish(fig, file)

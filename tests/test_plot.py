@@ -65,3 +65,21 @@ def test_ambiguity_surface_saves(tmp_path, rng):
     plot.ambiguity_surface(x, ref, max_doppler=1e-3, n_dopplers=16,
                            file=str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_eye_saves(tmp_path, rng):
+    from aether_primitives_tpu.ops import fir as fir_mod, modulation
+
+    bits = rng.integers(0, 2, 400 * 2).astype(np.uint8)
+    syms = np.asarray(modulation.qpsk().modulate(bits))
+    up = np.zeros(400 * 4, np.complex64)
+    up[::4] = syms
+    shaped = np.asarray(fir_mod.fir_filter(up, fir_mod.rrc_taps(4, span=8)))
+    p = tmp_path / "eye.png"
+    plot.eye(shaped, sps=4, n_traces=100, file=str(p))
+    assert p.stat().st_size > 0
+
+
+def test_eye_too_short():
+    with pytest.raises(ValueError, match="too short"):
+        plot.eye(np.zeros(4, np.complex64), sps=4)

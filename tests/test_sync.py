@@ -382,3 +382,89 @@ def test_estimate_cfo_blind_qpsk(rng):
         rx = (rx + 0.3 * (rng.normal(size=tx.size) + 1j * rng.normal(size=tx.size))).astype(np.complex64)
         got = float(estimate_cfo_blind(rx, m=4))
         assert abs(got - f0) < 3e-5, (f0, got)
+
+
+# ---- Gardner feedback timing loop ---------------------------------------------
+
+
+def _rc_shaped_qpsk(rng, nsym, sps, beta=0.35):
+    """TX-RRC + RX-matched-RRC (raised-cosine cascade) QPSK stream and the
+    transmitted symbols — the stream a timing loop actually sees."""
+    from aether_primitives_tpu.ops import fir as fir_mod
+    from aether_primitives_tpu.ops import modulation
+
+    bits = rng.integers(0, 2, nsym * 2).astype(np.uint8)
+    syms = np.asarray(modulation.qpsk().modulate(bits))
+    up = np.zeros(nsym * sps, np.complex64)
+    up[::sps] = syms
+    taps = fir_mod.rrc_taps(sps, span=8, beta=beta)
+    shaped = np.asarray(fir_mod.fir_filter(up, taps))
+    matched = np.asarray(fir_mod.fir_filter(shaped, taps))
+    return matched, syms
+
+
+def _sign_agreement(strobes, tx_syms, settle):
+    """Best agreement of strobe sign-decisions vs TX symbols over small
+    alignment shifts (group delay is implementation detail)."""
+    dec = np.sign(strobes.real) + 1j * np.sign(strobes.imag)
+    ref = np.sign(tx_syms.real) + 1j * np.sign(tx_syms.imag)
+    best = 0.0
+    for shift in range(-24, 24):  # dec[k] ~ ref[k + shift]
+        lo = max(settle, -shift)
+        n = min(len(dec) - lo, len(ref) - lo - shift)
+        if n <= 100:
+            continue
+        a = dec[lo : lo + n]
+        b = ref[lo + shift : lo + shift + n]
+        best = max(best, float(np.mean(a == b)))
+    return best
+
+
+@pytest.mark.parametrize("tau_true", [0.3, 1.7, -0.45])
+def test_gardner_locks_static_offset(tau_true):
+    from aether_primitives_tpu.models.sync import gardner_loop
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(815)
+    sps = 4
+    x, syms = _rc_shaped_qpsk(rng, 3000, sps)
+    delayed = np.asarray(sampling.fractional_delay(x, tau_true))
+    strobes, tau = gardner_loop(delayed, sps=sps, loop_bw=0.02)
+    strobes = np.asarray(strobes)
+    assert _sign_agreement(strobes, syms, settle=400) > 0.998
+    # post-settle strobe positions are stable (loop locked, static clock)
+    steps = np.diff(np.asarray(tau)[1500:])
+    # Gardner self-noise at this loop bandwidth peaks ~0.1 sample
+    assert np.abs(steps - sps).max() < 0.25
+
+
+def test_gardner_tracks_clock_drift():
+    from aether_primitives_tpu.models.sync import gardner_loop
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(42)
+    sps = 4
+    x, syms = _rc_shaped_qpsk(rng, 4000, sps)
+    # RX sample clock 0.1% slow: the same waveform occupies more samples
+    stretched = np.asarray(sampling.resample_poly(x, 1001, 1000))
+    strobes, tau = gardner_loop(stretched, sps=sps, loop_bw=0.02)
+    strobes = np.asarray(strobes)
+    assert _sign_agreement(strobes, syms, settle=600) > 0.998
+    # converged symbol period reflects the stretched clock (~sps * 1.001)
+    period = float(np.mean(np.diff(np.asarray(tau)[2500:3500])))
+    assert abs(period - sps * 1.001) < 0.01
+
+
+def test_gardner_sps2_and_validation():
+    from aether_primitives_tpu.models.sync import gardner_loop
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(7)
+    x, syms = _rc_shaped_qpsk(rng, 3000, 2)
+    delayed = np.asarray(sampling.fractional_delay(x, 0.5))  # worst case
+    strobes, _ = gardner_loop(delayed, sps=2, loop_bw=0.02)
+    assert _sign_agreement(np.asarray(strobes), syms, settle=500) > 0.99
+    with pytest.raises(ValueError, match="2 samples/symbol"):
+        gardner_loop(x, sps=1)
+    with pytest.raises(ValueError, match="single stream"):
+        gardner_loop(np.zeros((2, 64), np.complex64))
