@@ -7,7 +7,8 @@ the framework-level equivalent of the reference's modem example
 
 TX: payload -> CRC (:func:`~..ops.fec.crc_append`)
             -> self-sync scramble (:func:`~..ops.sequence.scramble_multiplicative`)
-            -> FEC (:func:`~..ops.fec.conv_encode` or :mod:`~..ops.ldpc`)
+            -> FEC (:func:`~..ops.fec.conv_encode`, :mod:`~..ops.ldpc`,
+               or :mod:`~..ops.rs` Reed-Solomon for burst-error channels)
             -> block interleave -> modulate -> [preamble | symbols]
 
 RX: capture -> preamble acquisition (:func:`~.sync.detect_preamble`)
@@ -38,30 +39,34 @@ import numpy as np
 from ..ops import fec as _fec
 from ..ops import ldpc as _ldpc
 from ..ops import modulation as _mod
+from ..ops import rs as _rs
 from ..ops import sequence as _seq
 from ..types import cf32
 from . import sync as _sync
 
 
 def _modulation_by_name(name: str):
-    return {
-        "bpsk": _mod.bpsk,
-        "qpsk": _mod.qpsk,
-        "qam16": _mod.qam16,
-    }.get(name, lambda: _mod.qam(int(name[3:])))()
+    named = {"bpsk": _mod.bpsk, "qpsk": _mod.qpsk, "qam16": _mod.qam16}
+    if name in named:
+        return named[name]()
+    if name.startswith("psk"):
+        return _mod.psk(int(name[3:]))
+    return _mod.qam(int(name[3:]))
 
 
 @dataclass(frozen=True)
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "rs" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
     preamble_half: int = 64  # symbols per identical half
     preamble_cinit: int = 0x1234
     ldpc_seed: int = 7
+    rs_n: int = 255  # Reed-Solomon codeword/message symbols (fec="rs")
+    rs_k: int = 223
 
     @property
     def crc_width(self) -> int:
@@ -92,6 +97,14 @@ class PacketModem:
             self.ldpc_frames = -(-self.frame_bits // k)
             self.ldpc_pad = self.ldpc_frames * k - self.frame_bits
             self.coded_bits = self.ldpc_frames * h.shape[1]
+        elif c.fec == "rs":
+            # byte-oriented: frame bits pad to whole GF(2^8) symbols, then
+            # to whole RS(rs_n, rs_k) codewords
+            self._rs = _rs.ReedSolomon(c.rs_n, c.rs_k)
+            frame_bytes = -(-self.frame_bits // 8)
+            self.rs_frames = -(-frame_bytes // c.rs_k)
+            self.rs_pad_bits = self.rs_frames * c.rs_k * 8 - self.frame_bits
+            self.coded_bits = self.rs_frames * c.rs_n * 8
         elif c.fec == "none":
             self.coded_bits = self.frame_bits
         else:
@@ -128,6 +141,12 @@ class PacketModem:
                 [line, jnp.zeros(self.ldpc_pad, jnp.uint8)]
             ).reshape(self.ldpc_frames, -1)
             coded = _ldpc.ldpc_encode(padded, g).reshape(-1)
+        elif c.fec == "rs":
+            padded = jnp.concatenate(
+                [line, jnp.zeros(self.rs_pad_bits, jnp.uint8)]
+            )
+            syms = _rs.bits_to_symbols(padded).reshape(self.rs_frames, c.rs_k)
+            coded = _rs.symbols_to_bits(self._rs.encode(syms)).reshape(-1)
         else:
             coded = line
         if self.inter_pad or c.interleave_rows > 1:
@@ -193,6 +212,11 @@ class PacketModem:
                 llr.reshape(self.ldpc_frames, -1), h, iters=30
             )
             line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
+        elif c.fec == "rs":
+            hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols
+            syms = _rs.bits_to_symbols(hard).reshape(self.rs_frames, c.rs_n)
+            dec, _rs_ok, _ = self._rs.decode(syms)
+            line = _rs.symbols_to_bits(dec).reshape(-1)[: self.frame_bits]
         else:
             line = (llr < 0).astype(jnp.uint8)
         frame = _seq.descramble_multiplicative(line, c.scrambler)

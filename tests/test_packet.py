@@ -17,7 +17,7 @@ def _channel(burst, rng, delay=300, cfo=1e-3, gain=0.4 * np.exp(1j * 1.1),
     return x.astype(np.complex64)
 
 
-@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "none"])
+@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "none"])
 def test_loopback_all_fecs(rng, fec):
     cfg = PacketConfig(payload_bits=960, fec=fec)
     pm = PacketModem(cfg)
@@ -52,6 +52,25 @@ def test_packet_through_channel_ldpc(rng):
     bits, ok, diag = pm.rx(cap)
     assert bool(ok)
     assert (np.asarray(bits) == payload).all()
+
+
+def test_packet_through_channel_rs_burst_fade(rng):
+    # Reed-Solomon's specialty: a contiguous fade. 40 QPSK symbols = 80
+    # bits hit <= 11 consecutive GF(2^8) symbols of the single shortened
+    # RS(156,124) codeword (t=16) -- corrected with NO interleaver.
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="rs",
+                                  rs_n=156, rs_k=124))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(pm.tx(payload))
+    cap = _channel(burst, rng, delay=400, cfo=5e-4, snr_sigma=0.03)
+    fade_start = 400 + pm.preamble.size + 200
+    cap[fade_start : fade_start + 40] = 0.02 * (
+        rng.normal(size=40) + 1j * rng.normal(size=40)
+    )
+    bits, ok, diag = pm.rx(cap)
+    assert bool(ok)
+    assert (np.asarray(bits) == payload).all()
+    assert int(diag["offset"]) == 400
 
 
 def test_packet_crc_flags_unrecoverable(rng):
