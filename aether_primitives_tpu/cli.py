@@ -267,6 +267,28 @@ def microbench_main(argv=None):
         1 << 20,
     )
 
+    # Reed-Solomon (samples = GF(2^8) symbols = bytes)
+    from aether_primitives_tpu.ops.rs import rs_255_223
+
+    rs_code = rs_255_223()
+    nrs = max(B // 4, 1)
+    rs_msgs = rng.integers(0, 256, (nrs, 223)).astype(np.uint8)
+    timed(
+        f"rs(255,223) encode [{nrs} cw]",
+        lambda m: rs_code.encode(m),
+        rs_msgs,
+        nrs * 223,
+    )
+    rs_cws = np.asarray(rs_code.encode(rs_msgs)).copy()
+    for row in rs_cws:  # full-t error load
+        row[rng.choice(255, 16, replace=False)] ^= rng.integers(1, 256, 16).astype(np.uint8)
+    timed(
+        f"rs(255,223) decode t=16 errs [{nrs} cw]",
+        lambda c: rs_code.decode(c)[0],
+        rs_cws,
+        nrs * 255,
+    )
+
     payload = {"platform": platform, "batch": B, "results": results}
     if args.json:
         with open(args.json, "w") as f:
