@@ -480,8 +480,13 @@ def pfb_synthesize(
     are the partial overlap-add tail — keep them when stitching blocks
     (:class:`PfbSynthesizer` does) or trim for a one-shot call.
 
-    TPU notes: the channel iDFT is the batched matmul FFT; the ``Q``
-    overlap-adds are stride-1 pads of whole ``[T, M]`` slabs — no scatter.
+    TPU notes: the channel iDFT is the batched matmul FFT; the overlap-add
+    sums ``Q`` stride-1 SLICES of one padded tensor (``vp[q-1-p : +S]``),
+    which XLA fuses into a single output pass — measured 1.5x faster than
+    summing ``Q`` per-term padded tensors, and 2x faster than a spectral
+    per-channel frame-axis FIR whose transposes + FFT padding eat the
+    savings (chip A/B in DEVNOTES; 2048 ch, Q=16: 2.42 ms / 4M samples =
+    1.73 Gsa/s).
     """
     y = jnp.asarray(frames, dtype=cf32)
     m = int(n_chan) if n_chan is not None else y.shape[-1]
@@ -498,14 +503,17 @@ def pfb_synthesize(
     v = fft_plan(m, fft_backend).bwd(y, scale)  # [..., T, M]
     t_frames = v.shape[-2]
     nb = v.ndim
+    if q == 1:  # pure per-channel gain — exact, no filtering
+        out = v * jnp.asarray(gb[0])
+        return out.reshape(out.shape[:-2] + (t_frames * m,))
+    s_len = t_frames + q - 1
+    vp = jnp.pad(v, [(0, 0)] * (nb - 2) + [(q - 1, q - 1), (0, 0)])
     acc = None
     for pi in range(q):
-        term = v * jnp.asarray(gb[pi])
-        padded = jnp.pad(
-            term, [(0, 0)] * (nb - 2) + [(pi, q - 1 - pi), (0, 0)]
-        )
-        acc = padded if acc is None else acc + padded
-    return acc.reshape(acc.shape[:-2] + ((t_frames + q - 1) * m,))
+        sl = jax.lax.slice_in_dim(vp, q - 1 - pi, q - 1 - pi + s_len, axis=-2)
+        term = sl * jnp.asarray(gb[pi])
+        acc = term if acc is None else acc + term
+    return acc.reshape(acc.shape[:-2] + (s_len * m,))
 
 
 class PfbSynthesizer:

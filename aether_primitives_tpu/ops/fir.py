@@ -185,6 +185,12 @@ def fir_filter_os(
     received from the left-neighbor shard in the sharded chain); defaults to
     zeros — the causal initial state.
 
+    ``taps`` may carry leading batch axes (``[..., K]``) that broadcast
+    against ``x``'s batch axes — each row filtered by its own taps with ONE
+    shared tap-spectrum transform (the per-channel frame-axis FIR of
+    :func:`~aether_primitives_tpu.models.channelizer.pfb_synthesize` uses
+    this).
+
     Any ``block_len >= K-1`` works (the tail block is zero-padded and the
     output sliced back); the default picks a power-of-two near
     ``max(1024, 8*K)``. All blocks are processed as one batched FFT — the
@@ -238,9 +244,12 @@ def fir_filter_os(
     if pad:
         ext = jnp.pad(ext, [(0, 0)] * (ext.ndim - 1) + [(0, pad)])
 
-    h = jnp.zeros((fft_len,), dtype=cf32).at[:k].set(taps)
+    h = jnp.zeros(taps.shape[:-1] + (fft_len,), dtype=cf32).at[..., :k].set(taps)
     plan = _fft.plan(fft_len, fft_backend)
-    spec = plan.fwd(ext, Scale.NONE) * plan.fwd(h, Scale.NONE)
+    hspec = plan.fwd(h, Scale.NONE)
+    if h.ndim > 1:  # per-row taps: broadcast across the block axis
+        hspec = hspec[..., None, :]
+    spec = plan.fwd(ext, Scale.NONE) * hspec
     y = plan.bwd(spec, Scale.N)
     y = y[..., (k - 1) : (k - 1) + block_len] if k > 1 else y[..., :block_len]
     return y.reshape(batch + (n_pad,))[..., :n].astype(cf32)

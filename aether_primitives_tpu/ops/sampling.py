@@ -344,3 +344,51 @@ def downsample_by(src, factor: int, dense: Optional[bool] = None) -> jnp.ndarray
     if n % factor != 0:
         raise ValueError("Input length must be divisible by the decimation factor")
     return downsample(src, n // factor, dense=dense)
+
+
+def decimate(
+    src,
+    factor: int,
+    cutoff: float = 0.8,
+    atten_db: float = 60.0,
+    fft_backend=None,
+) -> jnp.ndarray:
+    """Anti-aliased decimation: Kaiser-designed lowpass at ``cutoff`` of
+    the post-decimation Nyquist, applied through the fused decimating
+    overlap-save FIR (:func:`~.fir.fir_filter_os_decimate`) — filter and
+    rate change in ONE spectral-fold pass, never materializing the
+    full-rate filtered signal.
+
+    The raw :func:`downsample`/:func:`downsample_by` are the reference's
+    filterless decimators (reference src/sampling.rs:28-42 — they alias by
+    design); this is the one-call user API a deployed chain wants. Taps
+    come from :func:`~.firdes.kaiser_lowpass` (host f64, design cached);
+    group delay is NOT compensated (causal, like every FIR here).
+
+    ``cutoff`` is the passband edge as a fraction of the POST-decimation
+    Nyquist; the transition band runs from there to that Nyquist, so
+    aliases land at least ``atten_db`` down.
+    """
+    factor = int(factor)
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    src = jnp.asarray(src, dtype=cf32)
+    if factor == 1:
+        return src
+    if not (0.0 < cutoff < 1.0):
+        raise ValueError("cutoff must be in (0, 1) of the output Nyquist")
+    from . import fir as _fir
+
+    taps = _decimate_taps(factor, float(cutoff), float(atten_db))
+    return _fir.fir_filter_os_decimate(src, taps, factor, fft_backend=fft_backend)
+
+
+@functools.lru_cache(maxsize=None)
+def _decimate_taps(factor: int, cutoff: float, atten_db: float) -> np.ndarray:
+    from .firdes import kaiser_lowpass
+
+    out_nyq = 0.5 / factor  # in cycles/(input sample)
+    edge = cutoff * out_nyq
+    width = out_nyq - edge
+    # cutoff at the middle of the transition band (kaiser_lowpass centers it)
+    return kaiser_lowpass(edge + width / 2.0, width, atten_db).astype(np.float32)

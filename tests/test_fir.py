@@ -362,3 +362,28 @@ def test_tx_chain_fused_mode_agrees():
     for mode in ("os", "fused"):
         sig = np.asarray(TxChain(RxChainConfig(**base, fir_mode=mode)).step(bits))
         assert evm_rms_db(sig, ref_sig.astype(np.complex128)) < -110, mode
+
+
+def test_fir_filter_os_per_row_taps(rng):
+    # taps with a leading batch axis: each row filtered by its own taps,
+    # equal to row-by-row np.convolve (causal)
+    n, k, rows = 300, 7, 5
+    x = rand_c(rng, (rows, n))
+    taps = (0.3 * rand_c(rng, (rows, k))).astype(np.complex64)
+    got = np.asarray(fir.fir_filter_os(x, taps, block_len=64))
+    for r in range(rows):
+        ref = np.convolve(
+            x[r].astype(np.complex128), taps[r].astype(np.complex128)
+        )[:n]
+        assert evm_rms_db(got[r], ref) < -120, r
+
+
+def test_fir_filter_os_per_row_taps_broadcast(rng):
+    # a [rows, k] tap bank broadcasts against extra leading batch axes
+    n, k, rows = 128, 5, 3
+    x = rand_c(rng, (2, rows, n))
+    taps = (0.3 * rand_c(rng, (rows, k))).astype(np.complex64)
+    got = np.asarray(fir.fir_filter_os(x, taps))
+    for b in range(2):
+        ref = np.asarray(fir.fir_filter_os(x[b], taps))
+        assert np.allclose(got[b], ref, atol=1e-6)

@@ -216,3 +216,51 @@ def test_resample_poly_rejects_bad_length(rng):
     x = np.zeros(100, np.complex64)
     with pytest.raises(ValueError, match="divisible"):
         sampling.resample_poly(x, 3, 7)
+
+
+# ---- anti-aliased decimate ------------------------------------------------------
+
+
+def test_decimate_passband_tone_preserved():
+    from aether_primitives_tpu.ops.sampling import decimate
+
+    n, dec = 8192, 4
+    f = 0.02  # well inside the decimated passband
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * f * t).astype(np.complex64)
+    y = np.asarray(decimate(x, dec))
+    assert y.shape == (n // dec,)
+    # steady state: the tone survives at dec*f cycles/sample, unit amplitude
+    core = y[200:-10]
+    ref = np.exp(2j * np.pi * f * dec * (t[: len(core)] ))
+    # compare magnitudes and tone frequency via correlation with the ideal
+    amp = np.abs(core).mean()
+    assert abs(amp - 1.0) < 0.01
+    corr = np.abs(np.vdot(core / np.abs(core), ref / np.abs(ref))) / len(core)
+    assert corr > 0.999
+
+
+def test_decimate_alias_rejected():
+    from aether_primitives_tpu.ops.sampling import decimate, downsample_by
+
+    n, dec = 8192, 4
+    # a tone ABOVE the decimated Nyquist: raw downsample aliases it in at
+    # full strength; decimate() kills it by >= ~55 dB
+    f = 0.2
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * f * t).astype(np.complex64)
+    raw = np.asarray(downsample_by(x, dec))
+    flt = np.asarray(decimate(x, dec, atten_db=60.0))
+    assert np.abs(raw[50:]).mean() > 0.99  # alias at full strength
+    assert 20 * np.log10(np.abs(flt[200:]).mean() + 1e-12) < -55
+
+
+def test_decimate_factor_one_and_validation(rng):
+    from aether_primitives_tpu.ops.sampling import decimate
+
+    x = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+    assert np.allclose(np.asarray(decimate(x, 1)), x)
+    with pytest.raises(ValueError, match="cutoff"):
+        decimate(x, 4, cutoff=1.5)
+    with pytest.raises(ValueError, match="factor"):
+        decimate(x, 0)
