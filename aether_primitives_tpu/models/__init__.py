@@ -14,6 +14,8 @@ from .channelizer import (
     pfb_prototype,
     pfb_synthesis_taps,
     pfb_synthesize,
+    stft,
+    istft,
 )
 from . import sync
 from . import caf
@@ -52,6 +54,8 @@ __all__ = [
     "pfb_prototype",
     "pfb_synthesis_taps",
     "pfb_synthesize",
+    "stft",
+    "istft",
     "sync",
     "ber",
     "ddc",

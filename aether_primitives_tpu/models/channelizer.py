@@ -594,3 +594,116 @@ def sharded_waterfall(
     spec_in = P(*([None] * (nb - 2) + [axis_name, None]))
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
     return fn(rows)
+
+
+# --------------------------------------------------------------- STFT / iSTFT
+
+
+def _stft_window(window, fft_len: int) -> np.ndarray:
+    """PERIODIC windows (the COLA-correct kind; the symmetric variants in
+    :func:`_resolve_window` match the reference's plotting conventions,
+    these match reconstruction)."""
+    if isinstance(window, str):
+        n = np.arange(fft_len, dtype=np.float64)
+        if window == "hann":
+            w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / fft_len)
+        elif window == "sqrt_hann":
+            w = np.sqrt(0.5 - 0.5 * np.cos(2.0 * np.pi * n / fft_len))
+        elif window == "rect":
+            w = np.ones(fft_len)
+        else:
+            raise ValueError(f"unknown stft window {window!r}")
+        return w.astype(np.float32)
+    w = np.asarray(window, dtype=np.float32).ravel()
+    if w.shape[-1] != fft_len:
+        raise ValueError("window length must equal fft_len")
+    return w
+
+
+def stft(
+    x,
+    fft_len: int,
+    hop: Optional[int] = None,
+    window="sqrt_hann",
+    scale: Scale = Scale.SN,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Short-time Fourier transform: ``[..., n]`` -> ``[..., T, fft_len]``
+    complex spectra of windowed frames starting at ``t*hop`` (default hop
+    ``fft_len // 2``; ``fft_len % hop == 0`` — the slab framing of
+    :func:`_frames_overlapped`, no strided gathers).
+
+    The oversampled (hop < fft_len) generalization of the waterfall's
+    chunked FFT — the spectral-domain processing workhorse: mask/filter
+    the frames, then :func:`istft` back. With the default periodic
+    ``sqrt_hann`` at 50% overlap the pair reconstructs exactly (WOLA +
+    NOLA normalization; tested at -120 dB), and any window/hop satisfying
+    the nonzero-overlap-add condition works.
+    """
+    fft_len = int(fft_len)
+    hop = fft_len // 2 if hop is None else int(hop)
+    w = _stft_window(window, fft_len)
+    xc = jnp.asarray(x, dtype=cf32)
+    # boundary zeros (scipy-style): every REAL sample gets the full
+    # periodic overlap-add weight, so tapered windows (w[0] = 0) still
+    # reconstruct the edges exactly; istft drops the padding again
+    lead = fft_len - hop
+    xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(lead, lead)])
+    frames = _frames_overlapped(xc, fft_len, hop) * jnp.asarray(w)
+    return fft_plan(fft_len, fft_backend).fwd(frames, scale)
+
+
+def istft(
+    frames,
+    hop: Optional[int] = None,
+    window="sqrt_hann",
+    scale: Scale = Scale.SN,
+    fft_backend: Optional[str] = None,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Inverse STFT: ``[..., T, fft_len]`` spectra -> ``[..., n]`` samples
+    by windowed overlap-add with exact NOLA normalization (the per-sample
+    ``sum_t w^2(n - t*hop)`` divisor, so edges reconstruct exactly too).
+
+    ``scale`` must match the analysis call (default ``Scale.SN`` both ways
+    makes the FFT pair the identity). ``length`` trims the synthesis
+    output (default ``(T-1)*hop + fft_len``, the full span). Overlap-add
+    uses the slice-sum form (one padded tensor, ``fft_len/hop`` stride-1
+    slices — the same fusion win as :func:`pfb_synthesize`).
+    """
+    y = jnp.asarray(frames, dtype=cf32)
+    fft_len = int(y.shape[-1])
+    hop = fft_len // 2 if hop is None else int(hop)
+    q, rem = divmod(fft_len, hop)
+    if rem:
+        raise ValueError(f"fft_len {fft_len} must be a multiple of hop {hop}")
+    w = _stft_window(window, fft_len)
+    v = fft_plan(fft_len, fft_backend).bwd(y, scale) * jnp.asarray(w)
+    t_frames = int(v.shape[-2])
+    full = (t_frames - 1) * hop + fft_len
+    # NOLA divisor, exact for the actual frame count (host f64, static)
+    denom = np.zeros(full, np.float64)
+    w2 = (w.astype(np.float64)) ** 2
+    for t in range(t_frames):
+        denom[t * hop : t * hop + fft_len] += w2
+    lead = fft_len - hop  # stft's boundary padding, dropped below
+    core = denom[lead : full - lead if lead else full]
+    if core.size and core.min() <= 1e-10 * max(denom.max(), 1e-30):
+        raise ValueError("window/hop violate NOLA: zero overlap-add weight")
+    denom = np.where(denom <= 1e-10 * max(denom.max(), 1e-30), 1.0, denom)
+    nb = v.ndim
+    # overlap-add: slab view [.., T, q, hop]; out slab s = sum_j vs[s-j, j]
+    vs = v.reshape(v.shape[:-1] + (q, hop))
+    n_slabs = t_frames + q - 1
+    vp = jnp.pad(vs, [(0, 0)] * (nb - 2) + [(q - 1, q - 1), (0, 0), (0, 0)])
+    acc = None
+    for j in range(q):
+        sl = jax.lax.slice_in_dim(vp, q - 1 - j, q - 1 - j + n_slabs, axis=-3)
+        term = sl[..., j, :]
+        acc = term if acc is None else acc + term
+    out = acc.reshape(acc.shape[:-2] + (n_slabs * hop,))
+    out = out / jnp.asarray(denom.astype(np.float32))
+    out = out[..., lead:]  # drop the analysis boundary padding
+    if length is not None:
+        out = out[..., : int(length)]
+    return out.astype(cf32)

@@ -306,3 +306,67 @@ def test_welch_psd_batched_and_short_raises(rng):
     assert np.asarray(psd).shape == (2, 256)
     with pytest.raises(ValueError, match="shorter"):
         welch_psd(x[0, :100], 256)
+
+
+# ---------------------------------------------------------------- STFT / iSTFT
+
+
+@pytest.mark.parametrize(
+    "hop,window", [(None, "sqrt_hann"), (64, "hann"), (128, "sqrt_hann"), (256, "rect")]
+)
+def test_stft_istft_roundtrip_exact(hop, window):
+    from aether_primitives_tpu.models.channelizer import istft, stft
+
+    rng = np.random.default_rng(5)
+    x = rand_c(rng, 5000)
+    s = stft(x, 256, hop=hop, window=window)
+    y = np.asarray(istft(s, hop=hop, window=window, length=5000))
+    assert evm_rms_db(y, x.astype(np.complex128)) < -120
+
+
+def test_stft_tone_lands_in_bin():
+    from aether_primitives_tpu.models.channelizer import stft
+
+    n, m = 4096, 256
+    k = 32
+    x = np.exp(2j * np.pi * k / m * np.arange(n)).astype(np.complex64)
+    s = np.asarray(stft(x, m))
+    mid = s[4:-4]  # interior frames
+    assert (np.abs(mid).argmax(axis=-1) == k).all()
+
+
+def test_stft_istft_batched(rng):
+    from aether_primitives_tpu.models.channelizer import istft, stft
+
+    x = rand_c(rng, (3, 2000))
+    s = stft(x, 128)
+    assert s.shape[:-2] == (3,)
+    y = np.asarray(istft(s, length=2000))
+    assert y.shape == (3, 2000)
+    assert evm_rms_db(y, x.astype(np.complex128)) < -120
+
+
+def test_stft_spectral_masking_removes_tone(rng):
+    # the use case: mask an interferer in the STFT domain, resynthesize
+    from aether_primitives_tpu.models.channelizer import istft, stft
+
+    n, m, k = 8192, 256, 40
+    sig = (0.1 * rand_c(rng, n)).astype(np.complex64)
+    tone = np.exp(2j * np.pi * (k / m) * np.arange(n)).astype(np.complex64)
+    s = np.asarray(stft(sig + tone, m)).copy()
+    s[..., k - 1 : k + 2] = 0  # notch the interferer bins
+    y = np.asarray(istft(s, length=n))
+    # interferer suppressed by > 20 dB; the noise floor survives
+    res = y - sig
+    assert np.linalg.norm(res[500:-500]) < 0.1 * np.linalg.norm(tone[500:-500])
+
+
+def test_istft_rejects_non_divisor_hop_and_nola():
+    from aether_primitives_tpu.models.channelizer import istft, stft
+
+    with pytest.raises(ValueError, match="multiple of hop"):
+        stft(np.zeros(512, np.complex64), 256, hop=96)
+    # hop == fft_len with a tapered window: zero weight inside frames
+    s = stft(np.zeros(2048, np.complex64), 256, hop=256, window="hann")
+    with pytest.raises(ValueError, match="NOLA"):
+        istft(s, hop=256, window="hann")
