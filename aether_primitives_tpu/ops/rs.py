@@ -388,6 +388,172 @@ class ReedSolomon:
         return corrected, ok, jnp.where(ok, n_roots, jnp.int32(-1))
 
 
+    # -------------------------------------------------------- erasure decoding
+
+    def _erasure_tables(self):
+        """Lazy host precompute for errors-AND-erasures decoding: the
+        locator-building constants and degree-``nsym`` evaluation matrices
+        (the errors-only path keeps its smaller degree-``t`` ones)."""
+        if getattr(self, "_era", None) is not None:
+            return self._era
+        exp, log = self._exp, self._log
+        n, nsym = self.n, self.nsym
+        bits8 = np.arange(8)
+        # X_j = alpha^{n-1-j} bit vectors, per received position
+        xloc = np.zeros((n, 8), np.float32)
+        for j in range(n):
+            v = int(exp[(n - 1 - j) % 255])
+            xloc[j] = ((v >> bits8) & 1).astype(np.float32)
+        # evaluation matrices for polynomials of degree <= nsym
+        el = np.zeros(((nsym + 1) * 8, n * 8), np.uint8)
+        eld = np.zeros(((nsym + 1) * 8, n * 8), np.uint8)
+        eo = np.zeros((nsym * 8, n * 8), np.uint8)
+        for j in range(n):
+            d = n - 1 - j
+            inv = (-d) % 255
+            for l in range(nsym + 1):
+                c = int(exp[(inv * l) % 255])
+                el[l * 8: l * 8 + 8, j * 8: j * 8 + 8] = _mul_matrix(
+                    c, self.primitive_poly
+                ).T
+                if l % 2 == 1:
+                    cd = int(exp[(inv * (l - 1)) % 255])
+                    eld[l * 8: l * 8 + 8, j * 8: j * 8 + 8] = _mul_matrix(
+                        cd, self.primitive_poly
+                    ).T
+            forney = int(exp[(d * (1 - self.fcr)) % 255])
+            for i in range(nsym):
+                c = _gf_mul_int(int(exp[(inv * i) % 255]), forney, exp, log)
+                eo[i * 8: i * 8 + 8, j * 8: j * 8 + 8] = _mul_matrix(
+                    c, self.primitive_poly
+                ).T
+        c3 = np.zeros((nsym, nsym, nsym + 1), np.float32)
+        for i in range(nsym):
+            for l in range(nsym + 1):
+                if i + l < nsym:
+                    c3[i + l, i, l] = 1.0
+        self._era = (
+            xloc,
+            el.astype(np.float32),
+            eld.astype(np.float32),
+            eo.astype(np.float32),
+            c3,
+        )
+        return self._era
+
+    def decode_erasures(self, rx, erased) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Errors-AND-erasures decode: corrects ``nu`` unknown errors plus
+        ``rho`` caller-flagged erasures whenever ``2*nu + rho <= n - k`` —
+        up to twice :meth:`decode`'s budget when the demodulator can flag
+        its own unreliable symbols (fade detector, soft-demod confidence).
+
+        ``erased``: bool/int mask ``[..., n]``, nonzero = treat that symbol
+        as an erasure (its value is ignored). Returns ``(msg, ok,
+        n_corrected)`` like :meth:`decode` (``n_corrected`` counts errors +
+        erasures actually corrected).
+
+        TPU form: the erasure locator builds in one ``lax.scan`` over
+        positions (masked companion-shift products — no data-dependent
+        shapes), Berlekamp-Massey runs all ``n-k`` iterations with a
+        ``r >= rho`` enable flag instead of a dynamic start, and the
+        Chien/Forney stage is the same matmul set at locator degree
+        ``n-k``.
+        """
+        rx = jnp.asarray(rx)
+        if rx.shape[-1] != self.n:
+            raise ValueError(f"expected {self.n} received symbols, got {rx.shape[-1]}")
+        mask = jnp.asarray(erased)
+        if mask.shape[-1] != self.n:
+            raise ValueError("erasure mask must match the codeword length")
+        mask = (mask != 0)
+        lead = rx.shape[:-1]
+        rbits = self._to_bits(rx).reshape(lead + (self.n * 8,))
+        # erased symbols contribute nothing: zero them so a garbage value
+        # cannot corrupt the syndromes beyond what the erasure absorbs
+        rbits = rbits * (1.0 - mask.astype(jnp.float32))[..., None].repeat(8, -1).reshape(
+            lead + (self.n * 8,)
+        )
+        synd = jnp.mod(rbits @ jnp.asarray(self._synd), 2.0).reshape(
+            lead + (self.nsym, 8)
+        )
+        flat_syn = synd.reshape((-1, self.nsym, 8))
+        flat_rb = rbits.reshape((-1, self.n * 8))
+        flat_mask = mask.reshape((-1, self.n)).astype(jnp.float32)
+        corr, ok, ncorr = jax.vmap(self._decode_one_erasures)(
+            flat_syn, flat_rb, flat_mask
+        )
+        corr = corr.reshape(lead + (self.n, 8))
+        msg = self._to_syms(corr[..., : self.k, :])
+        return msg, ok.reshape(lead), ncorr.reshape(lead)
+
+    def _decode_one_erasures(self, synd, rbits, mask):
+        nsym, n = self.nsym, self.n
+        xloc, el, eld, eo, c3 = self._erasure_tables()
+        m3 = jnp.asarray(self._mul3)
+        rho = jnp.sum(mask).astype(jnp.int32)
+
+        # ---- erasure locator Gamma(x) = prod_{erased j} (1 - X_j x)
+        def gstep(gam, inp):
+            xj, mj = inp
+            prod = jnp.mod(jnp.einsum("i,ijk,tk->tj", xj, m3, gam), 2.0)
+            shifted = jnp.concatenate(
+                [jnp.zeros((1, 8), jnp.float32), prod[:-1]], axis=0
+            )
+            gam_new = jnp.mod(gam + shifted, 2.0)
+            return jnp.where(mj > 0, gam_new, gam), None
+
+        gamma0 = jnp.zeros((nsym + 1, 8), jnp.float32).at[0, 0].set(1.0)
+        gamma, _ = jax.lax.scan(gstep, gamma0, (jnp.asarray(xloc), mask))
+
+        # ---- BM from Lam = B = Gamma, L = rho, enabled for r >= rho
+        pad = jnp.concatenate([jnp.zeros((nsym, 8), jnp.float32), synd], axis=0)
+        windows = jnp.stack(
+            [pad[r: r + nsym + 1][::-1] for r in range(nsym)], axis=0
+        )  # [nsym, nsym+1, 8]
+        e_one = jnp.zeros(8, jnp.float32).at[0].set(1.0)
+
+        def const_times(c, poly):
+            return jnp.mod(jnp.einsum("i,ijk,tk->tj", c, m3, poly), 2.0)
+
+        def step(carry, wr):
+            lam, bpoly, bdisc, ell, r = carry
+            delta = jnp.mod(jnp.einsum("ti,ijk,tk->j", lam, m3, wr), 2.0)
+            nz = jnp.any(delta > 0)
+            active = r >= rho
+            xb = jnp.concatenate(
+                [jnp.zeros((1, 8), jnp.float32), bpoly[:-1]], axis=0
+            )
+            t_new = jnp.mod(const_times(bdisc, lam) + const_times(delta, xb), 2.0)
+            upd = active & nz & (2 * ell <= r + rho)
+            lam_n = jnp.where(active, t_new, lam)
+            bpoly_n = jnp.where(upd, lam, jnp.where(active, xb, bpoly))
+            bdisc_n = jnp.where(upd, delta, bdisc)
+            ell_n = jnp.where(upd, r + 1 - ell + rho, ell)
+            return (lam_n, bpoly_n, bdisc_n, ell_n, r + 1), None
+
+        carry0 = (gamma, gamma, e_one, rho, jnp.int32(0))
+        (psi, _, _, _, _), _ = jax.lax.scan(step, carry0, windows)
+
+        # ---- Chien + Forney at locator degree nsym
+        prod = jnp.mod(jnp.einsum("ic,cjk,lk->ilj", synd, m3, psi), 2.0)
+        omega = jnp.mod(jnp.einsum("jil,ilb->jb", jnp.asarray(c3), prod), 2.0)
+        psi_flat = psi.reshape((nsym + 1) * 8)
+        omg_flat = omega.reshape(nsym * 8)
+        val_psi = jnp.mod(psi_flat @ jnp.asarray(el), 2.0).reshape(n, 8)
+        val_psid = jnp.mod(psi_flat @ jnp.asarray(eld), 2.0).reshape(n, 8)
+        val_omg = jnp.mod(omg_flat @ jnp.asarray(eo), 2.0).reshape(n, 8)
+        is_root = jnp.all(val_psi == 0.0, axis=-1)
+        e = self._gfmul(val_omg, self._gfinv(val_psid)) * is_root[:, None]
+        corrected = jnp.mod(rbits.reshape(n, 8) + e, 2.0)
+
+        n_roots = jnp.sum(is_root.astype(jnp.int32))
+        nz = jnp.any(psi > 0, axis=-1)
+        deg = jnp.max(jnp.where(nz, jnp.arange(nsym + 1), -1))
+        resyn = jnp.mod(corrected.reshape(n * 8) @ jnp.asarray(self._synd), 2.0)
+        ok = (n_roots == deg) & jnp.all(resyn == 0.0) & (rho <= nsym)
+        return corrected, ok, jnp.where(ok, n_roots, jnp.int32(-1))
+
+
 def rs_255_223(fcr: int = 1) -> ReedSolomon:
     """The CCSDS-style RS(255, 223), t = 16."""
     return ReedSolomon(255, 223, fcr=fcr)

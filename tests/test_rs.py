@@ -223,3 +223,99 @@ def test_bits_symbols_roundtrip(rng):
 def test_bits_to_symbols_rejects_ragged():
     with pytest.raises(ValueError, match="multiple of 8"):
         bits_to_symbols(np.zeros(12, np.uint8))
+
+
+# ---- errors-and-erasures decoding ----------------------------------------------
+
+
+def test_erasures_only_full_budget(rng):
+    # rho = nsym erasures, zero errors: the full 2x budget
+    code = ReedSolomon(30, 22)  # nsym = 8
+    msg = rng.integers(0, 256, 22).astype(np.uint8)
+    cw = np.asarray(code.encode(msg))
+    pos = rng.choice(30, 8, replace=False)
+    bad = cw.copy()
+    mask = np.zeros(30, bool)
+    for p in pos:
+        bad[p] = rng.integers(0, 256)  # garbage (may even equal the truth)
+        mask[p] = True
+    dec, ok, ne = code.decode_erasures(bad, mask)
+    assert bool(ok)
+    assert (np.asarray(dec) == msg).all()
+
+
+@pytest.mark.parametrize("nu,rho", [(0, 5), (1, 6), (2, 4), (3, 2), (4, 0)])
+def test_mixed_errors_and_erasures(nu, rho, rng):
+    # any 2*nu + rho <= nsym = 8 corrects exactly
+    code = ReedSolomon(30, 22)
+    msg = rng.integers(0, 256, 22).astype(np.uint8)
+    cw = np.asarray(code.encode(msg))
+    pos = rng.choice(30, nu + rho, replace=False)
+    bad = cw.copy()
+    mask = np.zeros(30, bool)
+    for p in pos[:rho]:
+        bad[p] = rng.integers(0, 256)
+        mask[p] = True
+    for p in pos[rho:]:
+        bad[p] ^= rng.integers(1, 256)
+    dec, ok, ne = code.decode_erasures(bad, mask)
+    assert bool(ok), (nu, rho)
+    assert (np.asarray(dec) == msg).all(), (nu, rho)
+
+
+def test_erasures_beyond_budget_flagged(rng):
+    code = ReedSolomon(30, 22)
+    msg = rng.integers(0, 256, 22).astype(np.uint8)
+    cw = np.asarray(code.encode(msg))
+    for _ in range(3):
+        bad = cw.copy()
+        mask = np.zeros(30, bool)
+        pos = rng.choice(30, 9, replace=False)  # 2*2 + 5 = 9 > 8
+        for p in pos[:5]:
+            bad[p] = rng.integers(0, 256)
+            mask[p] = True
+        for p in pos[5:7]:
+            bad[p] ^= rng.integers(1, 256)
+        dec, ok, _ = code.decode_erasures(bad, mask)
+        if bool(ok):
+            assert not (np.asarray(dec) == msg).all()
+
+
+def test_erasures_no_flags_matches_decode(rng):
+    # empty mask: identical verdict + output to the errors-only path
+    code = ReedSolomon(30, 22)
+    msg = rng.integers(0, 256, 22).astype(np.uint8)
+    bad = np.asarray(code.encode(msg)).copy()
+    for p in rng.choice(30, 4, replace=False):
+        bad[p] ^= rng.integers(1, 256)
+    d1, ok1, n1 = code.decode(bad)
+    d2, ok2, n2 = code.decode_erasures(bad, np.zeros(30, bool))
+    assert bool(ok1) and bool(ok2)
+    assert int(n1) == int(n2) == 4
+    assert (np.asarray(d1) == np.asarray(d2)).all()
+
+
+def test_erasures_batched_255(rng):
+    code = rsmod.rs_255_223()  # nsym = 32
+    msgs = rng.integers(0, 256, (3, 223)).astype(np.uint8)
+    cws = np.asarray(code.encode(msgs)).copy()
+    masks = np.zeros((3, 255), bool)
+    # row 0: 30 erasures + 1 error (2 + 30 = 32 = nsym)
+    pos = rng.choice(255, 31, replace=False)
+    for p in pos[:30]:
+        cws[0, p] = rng.integers(0, 256)
+        masks[0, p] = True
+    cws[0, pos[30]] ^= rng.integers(1, 256)
+    # row 1: clean; row 2: 16 plain errors
+    for p in rng.choice(255, 16, replace=False):
+        cws[2, p] ^= rng.integers(1, 256)
+    dec, ok, ne = code.decode_erasures(cws, masks)
+    assert np.asarray(ok).all()
+    assert (np.asarray(dec) == msgs).all()
+    assert list(np.asarray(ne)) == [31, 0, 16]
+
+
+def test_erasure_mask_shape_validated():
+    code = ReedSolomon(30, 22)
+    with pytest.raises(ValueError, match="erasure mask"):
+        code.decode_erasures(np.zeros(30, np.uint8), np.zeros(29, bool))
