@@ -14,6 +14,9 @@ from .channelizer import (
     pfb_prototype,
     pfb_synthesis_taps,
     pfb_synthesize,
+    pfb_channelize_os,
+    pfb_prototype_nyquist,
+    pfb_synthesize_os,
     stft,
     istft,
 )
@@ -54,6 +57,9 @@ __all__ = [
     "pfb_prototype",
     "pfb_synthesis_taps",
     "pfb_synthesize",
+    "pfb_channelize_os",
+    "pfb_prototype_nyquist",
+    "pfb_synthesize_os",
     "stft",
     "istft",
     "sync",

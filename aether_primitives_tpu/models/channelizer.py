@@ -707,3 +707,197 @@ def istft(
     if length is not None:
         out = out[..., : int(length)]
     return out.astype(cf32)
+
+
+# ------------------------------------------------------- oversampled PFB
+
+
+def pfb_prototype_nyquist(
+    n_chan: int, taps_per_branch: int = 16, beta: float = 0.5
+) -> np.ndarray:
+    """Root-Nyquist (square-root raised-cosine) prototype for the
+    OVERSAMPLED filterbank — the power-complementary kind the matched
+    analysis/synthesis cascade needs: ``sum_k |H(f - k/M)|^2`` is flat by
+    the Nyquist criterion on ``|H|^2``, so :func:`pfb_synthesize_os` with
+    the same prototype reconstructs to the truncation floor.
+
+    Returns the FULL symmetric ``taps_per_branch*n_chan + 1`` tap vector
+    (odd length — do NOT trim it to a branch multiple: dropping the last
+    tap of the symmetric filter half-sample-shifts the autocorrelation and
+    destroys complementarity, measured -8 dB vs -76 dB roundtrip). The
+    filterbank zero-pads to whole branches itself.
+
+    The critically sampled default (:func:`pfb_prototype`, windowed sinc)
+    deliberately is NOT power-complementary — it optimizes channel
+    isolation instead; with ``os = 1`` reconstruction is structurally
+    limited anyway (see :func:`pfb_synthesis_taps`).
+    """
+    from ..ops.fir import rrc_taps
+
+    return np.asarray(
+        rrc_taps(int(n_chan), span=int(taps_per_branch), beta=float(beta))
+    ).real.astype(np.float32)
+
+
+def pfb_channelize_os(
+    samples,
+    n_chan: int,
+    os: int = 2,
+    taps: Optional[np.ndarray] = None,
+    taps_per_branch: int = 16,
+    scale: Scale = Scale.NONE,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """OVERSAMPLED polyphase analysis filterbank: channel frames advance by
+    ``hop = n_chan/os`` input samples (``os``-times oversampled channels),
+    ``[..., n]`` -> ``[..., T, n_chan]`` with
+    ``y[t, k] = sum_m h[m] x[t*hop + m] e^{-2 pi i k (t*hop + m)/M}`` —
+    each channel is the input filtered by the prototype shifted to bin
+    ``k`` AND downconverted to baseband with an absolute time reference
+    (the ``t*hop`` phase), sampled every ``hop`` samples.
+
+    ``os = 1`` is the critically sampled bank in the forward (WOLA)
+    convention: it equals :func:`pfb_channelize` with the branch-reversed
+    prototype after that function's ``P-1``-frame causal delay (forward
+    window = correlation along frames; the causal form convolves — tested
+    equivalence). Oversampling
+    is what breaks the critically sampled bank's structural reconstruction
+    limit (see :func:`pfb_synthesis_taps`): with ``os >= 2`` the matched
+    WOLA inverse (:func:`pfb_synthesize_os`) reconstructs to the
+    prototype's stopband floor instead of -35 dB.
+
+    TPU notes: an ``os``-oversampled bank is ``os`` INTERLEAVED
+    critically sampled banks — class ``j`` is the plain ``M``-stride WOLA
+    fold of ``x[j*hop:]`` (frame ``t = i*os + j`` starts at
+    ``i*M + j*hop``), and its absolute-time reference roll is the
+    CONSTANT ``j*hop`` (since ``t*hop mod M = j*hop``). Each class folds
+    with ``P`` stride-1 slice-multiply-adds on full-``M``-wide ``[T/os,
+    M]`` tiles — the exact fold :func:`pfb_channelize` runs at 8 Gsa/s —
+    then classes interleave by a stack-reshape. (Materializing the
+    overlapped ``[T, P*M]`` segments instead measured 160x slower, and
+    hop-wide tiles 16x slower, on chip — DEVNOTES.)
+    """
+    x = jnp.asarray(samples, dtype=cf32)
+    m = int(n_chan)
+    os = int(os)
+    if os < 1 or m % os:
+        raise ValueError(f"os must divide n_chan ({m} % {os})")
+    hop = m // os
+    if taps is None:
+        taps = pfb_prototype_nyquist(m, taps_per_branch)
+    h = np.asarray(taps, dtype=np.complex64).ravel()
+    p = max(1, -(-h.shape[-1] // m))
+    if h.shape[-1] < p * m:
+        h = np.pad(h, (0, p * m - h.shape[-1]))
+    hb = h.reshape(p, m)
+
+    n = x.shape[-1]
+    t_frames = max(n - p * m + hop - 1, 0) // hop + 1 if n >= p * m else 1
+    t_cls = -(-t_frames // os)  # frames per class (classes padded equal)
+    need = ((t_cls - 1) * os + (os - 1)) * hop + p * m  # last class frame end
+    if need > n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
+    classes = []
+    for j in range(os):
+        xj = x[..., j * hop : j * hop + (t_cls - 1) * m + p * m]
+        fr = xj.reshape(xj.shape[:-1] + (t_cls - 1 + p, m))
+        acc = None
+        for pi in range(p):
+            sl = jax.lax.slice_in_dim(fr, pi, pi + t_cls, axis=-2)
+            term = sl * jnp.asarray(hb[pi])
+            acc = term if acc is None else acc + term
+        a = (j * hop) % m  # constant reference roll for the whole class
+        if a:
+            acc = jnp.concatenate([acc[..., m - a:], acc[..., : m - a]], axis=-1)
+        classes.append(acc)
+    u = jnp.stack(classes, axis=-2)  # [..., T/os, os, M]
+    u = u.reshape(u.shape[:-3] + (t_cls * os, m))[..., :t_frames, :]
+    return fft_plan(m, fft_backend).fwd(u, scale)
+
+
+def pfb_synthesize_os(
+    frames,
+    n_chan: Optional[int] = None,
+    os: int = 2,
+    taps: Optional[np.ndarray] = None,
+    taps_per_branch: int = 16,
+    scale: Scale = Scale.N,
+    fft_backend: Optional[str] = None,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Matched-WOLA inverse of :func:`pfb_channelize_os`:
+    ``[..., T, n_chan]`` oversampled channel frames -> samples.
+
+    Synthesis prototype = the analysis prototype (matched filterbank),
+    spread back at hop ``n_chan/os`` with exact per-sample normalization
+    by the overlap-add of ``h*g`` (computed for the actual frame count, so
+    edges reconstruct too). Reconstruction error is the ALIAS residual of
+    the oversampled cascade — set by the prototype's stopband, not by the
+    critically-sampled bank's structural limit: the default prototype at
+    ``os = 2`` measures about -58 dB RMS (test), vs -35 dB for the best
+    critically-sampled LS inverse at Q = 8P.
+
+    ``scale`` must pair with the analysis call (defaults pair:
+    ``Scale.NONE`` forward, ``Scale.N`` backward). ``length`` trims the
+    output (default the full ``(T-1)*hop + len(h)`` span).
+    """
+    y = jnp.asarray(frames, dtype=cf32)
+    m = int(n_chan) if n_chan is not None else int(y.shape[-1])
+    if y.shape[-1] != m:
+        raise ValueError(f"frames minor dim {y.shape[-1]} != n_chan {m}")
+    os = int(os)
+    if os < 1 or m % os:
+        raise ValueError(f"os must divide n_chan ({m} % {os})")
+    hop = m // os
+    if taps is None:
+        taps = pfb_prototype_nyquist(m, taps_per_branch)
+    h = np.asarray(taps, dtype=np.complex64).ravel()
+    p = max(1, -(-h.shape[-1] // m))
+    if h.shape[-1] < p * m:
+        h = np.pad(h, (0, p * m - h.shape[-1]))
+
+    t_frames = int(y.shape[-2])
+    t_cls = -(-t_frames // os)
+    nb = y.ndim
+    w = fft_plan(m, fft_backend).bwd(y, scale)  # [..., T, M]
+    pad_t = t_cls * os - t_frames
+    if pad_t:
+        w = jnp.pad(w, [(0, 0)] * (nb - 2) + [(0, pad_t), (0, 0)])
+    # the dual of the interleaved-class analysis: class j (frames t =
+    # i*os + j) spreads as a plain critically sampled WOLA stream —
+    # P slice-mul-adds on full-M-wide tiles — then lands at the constant
+    # hop offset j*hop in the combined output
+    wg = w.reshape(w.shape[:-2] + (t_cls, os, m))
+    hb = h.reshape(p, m)
+    m_slabs = t_cls + p - 1  # M-slabs per class stream
+    n_slabs = m_slabs * os + (os - 1)  # hop-slabs of the combined output
+    acc = None
+    for j in range(os):
+        wj = wg[..., j, :]  # [..., t_cls, M]
+        a = (j * hop) % m  # undo the class's constant reference roll
+        if a:
+            wj = jnp.concatenate([wj[..., a:], wj[..., :a]], axis=-1)
+        wp = jnp.pad(wj, [(0, 0)] * (nb - 2) + [(p - 1, p - 1), (0, 0)])
+        oj = None
+        for pi in range(p):
+            sl = jax.lax.slice_in_dim(wp, p - 1 - pi, p - 1 - pi + m_slabs, axis=-2)
+            term = sl * jnp.asarray(hb[pi])
+            oj = term if oj is None else oj + term
+        oh = oj.reshape(oj.shape[:-2] + (m_slabs * os, hop))
+        oh = jnp.pad(
+            oh,
+            [(0, 0)] * (nb - 2) + [(j, n_slabs - m_slabs * os - j), (0, 0)],
+        )
+        acc = oh if acc is None else acc + oh
+    out = acc.reshape(acc.shape[:-2] + (n_slabs * hop,))
+    # exact normalization: overlap-add of h*g (= h^2, matched) tiles
+    full = n_slabs * hop
+    denom = np.zeros(full, np.float64)
+    hg = np.abs(h.astype(np.complex128)) ** 2
+    for t in range(t_frames):
+        denom[t * hop : t * hop + p * m] += hg.real
+    denom = np.where(denom <= 1e-10 * max(denom.max(), 1e-30), 1.0, denom)
+    out = out / jnp.asarray(denom.astype(np.float32))
+    if length is not None:
+        out = out[..., : int(length)]
+    return out.astype(cf32)

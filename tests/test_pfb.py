@@ -370,3 +370,100 @@ def test_istft_rejects_non_divisor_hop_and_nola():
     s = stft(np.zeros(2048, np.complex64), 256, hop=256, window="hann")
     with pytest.raises(ValueError, match="NOLA"):
         istft(s, hop=256, window="hann")
+
+
+# ------------------------------------------------------- oversampled PFB
+
+
+def test_pfb_os_matches_f64_golden():
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        pfb_prototype_nyquist,
+    )
+
+    rng = np.random.default_rng(50)
+    m, os_, p = 8, 2, 3
+    hop = m // os_
+    x = rand_c(rng, 100)
+    h = np.asarray(pfb_prototype_nyquist(m, p)).astype(np.float64)
+    y = np.asarray(pfb_channelize_os(x, m, os=os_, taps=h))
+    t_frames = y.shape[0]
+    pm = -(-len(h) // m) * m
+    hh = np.pad(h, (0, pm - len(h)))
+    xx = np.pad(x.astype(np.complex128), (0, (t_frames - 1) * hop + pm - len(x)))
+    ref = np.zeros((t_frames, m), np.complex128)
+    mm = np.arange(pm)
+    for t in range(t_frames):
+        for k in range(m):
+            ref[t, k] = np.sum(
+                hh * xx[t * hop + mm] * np.exp(-2j * np.pi * k * (t * hop + mm) / m)
+            )
+    assert evm_rms_db(y, ref) < -110
+
+
+def test_pfb_os1_equals_critically_sampled_shifted():
+    # os=1: the same filterbank in the forward (WOLA) convention — equals
+    # the causal pfb_channelize with the BRANCH-REVERSED prototype,
+    # delayed by P-1 frames (convolution vs correlation along frames)
+    from aether_primitives_tpu.models.channelizer import pfb_channelize_os
+
+    rng = np.random.default_rng(51)
+    m, p = 16, 4
+    h = pfb_prototype(m, p)
+    h_rev = np.asarray(h).reshape(p, m)[::-1].reshape(-1)
+    x = rand_c(rng, m * 40)
+    a = np.asarray(pfb_channelize(x, m, taps=h_rev))       # causal, T rows
+    b = np.asarray(pfb_channelize_os(x, m, os=1, taps=h))  # forward
+    ncmp = b.shape[0] - (p - 1)
+    assert evm_rms_db(b[:ncmp], a[p - 1 : p - 1 + ncmp].astype(np.complex128)) < -120
+
+
+def test_pfb_os2_near_perfect_reconstruction():
+    # matched root-Nyquist cascade at os=2 beats the critically sampled
+    # bank's structural -35 dB limit by a wide margin
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        pfb_synthesize_os,
+    )
+
+    rng = np.random.default_rng(52)
+    n, m = 30000, 64
+    x = rand_c(rng, n)
+    y = pfb_channelize_os(x, m, os=2)
+    back = np.asarray(pfb_synthesize_os(y, m, os=2, length=n))
+    core = slice(2 * m * 16, n - 2 * m * 16)
+    assert evm_rms_db(back[core], x[core].astype(np.complex128)) < -70
+
+
+def test_pfb_os_channel_extraction_and_isolation():
+    from aether_primitives_tpu.models.channelizer import pfb_channelize_os
+
+    m, k = 32, 5
+    n = m * 200
+    tone = np.exp(2j * np.pi * (k / m) * np.arange(n)).astype(np.complex64)
+    y = np.asarray(pfb_channelize_os(tone, m, os=2))
+    mid = y[50:-50]
+    # tone lands in channel k, downconverted to DC (flat phase)
+    own = mid[:, k]
+    assert np.abs(own).std() < 0.01 * np.abs(own).mean()
+    assert np.abs(np.diff(np.angle(own))).max() < 1e-2
+    # neighbor and far channels suppressed
+    far = np.abs(mid[:, (k + 7) % m]).mean()
+    assert far < 1e-3 * np.abs(own).mean()
+
+
+def test_pfb_os_batched_and_validation(rng):
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        pfb_synthesize_os,
+    )
+
+    x = rand_c(rng, (2, 4000))
+    y = pfb_channelize_os(x, 16, os=2, taps_per_branch=4)
+    assert y.shape[0] == 2 and y.shape[-1] == 16
+    back = np.asarray(pfb_synthesize_os(y, 16, os=2, taps_per_branch=4, length=4000))
+    assert back.shape == (2, 4000)
+    with pytest.raises(ValueError, match="os must divide"):
+        pfb_channelize_os(x, 16, os=3)
+    with pytest.raises(ValueError, match="os must divide"):
+        pfb_synthesize_os(y, 16, os=5)
