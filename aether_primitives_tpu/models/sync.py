@@ -85,7 +85,20 @@ def estimate_timing(x, sps: int) -> jnp.ndarray:
     return jnp.mod(tau + sps / 2.0, float(sps)) - sps / 2.0
 
 
-def estimate_phase_mpsk(x, m: int = 4) -> jnp.ndarray:
+def _mpsk_grid_ref(m: int, grid: str) -> complex:
+    """M-th-power reference of the constellation grid: ``"diagonal"``
+    (the framework's BPSK/QPSK tables, points at ``pi/M + 2 pi k/M``)
+    powers to ``e^{j pi}``; ``"axes"`` (index-linear :func:`psk_table`,
+    points at ``2 pi k/M``) powers to ``e^{j 0}``. Using the wrong one
+    locks a tracking loop ``pi/M`` off — onto the decision boundaries."""
+    if grid == "diagonal":
+        return complex(np.exp(-1j * np.pi))
+    if grid == "axes":
+        return 1.0 + 0.0j
+    raise ValueError(f"grid must be 'diagonal' or 'axes', got {grid!r}")
+
+
+def estimate_phase_mpsk(x, m: int = 4, grid: str = "diagonal") -> jnp.ndarray:
     """Feedforward carrier-phase estimate for M-PSK (Viterbi & Viterbi
     M-th power): raising M-PSK symbols to the M-th power wipes the data
     (``s^M`` is constant), leaving ``M`` times the common phase::
@@ -105,9 +118,9 @@ def estimate_phase_mpsk(x, m: int = 4) -> jnp.ndarray:
     """
     x = jnp.asarray(x, dtype=cf32)
     acc = jnp.sum(x**m, axis=-1)
-    # reference rotation of the canonical M-PSK grid: points at
-    # pi/M + 2 pi k/M (the framework's BPSK/QPSK tables) power to e^{j pi}
-    acc = acc * jnp.exp(jnp.complex64(-1j * np.pi))
+    # reference rotation of the constellation grid (see _mpsk_grid_ref;
+    # default: the framework's diagonal tables)
+    acc = acc * jnp.complex64(_mpsk_grid_ref(m, grid))
     return (jnp.angle(acc) / m).astype(jnp.float32)
 
 
@@ -181,6 +194,7 @@ def costas_loop(
     damping: float = 0.7071,
     phase0: float = 0.0,
     freq0: float = 0.0,
+    grid: str = "diagonal",
 ):
     """Second-order decision-free carrier-tracking PLL (Costas loop,
     M-th-power phase detector) — returns ``(y, phase, freq)`` where ``y``
@@ -213,13 +227,17 @@ def costas_loop(
     kp = jnp.float32(4.0 * zeta * theta / d)
     ki = jnp.float32(4.0 * theta * theta / d)
     mm = jnp.float32(m)
+    # grid reference: "diagonal" for the framework's BPSK/QPSK tables,
+    # "axes" for index-linear psk_table constellations — the wrong one
+    # locks pi/M off, onto the decision boundaries (see _mpsk_grid_ref)
+    ref = jnp.complex64(_mpsk_grid_ref(m, grid))
 
     def step(carry, xn):
         phase, freq = carry
         rot = jax.lax.complex(jnp.cos(-phase), jnp.sin(-phase))
         y = xn * rot
         # M-th power detector, grid-referenced like estimate_phase_mpsk
-        ym = y**m * jnp.exp(jnp.complex64(-1j * np.pi))
+        ym = y**m * ref
         err = jnp.angle(ym) / mm
         freq = freq + ki * err
         phase_out = phase

@@ -468,3 +468,20 @@ def test_gardner_sps2_and_validation():
         gardner_loop(x, sps=1)
     with pytest.raises(ValueError, match="single stream"):
         gardner_loop(np.zeros((2, 64), np.complex64))
+
+
+def test_costas_axes_grid_locks_psk_table(rng):
+    # index-linear psk_table points sit on the axes; grid="axes" locks
+    # them on-point where the default diagonal reference would park the
+    # loop on decision boundaries
+    from aether_primitives_tpu.models.sync import costas_loop
+    from aether_primitives_tpu.ops import modulation as mod
+
+    table = np.asarray(mod.psk_table(4))
+    idx = rng.integers(0, 4, 4000)
+    syms = (table[idx] * np.exp(1j * 0.4)).astype(np.complex64)
+    y, _, _ = costas_loop(syms, m=4, loop_bw=0.02, grid="axes")
+    got = np.asarray(mod.nearest_index(np.asarray(y)[500:], table))
+    assert (got == idx[500:]).mean() > 0.999
+    with pytest.raises(ValueError, match="grid"):
+        costas_loop(syms, grid="hex")
