@@ -17,6 +17,8 @@ from .channelizer import (
     pfb_channelize_os,
     pfb_prototype_nyquist,
     pfb_synthesize_os,
+    PfbChannelizerOs,
+    PfbSynthesizerOs,
     stft,
     istft,
 )
@@ -60,6 +62,8 @@ __all__ = [
     "pfb_channelize_os",
     "pfb_prototype_nyquist",
     "pfb_synthesize_os",
+    "PfbChannelizerOs",
+    "PfbSynthesizerOs",
     "stft",
     "istft",
     "sync",

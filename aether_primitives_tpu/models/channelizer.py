@@ -824,6 +824,7 @@ def pfb_synthesize_os(
     scale: Scale = Scale.N,
     fft_backend: Optional[str] = None,
     length: Optional[int] = None,
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Matched-WOLA inverse of :func:`pfb_channelize_os`:
     ``[..., T, n_chan]`` oversampled channel frames -> samples.
@@ -890,14 +891,148 @@ def pfb_synthesize_os(
         )
         acc = oh if acc is None else acc + oh
     out = acc.reshape(acc.shape[:-2] + (n_slabs * hop,))
-    # exact normalization: overlap-add of h*g (= h^2, matched) tiles
-    full = n_slabs * hop
-    denom = np.zeros(full, np.float64)
-    hg = np.abs(h.astype(np.complex128)) ** 2
-    for t in range(t_frames):
-        denom[t * hop : t * hop + p * m] += hg.real
-    denom = np.where(denom <= 1e-10 * max(denom.max(), 1e-30), 1.0, denom)
-    out = out / jnp.asarray(denom.astype(np.float32))
+    if normalize:
+        # exact normalization: overlap-add of h*g (= h^2, matched) tiles
+        full = n_slabs * hop
+        denom = np.zeros(full, np.float64)
+        hg = np.abs(h.astype(np.complex128)) ** 2
+        for t in range(t_frames):
+            denom[t * hop : t * hop + p * m] += hg.real
+        denom = np.where(denom <= 1e-10 * max(denom.max(), 1e-30), 1.0, denom)
+        out = out / jnp.asarray(denom.astype(np.float32))
+    # ``normalize=False`` returns the raw weighted overlap-add (the
+    # streaming stage overlap-adds block tails first, then divides by the
+    # PERIODIC interior divisor)
     if length is not None:
         out = out[..., : int(length)]
     return out.astype(cf32)
+
+
+class PfbChannelizerOs:
+    """Streaming oversampled-PFB analysis stage: carries the
+    ``P*M - hop`` sample tail between blocks and emits only frames whose
+    full window fits — block-by-block output equals the one-shot
+    :func:`pfb_channelize_os` frame-for-frame (tested). Emitted frame
+    counts are kept multiples of ``os`` so the reference-phase classes
+    stay aligned across blocks."""
+
+    def __init__(
+        self,
+        n_chan: int,
+        os: int = 2,
+        taps: Optional[np.ndarray] = None,
+        taps_per_branch: int = 16,
+        scale: Scale = Scale.NONE,
+        fft_backend: Optional[str] = None,
+    ):
+        self.n_chan = int(n_chan)
+        self.os = int(os)
+        if self.os < 1 or self.n_chan % self.os:
+            raise ValueError(f"os must divide n_chan ({n_chan} % {os})")
+        self.hop = self.n_chan // self.os
+        self.taps = (
+            np.asarray(taps).ravel()
+            if taps is not None
+            else pfb_prototype_nyquist(self.n_chan, taps_per_branch)
+        )
+        self.p = max(1, -(-self.taps.shape[-1] // self.n_chan))
+        self.scale = scale
+        self.fft_backend = fft_backend
+        self._tail = None
+
+    def step(self, block) -> jnp.ndarray:
+        x = jnp.asarray(block, dtype=cf32)
+        if self._tail is not None:
+            x = jnp.concatenate([self._tail, x], axis=-1)
+        n = int(x.shape[-1])
+        pm = self.p * self.n_chan
+        t1 = (n - pm) // self.hop + 1 if n >= pm else 0
+        t1 -= t1 % self.os
+        if t1 <= 0:
+            raise ValueError(
+                f"block too short: need >= {pm + (self.os - 1) * self.hop} "
+                f"buffered samples for one os-aligned frame group, have {n}"
+            )
+        span = (t1 - 1) * self.hop + pm
+        y = pfb_channelize_os(
+            x[..., :span], self.n_chan, os=self.os, taps=self.taps,
+            scale=self.scale, fft_backend=self.fft_backend,
+        )
+        self._tail = x[..., t1 * self.hop :]
+        return y
+
+    __call__ = step
+
+
+class PfbSynthesizerOs:
+    """Streaming oversampled-PFB synthesis stage: raw weighted
+    overlap-add per block, the ``P*M - hop`` output tail carried and
+    added into the next block, division by the PERIODIC interior
+    divisor at emission — block-by-block output equals the one-shot
+    interior exactly (the one-shot's edge-aware normalization differs
+    only inside the first/last ``P*M`` cold-start samples)."""
+
+    def __init__(
+        self,
+        n_chan: int,
+        os: int = 2,
+        taps: Optional[np.ndarray] = None,
+        taps_per_branch: int = 16,
+        scale: Scale = Scale.N,
+        fft_backend: Optional[str] = None,
+    ):
+        self.n_chan = int(n_chan)
+        self.os = int(os)
+        if self.os < 1 or self.n_chan % self.os:
+            raise ValueError(f"os must divide n_chan ({n_chan} % {os})")
+        self.hop = self.n_chan // self.os
+        self.taps = (
+            np.asarray(taps).ravel()
+            if taps is not None
+            else pfb_prototype_nyquist(self.n_chan, taps_per_branch)
+        )
+        self.p = max(1, -(-self.taps.shape[-1] // self.n_chan))
+        self.scale = scale
+        self.fft_backend = fft_backend
+        # periodic interior divisor: full-overlap sum of |h|^2 hop-tiles
+        pm = self.p * self.n_chan
+        h = np.asarray(self.taps, np.complex128).ravel()
+        h = np.pad(h, (0, pm - h.shape[-1]))
+        hg = np.abs(h) ** 2
+        dper = np.zeros(self.hop, np.float64)
+        for t in range(pm // self.hop):
+            dper += hg[t * self.hop : (t + 1) * self.hop]
+        self._dper = dper.astype(np.float32)
+        self._tail = None
+
+    def step(self, frames) -> jnp.ndarray:
+        y = jnp.asarray(frames, dtype=cf32)
+        t = int(y.shape[-2])
+        if t % self.os:
+            raise ValueError(f"frame count {t} must be a multiple of os={self.os}")
+        pm = self.p * self.n_chan
+        span = (t - 1) * self.hop + pm
+        raw = pfb_synthesize_os(
+            y, self.n_chan, os=self.os, taps=self.taps, scale=self.scale,
+            fft_backend=self.fft_backend, length=span, normalize=False,
+        )
+        if self._tail is not None:
+            raw = raw.at[..., : pm - self.hop].add(self._tail)
+        emit_n = t * self.hop
+        denom = jnp.asarray(np.tile(self._dper, t))
+        out = raw[..., :emit_n] / denom
+        self._tail = raw[..., emit_n:]
+        return out
+
+    def flush(self) -> jnp.ndarray:
+        """Remaining partial overlap-add tail (periodically normalized)."""
+        if self._tail is None:
+            return jnp.zeros(0, cf32)
+        n = int(self._tail.shape[-1])
+        reps = -(-n // self.hop)
+        denom = jnp.asarray(np.tile(self._dper, reps)[:n])
+        out = self._tail / denom
+        self._tail = None
+        return out
+
+    __call__ = step

@@ -467,3 +467,79 @@ def test_pfb_os_batched_and_validation(rng):
         pfb_channelize_os(x, 16, os=3)
     with pytest.raises(ValueError, match="os must divide"):
         pfb_synthesize_os(y, 16, os=5)
+
+
+def test_pfb_os_streaming_matches_one_shot(rng):
+    from aether_primitives_tpu.models.channelizer import (
+        PfbChannelizerOs,
+        PfbSynthesizerOs,
+        pfb_channelize_os,
+        pfb_synthesize_os,
+    )
+
+    m, os_ = 16, 2
+    n = m * 80
+    x = rand_c(rng, n)
+    whole = np.asarray(pfb_channelize_os(x, m, os=os_, taps_per_branch=4))
+    st = PfbChannelizerOs(m, os=os_, taps_per_branch=4)
+    blocks = [x[: m * 30], x[m * 30 : m * 55], x[m * 55 :]]
+    got = np.concatenate([np.asarray(st.step(b)) for b in blocks], axis=0)
+    assert evm_rms_db(got, whole[: got.shape[0]].astype(np.complex128)) < -120
+
+    # synthesis streaming == one-shot interior
+    whole_e = whole[: whole.shape[0] - (whole.shape[0] % os_)]
+    syn_whole = np.asarray(pfb_synthesize_os(whole_e, m, os=os_, taps_per_branch=4))
+    sy = PfbSynthesizerOs(m, os=os_, taps_per_branch=4)
+    t = whole_e.shape[0]
+    t1 = (t // 2) - ((t // 2) % os_)
+    a = np.asarray(sy.step(whole_e[:t1]))
+    b = np.asarray(sy.step(whole_e[t1:]))
+    tail = np.asarray(sy.flush())
+    got_s = np.concatenate([a, b, tail])
+    # edges use different (edge-aware vs periodic) normalization — judge
+    # the interior, which matches exactly
+    pm = 4 * m
+    core = slice(2 * pm, min(len(got_s), len(syn_whole)) - 2 * pm)
+    assert evm_rms_db(got_s[core], syn_whole[core].astype(np.complex128)) < -110
+
+
+def test_pfb_os_streaming_roundtrip_through_stages(rng):
+    # analysis stage -> synthesis stage over blocks reconstructs the input
+    from aether_primitives_tpu.models.channelizer import (
+        PfbChannelizerOs,
+        PfbSynthesizerOs,
+    )
+
+    m = 32
+    n = m * 200
+    x = rand_c(rng, n)
+    ana = PfbChannelizerOs(m, os=2)
+    syn = PfbSynthesizerOs(m, os=2)
+    outs = []
+    for i in range(4):
+        blk = x[i * (n // 4) : (i + 1) * (n // 4)]
+        outs.append(np.asarray(syn.step(ana.step(blk))))
+    outs.append(np.asarray(syn.flush()))
+    back = np.concatenate(outs)
+    # back lags x by ~the prototype span; find best lag and compare core
+    pm = 16 * m
+    core = np.arange(2 * pm, n - 3 * pm)
+    best = 0
+    for lag in range(0, 2 * pm, m // 2):
+        if core[-1] + lag >= len(back):
+            continue
+        seg = back[core + lag]
+        ref = x[core]
+        num = np.abs(np.vdot(seg, ref))
+        den = np.linalg.norm(seg) * np.linalg.norm(ref)
+        if den and num / den > best:
+            best = num / den
+    assert best > 0.9997, best
+
+
+def test_pfb_os_stream_block_too_short():
+    from aether_primitives_tpu.models.channelizer import PfbChannelizerOs
+
+    st = PfbChannelizerOs(16, os=2, taps_per_branch=4)
+    with pytest.raises(ValueError, match="block too short"):
+        st.step(np.zeros(32, np.complex64))
