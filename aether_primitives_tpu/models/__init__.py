@@ -19,6 +19,7 @@ from .channelizer import (
     pfb_synthesize_os,
     PfbChannelizerOs,
     PfbSynthesizerOs,
+    sharded_pfb_os,
     stft,
     istft,
 )
@@ -64,6 +65,7 @@ __all__ = [
     "pfb_synthesize_os",
     "PfbChannelizerOs",
     "PfbSynthesizerOs",
+    "sharded_pfb_os",
     "stft",
     "istft",
     "sync",

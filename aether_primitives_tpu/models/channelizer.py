@@ -721,7 +721,9 @@ def pfb_prototype_nyquist(
     the Nyquist criterion on ``|H|^2``, so :func:`pfb_synthesize_os` with
     the same prototype reconstructs to the truncation floor.
 
-    Returns the FULL symmetric ``taps_per_branch*n_chan + 1`` tap vector
+    Returns the FULL symmetric ``2*taps_per_branch*n_chan + 1`` tap vector
+    — ``taps_per_branch`` SYMBOLS EACH SIDE (the :func:`~.fir.rrc_taps`
+    convention), i.e. ``2*taps_per_branch + 1`` polyphase branches
     (odd length — do NOT trim it to a branch multiple: dropping the last
     tap of the symmetric filter half-sample-shifts the autocorrelation and
     destroys complementarity, measured -8 dB vs -76 dB roundtrip). The
@@ -1036,3 +1038,62 @@ class PfbSynthesizerOs:
         return out
 
     __call__ = step
+
+
+def sharded_pfb_os(
+    samples,
+    n_chan: int,
+    mesh: jax.sharding.Mesh,
+    os: int = 2,
+    taps: Optional[np.ndarray] = None,
+    taps_per_branch: int = 16,
+    scale: Scale = Scale.NONE,
+    axis_name: str = "time",
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Oversampled PFB with contiguous time spans sharded over the mesh:
+    frames are FORWARD-looking, so each shard pulls a ``P*M - hop`` RIGHT
+    halo over ICI (:func:`~aether_primitives_tpu.parallel.halo.right_head`
+    — the dual of the causal chains' left halo) and emits the
+    ``span/hop`` frames that start inside its span. Equals the
+    single-device :func:`pfb_channelize_os` frame-for-frame (the last
+    shard's zero halo reproduces the one-shot's zero-padded tail). Each
+    device span must be divisible by ``n_chan`` so the ``os``
+    reference-phase classes align per shard.
+    """
+    from ..parallel.halo import right_head
+
+    x = jnp.asarray(samples, dtype=cf32)
+    m = int(n_chan)
+    os = int(os)
+    if os < 1 or m % os:
+        raise ValueError(f"os must divide n_chan ({m} % {os})")
+    hop = m // os
+    if taps is None:
+        taps = pfb_prototype_nyquist(m, taps_per_branch)
+    h = np.asarray(taps).ravel()
+    p = max(1, -(-h.shape[-1] // m))
+    overlap = p * m - hop
+
+    def shard_fn(xl):
+        span = xl.shape[-1]
+        if span % m:
+            raise ValueError("per-device span must be divisible by n_chan")
+        if span < overlap:
+            raise ValueError(
+                f"per-device span {span} < halo P*M - hop = {overlap}: the "
+                "right halo only reaches ONE neighbor (like the causal "
+                "chains' left halo) — use fewer shards or a longer capture"
+            )
+        halo = right_head(xl, overlap, axis_name)
+        ext = jnp.concatenate([xl, halo], axis=-1)
+        # ext = span + P*M - hop samples -> exactly span/hop full frames
+        return pfb_channelize_os(
+            ext, m, os=os, taps=h, scale=scale, fft_backend=fft_backend
+        )
+
+    nd = jnp.ndim(x)
+    spec_in = P(*([None] * (nd - 1) + [axis_name]))
+    spec_out = P(*([None] * (nd - 1) + [axis_name, None]))
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_out)
+    return fn(x)

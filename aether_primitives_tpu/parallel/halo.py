@@ -35,12 +35,37 @@ def left_tail(x: jnp.ndarray, overlap: int, axis_name: str = TIME_AXIS) -> jnp.n
     Returns ``[..., overlap]`` — the halo itself.
     """
     size = jax.lax.axis_size(axis_name)
+    if overlap > x.shape[-1]:
+        raise ValueError(
+            f"halo overlap {overlap} exceeds the per-device span "
+            f"{x.shape[-1]}: the exchange reaches only ONE neighbor — "
+            "use fewer shards or a longer capture"
+        )
     tail = x[..., -overlap:]
     # right-shift: shard i sends its tail to shard i+1; shard 0's incoming
     # slot has no source => ppermute fills it with zeros (the causal initial
     # state).
     perm = [(i, i + 1) for i in range(size - 1)]
     return jax.lax.ppermute(tail, axis_name, perm=perm)
+
+
+def right_head(x: jnp.ndarray, overlap: int, axis_name: str = TIME_AXIS) -> jnp.ndarray:
+    """The RIGHT neighbor's leading ``overlap`` samples (zeros on the last
+    shard) — the halo for FORWARD-looking windows (the oversampled PFB's
+    WOLA frames), dual of :func:`left_tail`. Must run inside ``shard_map``
+    over ``axis_name``. Returns ``[..., overlap]``."""
+    size = jax.lax.axis_size(axis_name)
+    if overlap > x.shape[-1]:
+        raise ValueError(
+            f"halo overlap {overlap} exceeds the per-device span "
+            f"{x.shape[-1]}: the exchange reaches only ONE neighbor — "
+            "use fewer shards or a longer capture"
+        )
+    head = x[..., :overlap]
+    # left-shift: shard i+1 sends its head to shard i; the last shard's
+    # incoming slot has no source => zeros (the capture's zero-padded end)
+    perm = [(i + 1, i) for i in range(size - 1)]
+    return jax.lax.ppermute(head, axis_name, perm=perm)
 
 
 def halo_left(x: jnp.ndarray, overlap: int, axis_name: str = TIME_AXIS) -> jnp.ndarray:

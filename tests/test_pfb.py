@@ -543,3 +543,27 @@ def test_pfb_os_stream_block_too_short():
     st = PfbChannelizerOs(16, os=2, taps_per_branch=4)
     with pytest.raises(ValueError, match="block too short"):
         st.step(np.zeros(32, np.complex64))
+
+
+def test_sharded_pfb_os_matches_single(eight_devices):
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        sharded_pfb_os,
+    )
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(37)
+    m, p = 16, 4  # prototype spans 2p+1 = 9 branches -> halo 136 samples
+    x = rand_c(rng, 8 * m * 12)  # span 192 >= halo per device
+    mesh = mesh_mod.make_mesh({"time": 8})
+    single = np.asarray(pfb_channelize_os(x, m, os=2, taps_per_branch=p))
+    shard = np.asarray(sharded_pfb_os(x, m, mesh, os=2, taps_per_branch=p))
+    # sharded emits n/hop frames (zero-extended capture end); the one-shot
+    # emits the frames whose windows fit the padded capture — a prefix
+    t = single.shape[0]
+    assert shard.shape[0] >= t
+    assert (shard[:t] == single).all()
+    assert (np.abs(shard[t:]) >= 0).all()  # tail frames finite
+    # undersized spans are rejected loudly, not silently truncated
+    with pytest.raises(ValueError, match="span"):
+        sharded_pfb_os(rand_c(rng, 8 * m * 6), m, mesh, os=2, taps_per_branch=p)
