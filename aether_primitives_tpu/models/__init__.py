@@ -29,6 +29,7 @@ from . import packet
 from . import css
 from . import channel
 from . import detect
+from . import amc
 from . import ber
 from . import ddc
 from . import equalizer
@@ -69,6 +70,7 @@ __all__ = [
     "stft",
     "istft",
     "sync",
+    "amc",
     "ber",
     "ddc",
     "equalizer",
