@@ -67,6 +67,12 @@ class PacketConfig:
     ldpc_seed: int = 7
     rs_n: int = 255  # Reed-Solomon codeword/message symbols (fec="rs")
     rs_k: int = 223
+    # flag low-confidence GF(2^8) symbols as erasures before RS decoding:
+    # a symbol is erased when its weakest bit |LLR| falls below
+    # rs_erasure_threshold x the codeword's median — doubles the
+    # correctable fade depth (2*errors + erasures <= n - k)
+    rs_erasures: bool = False
+    rs_erasure_threshold: float = 0.25
 
     @property
     def crc_width(self) -> int:
@@ -215,7 +221,15 @@ class PacketModem:
         elif c.fec == "rs":
             hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols
             syms = _rs.bits_to_symbols(hard).reshape(self.rs_frames, c.rs_n)
-            dec, _rs_ok, _ = self._rs.decode(syms)
+            if c.rs_erasures:
+                rel = jnp.min(
+                    jnp.abs(llr).reshape(self.rs_frames, c.rs_n, 8), axis=-1
+                )
+                med = jnp.median(rel, axis=-1, keepdims=True)
+                erased = rel < c.rs_erasure_threshold * med
+                dec, _rs_ok, _ = self._rs.decode_erasures(syms, erased)
+            else:
+                dec, _rs_ok, _ = self._rs.decode(syms)
             line = _rs.symbols_to_bits(dec).reshape(-1)[: self.frame_bits]
         else:
             line = (llr < 0).astype(jnp.uint8)

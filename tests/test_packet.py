@@ -111,3 +111,24 @@ def test_qam16_packet_loopback(rng):
     payload = rng.integers(0, 2, 960).astype(np.uint8)
     bits, ok, _ = pm.loopback(payload)
     assert bool(ok) and (np.asarray(bits) == payload).all()
+
+
+def test_rs_erasure_flagging_doubles_fade_depth(rng):
+    # an 80-QPSK-symbol fade hits ~21 GF(2^8) symbols of the shortened
+    # RS(156,124) codeword: beyond t=16 for plain RS, within the
+    # 2*nu + rho <= 32 erasure budget once the demod confidence flags it
+    cfg = dict(payload_bits=960, fec="rs", rs_n=156, rs_k=124)
+    plain = PacketModem(PacketConfig(**cfg))
+    eras = PacketModem(PacketConfig(**cfg, rs_erasures=True))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(plain.tx(payload))
+    cap = _channel(burst, rng, delay=400, cfo=5e-4, snr_sigma=0.03)
+    fade_start = 400 + plain.preamble.size + 230
+    cap[fade_start : fade_start + 80] = 0.02 * (
+        rng.normal(size=80) + 1j * rng.normal(size=80)
+    )
+    _, ok_plain, _ = plain.rx(cap)
+    bits, ok_eras, _ = eras.rx(cap)
+    assert not bool(ok_plain)  # 21 symbol errors > t = 16
+    assert bool(ok_eras)
+    assert (np.asarray(bits) == payload).all()
