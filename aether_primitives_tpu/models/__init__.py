@@ -30,6 +30,7 @@ from . import css
 from . import channel
 from . import detect
 from . import amc
+from . import diversity
 from . import ber
 from . import ddc
 from . import equalizer
@@ -71,6 +72,7 @@ __all__ = [
     "istft",
     "sync",
     "amc",
+    "diversity",
     "ber",
     "ddc",
     "equalizer",
