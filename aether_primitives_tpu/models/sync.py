@@ -85,6 +85,46 @@ def estimate_timing(x, sps: int) -> jnp.ndarray:
     return jnp.mod(tau + sps / 2.0, float(sps)) - sps / 2.0
 
 
+def estimate_baud_rate(x, osr: int = 4, min_rate: float = 0.02) -> jnp.ndarray:
+    """Blind symbol-rate estimate (cycles/sample, f32) of a pulse-shaped
+    linear modulation — the acquisition-side complement of
+    :func:`estimate_timing`: the same square-law cyclostationary line,
+    but with the rate UNKNOWN, so instead of correlating against one
+    known tone the whole periodogram of the (mean-removed) squared
+    envelope is searched for its strongest line. Zero-padding by ``osr``
+    refines the grid; parabolic interpolation refines below the bin. One
+    batched FFT + one argmax on device; batched over leading axes.
+
+    Needs excess bandwidth (RRC beta > 0) like every square-law timing
+    method, and a rate above ``min_rate`` (the DC skirt of the envelope
+    spectrum is masked out). Resolution scales as ~1/(osr*n).
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    env = jnp.real(x) ** 2 + jnp.imag(x) ** 2
+    env = env - jnp.mean(env, axis=-1, keepdims=True)
+    n = env.shape[-1]
+    nfft = int(osr) * int(2 ** np.ceil(np.log2(max(n, 2))))
+    ez = jnp.concatenate(
+        [env.astype(cf32), jnp.zeros(env.shape[:-1] + (nfft - n,), cf32)],
+        axis=-1,
+    )
+    plan = _fft_mod.plan(nfft)
+    mag = jnp.abs(plan.fwd(ez, _fft_mod.Scale.NONE))
+    # search only (min_rate, 0.5]: mask DC skirt and negative frequencies
+    k_lo = int(np.ceil(float(min_rate) * nfft))
+    k_hi = nfft // 2 + 1
+    mask = np.zeros(nfft, np.float32)
+    mask[k_lo:k_hi] = 1.0
+    mag = mag * jnp.asarray(mask)
+    k = jnp.argmax(mag, axis=-1)
+    km1 = jnp.take_along_axis(mag, ((k - 1) % nfft)[..., None], axis=-1)[..., 0]
+    k0 = jnp.take_along_axis(mag, k[..., None], axis=-1)[..., 0]
+    kp1 = jnp.take_along_axis(mag, ((k + 1) % nfft)[..., None], axis=-1)[..., 0]
+    denom = km1 - 2.0 * k0 + kp1
+    off = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (km1 - kp1) / denom, 0.0)
+    return ((k.astype(jnp.float32) + off) / nfft).astype(jnp.float32)
+
+
 def _mpsk_grid_ref(m: int, grid: str) -> complex:
     """M-th-power reference of the constellation grid: ``"diagonal"``
     (the framework's BPSK/QPSK tables, points at ``pi/M + 2 pi k/M``)

@@ -485,3 +485,40 @@ def test_costas_axes_grid_locks_psk_table(rng):
     assert (got == idx[500:]).mean() > 0.999
     with pytest.raises(ValueError, match="grid"):
         costas_loop(syms, grid="hex")
+
+
+# ---- blind baud-rate estimation -------------------------------------------------
+
+
+@pytest.mark.parametrize("sps", [2, 3, 4, 8])
+def test_estimate_baud_rate_integer_sps(sps):
+    from aether_primitives_tpu.models.sync import estimate_baud_rate
+
+    rng = np.random.default_rng(99)
+    x = _shaped_qpsk(rng, 4000, sps)
+    x = x + 0.05 * (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x)))
+    rate = float(np.asarray(estimate_baud_rate(x.astype(np.complex64))))
+    assert abs(rate - 1.0 / sps) < 2e-4, (rate, 1.0 / sps)
+
+
+def test_estimate_baud_rate_fractional_sps():
+    # non-integer samples/symbol (sps = 4 * 1000/1001 after resampling)
+    from aether_primitives_tpu.models.sync import estimate_baud_rate
+    from aether_primitives_tpu.ops import sampling
+
+    rng = np.random.default_rng(7)
+    x = _shaped_qpsk(rng, 4000, 4)
+    x = x[: (len(x) // 1000) * 1000]
+    x = np.asarray(sampling.resample_poly(x, 1001, 1000))
+    rate = float(np.asarray(estimate_baud_rate(x)))
+    want = 1.0 / (4 * 1001 / 1000)
+    assert abs(rate - want) < 2e-4, (rate, want)
+
+
+def test_estimate_baud_rate_batched(rng):
+    from aether_primitives_tpu.models.sync import estimate_baud_rate
+
+    rows = np.stack([_shaped_qpsk(rng, 2000, 4), _shaped_qpsk(rng, 4000, 2)])
+    rates = np.asarray(estimate_baud_rate(rows.astype(np.complex64)))
+    assert abs(rates[0] - 0.25) < 5e-4
+    assert abs(rates[1] - 0.5) < 5e-4
