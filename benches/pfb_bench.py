@@ -82,8 +82,17 @@ def main():
         fr = b.to_complex().reshape(-1, m)  # treat capture as channel frames
         return pfb_synthesize(fr, m, taps=g)
 
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        pfb_synthesize_os,
+    )
+
     variants = [
         ("pfb P=%d" % p, lambda b: pfb_channelize(b.to_complex(), m, taps=h)),
+        (
+            "os-pfb os=2 (analysis)",
+            lambda b: pfb_channelize_os(b.to_complex(), m, os=2),
+        ),
         (
             "rect P=1 (chunked FFT)",
             lambda b: pfb_channelize(
@@ -92,6 +101,12 @@ def main():
             ),
         ),
         ("synthesis Q=%d" % (-(-g.shape[-1] // m)), synth),
+        (
+            "os-pfb os=2 (synthesis)",
+            lambda b: pfb_synthesize_os(
+                b.to_complex().reshape(-1, m), m, os=2
+            ),
+        ),
     ]
 
     best = {}
