@@ -282,3 +282,40 @@ def normalize_rms(x, target_rms: float = 1.0, eps: float = 1e-12) -> jnp.ndarray
         jnp.mean(jnp.real(x) ** 2 + jnp.imag(x) ** 2, axis=-1, keepdims=True) + eps
     )
     return (x * (jnp.float32(target_rms) / rms)).astype(cf32)
+
+
+def impulse_blank(x, threshold_sigma: float = 5.0, mode: str = "zero") -> jnp.ndarray:
+    """Impulse-noise blanker: samples whose envelope exceeds
+    ``threshold_sigma`` x the block's ROBUST scale (median absolute
+    envelope / sqrt(ln 4), the Rayleigh-consistent estimator — a mean
+    would be dragged by the very impulses being removed) are zeroed
+    (``mode="zero"``) or clipped to the threshold magnitude with phase
+    kept (``mode="clip"``). The classic HF/power-line-noise front-end
+    stage; one fused elementwise pass, batched over leading axes."""
+    x = jnp.asarray(x, dtype=cf32)
+    env = jnp.sqrt(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+    # Rayleigh: median = sigma * sqrt(ln 4); scale = sigma of the quadrature
+    med = jnp.median(env, axis=-1, keepdims=True)
+    scale = med / np.sqrt(np.log(4.0))
+    thresh = jnp.float32(threshold_sigma) * scale
+    if mode == "zero":
+        keep = env <= thresh
+        return jnp.where(keep, x, jnp.complex64(0.0)).astype(cf32)
+    if mode == "clip":
+        g = jnp.where(env > thresh, thresh / jnp.maximum(env, 1e-30), 1.0)
+        return (x * g).astype(cf32)
+    raise ValueError(f"mode must be 'zero' or 'clip', got {mode!r}")
+
+
+def squelch(x, threshold_db: float, ref_power: float = 1.0) -> jnp.ndarray:
+    """Power squelch: rows (bursts) whose mean power falls below
+    ``threshold_db`` relative to ``ref_power`` are zeroed — the
+    open/closed gate of a scanning receiver. Returns ``(gated, open)``
+    where ``open`` is the per-row bool gate state."""
+    x = jnp.asarray(x, dtype=cf32)
+    p = jnp.mean(jnp.real(x) ** 2 + jnp.imag(x) ** 2, axis=-1, keepdims=True)
+    open_ = p > jnp.float32(ref_power * 10.0 ** (threshold_db / 10.0))
+    return (
+        jnp.where(open_, x, jnp.complex64(0.0)).astype(cf32),
+        open_[..., 0],
+    )

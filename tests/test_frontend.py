@@ -151,3 +151,87 @@ def test_estimate_snr_m2m4(rng, snr_db):
 def test_estimate_snr_clean_signal_is_inf():
     tone = np.exp(2j * np.pi * 0.1 * np.arange(4096)).astype(np.complex64)
     assert np.isinf(float(np.asarray(frontend.estimate_snr_m2m4(tone))))
+
+
+# ---- impulse blanker + squelch --------------------------------------------------
+
+
+def test_impulse_blank_removes_spikes(rng):
+    from aether_primitives_tpu.ops.frontend import impulse_blank
+
+    n = 8192
+    x = ((rng.normal(size=n) + 1j * rng.normal(size=n)) / np.sqrt(2)).astype(
+        np.complex64
+    )
+    spiky = x.copy()
+    pos = rng.choice(n, 20, replace=False)
+    spiky[pos] += 40.0 * np.exp(1j * rng.uniform(0, 2 * np.pi, 20)).astype(
+        np.complex64
+    )
+    out = np.asarray(impulse_blank(spiky, threshold_sigma=6.0))
+    assert np.abs(out[pos]).max() < 1e-6  # spikes zeroed
+    untouched = np.setdiff1d(np.arange(n), pos)
+    frac_kept = np.mean(out[untouched] == spiky[untouched])
+    assert frac_kept > 0.999  # clean samples pass through
+
+
+def test_impulse_blank_clip_keeps_phase(rng):
+    from aether_primitives_tpu.ops.frontend import impulse_blank
+
+    x = np.zeros(4096, np.complex64)
+    x[:] = 0.7 + 0.7j
+    x[100] = 50.0 * np.exp(1j * 1.2)
+    out = np.asarray(impulse_blank(x, threshold_sigma=4.0, mode="clip"))
+    assert np.abs(out[100]) < 10.0
+    assert abs(np.angle(out[100]) - 1.2) < 1e-5
+    with pytest.raises(ValueError, match="mode"):
+        impulse_blank(x, mode="wrong")
+
+
+def test_impulse_blank_improves_demod(rng):
+    # the blanker's real benefit: an impulse BEFORE the matched filter
+    # smears over the filter span (~16 symbols here); blanking the raw
+    # stream first contains it. (Blanking cannot fix the hit sample
+    # itself -- the win is stopping the spread.)
+    from aether_primitives_tpu.ops import fir as fir_mod
+    from aether_primitives_tpu.ops import modulation as mod
+    from aether_primitives_tpu.ops.frontend import impulse_blank
+
+    q = mod.qpsk()
+    sps, nsym = 4, 2048
+    bits = rng.integers(0, 2, 2 * nsym).astype(np.uint8)
+    syms = np.asarray(q.modulate(bits))
+    up = np.zeros(nsym * sps, np.complex64)
+    up[::sps] = syms
+    taps = fir_mod.rrc_taps(sps, span=8)
+    shaped = np.asarray(fir_mod.fir_filter(up, taps)).copy()
+    pos = rng.choice(nsym * sps, 30, replace=False)
+    shaped[pos] += 25.0 * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, 30)
+    ).astype(np.complex64)
+
+    def symbol_errs(raw):
+        mf = np.asarray(fir_mod.fir_filter(raw, taps))
+        d = 2 * (8 * sps)  # two 32-sample (half-span) group delays
+        pts = mf[d :: sps][:nsym]
+        out = np.asarray(q.demod(pts.astype(np.complex64)))
+        return int((out != bits[: len(out)]).sum())
+
+    e_dirty = symbol_errs(shaped)
+    e_clean = symbol_errs(np.asarray(impulse_blank(shaped, threshold_sigma=6.0)))
+    assert e_dirty > 30
+    assert e_clean < e_dirty / 5
+
+
+def test_squelch_gates_rows(rng):
+    from aether_primitives_tpu.ops.frontend import squelch
+
+    strong = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex64)
+    weak = (0.001 * (rng.normal(size=256) + 1j * rng.normal(size=256))).astype(
+        np.complex64
+    )
+    x = np.stack([strong, weak])
+    gated, open_ = squelch(x, threshold_db=-20.0)
+    assert list(np.asarray(open_)) == [True, False]
+    assert (np.asarray(gated)[1] == 0).all()
+    assert np.allclose(np.asarray(gated)[0], strong)
