@@ -14,11 +14,12 @@ from . import analog
 from . import fec
 from . import ldpc
 from . import rs
+from . import turbo
 from . import firdes
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "rs", "firdes",
+    "fec", "ldpc", "rs", "turbo", "firdes",
 ]
