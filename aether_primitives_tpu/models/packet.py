@@ -41,6 +41,7 @@ from ..ops import ldpc as _ldpc
 from ..ops import modulation as _mod
 from ..ops import rs as _rs
 from ..ops import sequence as _seq
+from ..ops import turbo as _turbo
 from ..types import cf32
 from . import sync as _sync
 
@@ -58,7 +59,7 @@ def _modulation_by_name(name: str):
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "rs" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "rs" | "turbo" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
@@ -111,6 +112,9 @@ class PacketModem:
             self.rs_frames = -(-frame_bytes // c.rs_k)
             self.rs_pad_bits = self.rs_frames * c.rs_k * 8 - self.frame_bits
             self.coded_bits = self.rs_frames * c.rs_n * 8
+        elif c.fec == "turbo":
+            # [sys n | par1 n | par2 n | tail_sys 3 | tail_par 3]
+            self.coded_bits = 3 * self.frame_bits + 6
         elif c.fec == "none":
             self.coded_bits = self.frame_bits
         else:
@@ -153,6 +157,9 @@ class PacketModem:
             )
             syms = _rs.bits_to_symbols(padded).reshape(self.rs_frames, c.rs_k)
             coded = _rs.symbols_to_bits(self._rs.encode(syms)).reshape(-1)
+        elif c.fec == "turbo":
+            sys_b, p1, p2, ts_b, tp_b = _turbo.turbo_encode(line)
+            coded = jnp.concatenate([sys_b, p1, p2, ts_b, tp_b])
         else:
             coded = line
         if self.inter_pad or c.interleave_rows > 1:
@@ -231,6 +238,16 @@ class PacketModem:
             else:
                 dec, _rs_ok, _ = self._rs.decode(syms)
             line = _rs.symbols_to_bits(dec).reshape(-1)[: self.frame_bits]
+        elif c.fec == "turbo":
+            nb = self.frame_bits
+            line, _l = _turbo.turbo_decode(
+                llr[:nb],
+                llr[nb : 2 * nb],
+                llr[2 * nb : 3 * nb],
+                llr[3 * nb : 3 * nb + 3],
+                llr[3 * nb + 3 :],
+                iterations=8,
+            )
         else:
             line = (llr < 0).astype(jnp.uint8)
         frame = _seq.descramble_multiplicative(line, c.scrambler)

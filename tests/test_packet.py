@@ -17,7 +17,7 @@ def _channel(burst, rng, delay=300, cfo=1e-3, gain=0.4 * np.exp(1j * 1.1),
     return x.astype(np.complex64)
 
 
-@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "none"])
+@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "turbo", "none"])
 def test_loopback_all_fecs(rng, fec):
     cfg = PacketConfig(payload_bits=960, fec=fec)
     pm = PacketModem(cfg)
@@ -71,6 +71,17 @@ def test_packet_through_channel_rs_burst_fade(rng):
     assert bool(ok)
     assert (np.asarray(bits) == payload).all()
     assert int(diag["offset"]) == 400
+
+
+def test_packet_through_channel_turbo(rng):
+    # heavier noise than the viterbi channel test: turbo's regime
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="turbo"))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(pm.tx(payload))
+    cap = _channel(burst, rng, delay=350, cfo=6e-4, snr_sigma=0.30)
+    bits, ok, diag = pm.rx(cap)
+    assert bool(ok)
+    assert (np.asarray(bits) == payload).all()
 
 
 def test_packet_crc_flags_unrecoverable(rng):
