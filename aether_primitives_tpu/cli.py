@@ -289,6 +289,27 @@ def microbench_main(argv=None):
         nrs * 255,
     )
 
+    # turbo decode (samples = info bits)
+    from aether_primitives_tpu.ops.turbo import turbo_decode, turbo_encode
+
+    ntb = 4096
+    tb_bits = rng.integers(0, 2, ntb).astype(np.uint8)
+    tb_sys, tb_p1, tb_p2, tb_ts, tb_tp = [
+        np.asarray(v) for v in turbo_encode(tb_bits)
+    ]
+
+    def _tb_llr(b):
+        return (8.0 * (1.0 - 2.0 * b.astype(np.float32))).astype(np.float32)
+
+    tb_args = tuple(_tb_llr(v) for v in (tb_sys, tb_p1, tb_p2, tb_ts, tb_tp))
+    timed(
+        f"turbo decode 8 iters [{ntb} bits]",
+        lambda a: turbo_decode(*a, iterations=8)[0],
+        tb_args,
+        ntb,
+        iters=10,
+    )
+
     payload = {"platform": platform, "batch": B, "results": results}
     if args.json:
         with open(args.json, "w") as f:

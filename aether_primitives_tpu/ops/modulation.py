@@ -364,3 +364,42 @@ def nearest_index(symbols, table) -> jnp.ndarray:
         + (jnp.imag(s)[..., None] - jnp.imag(t)) ** 2
     )
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+# π/4-DQPSK (TDMA-classic): phase increments of ±pi/4 / ±3pi/4 per dibit,
+# so consecutive symbols alternate between the two QPSK grids (envelope
+# never crosses zero) and data lives purely in phase DIFFERENCES — immune
+# to any constant carrier rotation, like differential_encode.
+_PI4_INCREMENTS = np.array(
+    [np.pi / 4, 3 * np.pi / 4, -np.pi / 4, -3 * np.pi / 4], np.float64
+)  # Gray: dibit b1b0 -> index b0 + 2*b1
+
+
+def pi4dqpsk_modulate(bits) -> jnp.ndarray:
+    """π/4-DQPSK: ``[..., 2k]`` bits -> ``[..., k]`` unit-modulus symbols
+    (first symbol at phase pi/4 + increment). LSB-first dibits, Gray
+    increment map — one bit error per adjacent-increment mistake."""
+    b = jnp.asarray(bits).astype(jnp.int32) % 2
+    if b.shape[-1] % 2:
+        raise ValueError("pi/4-DQPSK consumes bit PAIRS")
+    d = b[..., 0::2] + 2 * b[..., 1::2]
+    inc = jnp.asarray(_PI4_INCREMENTS.astype(np.float32))[d]
+    phase = jnp.cumsum(inc, axis=-1) + jnp.float32(np.pi / 4)
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(cf32)
+
+
+def pi4dqpsk_demod(symbols) -> jnp.ndarray:
+    """Differential demod of :func:`pi4dqpsk_modulate`: phase differences
+    (first referenced to the pi/4 start) -> nearest increment -> LSB-first
+    bits. Constant-rotation invariant from the second symbol on."""
+    s = jnp.asarray(symbols, dtype=cf32)
+    ref = jnp.full(s.shape[:-1] + (1,), np.complex64(np.exp(1j * np.pi / 4)))
+    prev = jnp.concatenate([ref, s[..., :-1]], axis=-1)
+    dphi = jnp.angle(s * jnp.conj(prev))
+    inc = jnp.asarray(_PI4_INCREMENTS.astype(np.float32))
+    # nearest increment on the circle
+    err = jnp.abs(
+        jnp.mod(dphi[..., None] - inc + np.pi, 2 * np.pi) - np.pi
+    )
+    d = jnp.argmin(err, axis=-1).astype(jnp.int32)
+    return _interleave_bits([(d & 1).astype(jnp.uint8), ((d >> 1) & 1).astype(jnp.uint8)])

@@ -293,3 +293,47 @@ def test_nearest_index_matches_table(rng):
     noisy = (table[idx] + 0.05 * (rng.normal(size=512)
                                   + 1j * rng.normal(size=512))).astype(np.complex64)
     assert (np.asarray(mod.nearest_index(noisy, table)) == idx).all()
+
+
+# ---- pi/4-DQPSK -----------------------------------------------------------------
+
+
+def test_pi4dqpsk_roundtrip_and_rotation_invariance(rng):
+    bits = rng.integers(0, 2, 2 * 2048).astype(np.uint8)
+    syms = np.asarray(mod.pi4dqpsk_modulate(bits))
+    assert np.allclose(np.abs(syms), 1.0, atol=1e-5)
+    back = np.asarray(mod.pi4dqpsk_demod(syms))
+    assert (back == bits).all()
+    # constant carrier rotation: everything after the first dibit survives
+    rot = (syms * np.exp(1j * 1.234)).astype(np.complex64)
+    back_rot = np.asarray(mod.pi4dqpsk_demod(rot))
+    assert (back_rot[2:] == bits[2:]).all()
+
+
+def test_pi4dqpsk_alternating_grids(rng):
+    # consecutive symbols live on ALTERNATING QPSK grids (the envelope
+    # never passes through zero between symbols)
+    bits = rng.integers(0, 2, 2 * 512).astype(np.uint8)
+    syms = np.asarray(mod.pi4dqpsk_modulate(bits))
+    ph = np.mod(np.angle(syms), np.pi / 2)
+    on_diag = np.abs(ph - np.pi / 4) < 1e-4  # pi/4 + k pi/2 grid
+    on_axis = np.minimum(ph, np.pi / 2 - ph) < 1e-4  # k pi/2 grid
+    # strict alternation
+    assert (on_diag[0::2] != on_diag[1::2]).all() or (
+        on_axis[0::2] != on_axis[1::2]
+    ).all()
+    assert (on_diag ^ on_axis).all()
+
+
+def test_pi4dqpsk_noise_tolerance(rng):
+    bits = rng.integers(0, 2, 2 * 4096).astype(np.uint8)
+    syms = np.asarray(mod.pi4dqpsk_modulate(bits))
+    noisy = (syms + 0.08 * (rng.normal(size=syms.shape)
+                            + 1j * rng.normal(size=syms.shape))).astype(np.complex64)
+    back = np.asarray(mod.pi4dqpsk_demod(noisy))
+    assert (back == bits).mean() > 0.9995
+
+
+def test_pi4dqpsk_odd_bits_rejected():
+    with pytest.raises(ValueError, match="PAIRS"):
+        mod.pi4dqpsk_modulate(np.zeros(5, np.uint8))
