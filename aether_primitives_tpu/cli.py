@@ -289,24 +289,27 @@ def microbench_main(argv=None):
         nrs * 255,
     )
 
-    # turbo decode (samples = info bits)
+    # turbo decode — BATCHED over codewords (the BCJR scans serialize per
+    # block; throughput comes from vmapping blocks, the TPU production form)
     from aether_primitives_tpu.ops.turbo import turbo_decode, turbo_encode
 
-    ntb = 4096
-    tb_bits = rng.integers(0, 2, ntb).astype(np.uint8)
-    tb_sys, tb_p1, tb_p2, tb_ts, tb_tp = [
-        np.asarray(v) for v in turbo_encode(tb_bits)
-    ]
+    ntb, nblk = 1024, max(B // 16, 1)
+    tb_bits = rng.integers(0, 2, (nblk, ntb)).astype(np.uint8)
+    enc = [np.stack(x) for x in zip(*(
+        [np.asarray(v) for v in turbo_encode(tb_bits[i])] for i in range(nblk)
+    ))]
 
     def _tb_llr(b):
         return (8.0 * (1.0 - 2.0 * b.astype(np.float32))).astype(np.float32)
 
-    tb_args = tuple(_tb_llr(v) for v in (tb_sys, tb_p1, tb_p2, tb_ts, tb_tp))
+    tb_args = tuple(_tb_llr(v) for v in enc)
+    tb_vmapped = jax.vmap(lambda a, b, c, d, e: turbo_decode(
+        a, b, c, d, e, iterations=8)[0])
     timed(
-        f"turbo decode 8 iters [{ntb} bits]",
-        lambda a: turbo_decode(*a, iterations=8)[0],
+        f"turbo decode 8 iters [{nblk} x {ntb} bits]",
+        lambda t: tb_vmapped(*t),
         tb_args,
-        ntb,
+        nblk * ntb,
         iters=10,
     )
 
