@@ -141,3 +141,34 @@ def test_turbo_beats_viterbi_rate_half_equivalent(rng):
     dec_v = np.asarray(_fec.viterbi_decode(lv))[:n]
     errs_vit = int((dec_v != bits).sum())
     assert errs_turbo < max(errs_vit, 1), (errs_turbo, errs_vit)
+
+
+def test_windowed_bcjr_matches_exact(rng):
+    # windowed parallel BCJR: same corrections as the exact recursion on
+    # the heavy-AWGN channel (guard warmup replaces state propagation)
+    n = 8192
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    sys, p1, p2, ts, tp = turbo_encode(bits)
+    esn0 = (10 ** (2.0 / 10)) / 3.0
+    sigma = np.sqrt(1.0 / (2 * esn0))
+    args = tuple(
+        _bpsk_llr(np.asarray(v), sigma, rng) for v in (sys, p1, p2, ts, tp)
+    )
+    dec_exact, _ = turbo_decode(*args, iterations=8)
+    dec_win, _ = turbo_decode(*args, iterations=8, window=128, guard=24)
+    e_exact = int((np.asarray(dec_exact) != bits).sum())
+    e_win = int((np.asarray(dec_win) != bits).sum())
+    assert e_exact < 8
+    assert e_win <= e_exact + 4, (e_exact, e_win)
+
+
+def test_windowed_bcjr_noiseless(rng):
+    bits = rng.integers(0, 2, 1000).astype(np.uint8)  # non-multiple of window
+    sys, p1, p2, ts, tp = turbo_encode(bits)
+    big = 20.0
+    dec, _ = turbo_decode(
+        *[big * (1 - 2.0 * np.asarray(v, np.float32)) for v in (sys, p1, p2, ts, tp)],
+        iterations=2,
+        window=128,
+    )
+    assert (np.asarray(dec) == bits).all()
