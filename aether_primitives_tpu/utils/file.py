@@ -192,3 +192,84 @@ def stream_blocks(filepath, block_samples: int, depth: int = 4):
     from .. import native
 
     return native.BlockFeeder(filepath, block_samples, depth)
+
+
+# ------------------------------------------------------------------ SigMF
+
+
+_SIGMF_DTYPES = {
+    np.dtype(np.complex64): "cf32_le",
+    np.dtype(np.int16): "ci16_le",  # interleaved via save_iq("sc16")
+    np.dtype(np.int8): "ci8_le",
+}
+_SIGMF_TO_FMT = {"cf32_le": None, "ci16_le": "sc16", "ci8_le": "sc8"}
+
+
+def save_sigmf(
+    basepath,
+    data,
+    sample_rate: float,
+    frequency: float = 0.0,
+    datatype: str = "cf32_le",
+    description: str = "",
+    annotations=None,
+):
+    """Write a SigMF recording pair (``<base>.sigmf-data`` +
+    ``<base>.sigmf-meta``) — the SDR community's standard interchange
+    format (little-endian sample file + JSON metadata). ``datatype``:
+    ``cf32_le`` (this framework's native interleaved f32, the reference's
+    repr(C) layout), ``ci16_le`` or ``ci8_le`` (via the IQ converters).
+    ``annotations``: optional list of dicts merged into the standard
+    annotation list (e.g. ``{"core:sample_start": 0, "core:sample_count":
+    1024, "core:label": "burst"}``)."""
+    import json
+    import os
+
+    base = str(basepath)
+    if base.endswith(".sigmf-data") or base.endswith(".sigmf-meta"):
+        base = base.rsplit(".", 1)[0].rsplit(".sigmf-", 1)[0]
+    data = np.asarray(data)
+    fmt = _SIGMF_TO_FMT.get(datatype, "__missing__")
+    if fmt == "__missing__":
+        raise ValueError(f"unsupported SigMF datatype {datatype!r}")
+    if fmt is None:
+        save(base + ".sigmf-data", data.astype(np.complex64))
+    else:
+        save_iq(base + ".sigmf-data", data, fmt=fmt)
+    meta = {
+        "global": {
+            "core:datatype": datatype,
+            "core:sample_rate": float(sample_rate),
+            "core:version": "1.0.0",
+            "core:description": str(description),
+            "core:recorder": "aether_primitives_tpu",
+        },
+        "captures": [
+            {"core:sample_start": 0, "core:frequency": float(frequency)}
+        ],
+        "annotations": list(annotations or []),
+    }
+    with open(base + ".sigmf-meta", "w") as f:
+        json.dump(meta, f, indent=1)
+    return base
+
+
+def load_sigmf(basepath):
+    """Read a SigMF recording pair: returns ``(samples complex64,
+    metadata dict)``. Supports the datatypes :func:`save_sigmf` writes."""
+    import json
+
+    base = str(basepath)
+    if base.endswith(".sigmf-data") or base.endswith(".sigmf-meta"):
+        base = base.rsplit(".sigmf-", 1)[0]
+    with open(base + ".sigmf-meta") as f:
+        meta = json.load(f)
+    datatype = meta["global"]["core:datatype"]
+    fmt = _SIGMF_TO_FMT.get(datatype, "__missing__")
+    if fmt == "__missing__":
+        raise ValueError(f"unsupported SigMF datatype {datatype!r}")
+    if fmt is None:
+        samples = load(base + ".sigmf-data")
+    else:
+        samples = load_iq(base + ".sigmf-data", fmt=fmt)
+    return samples, meta

@@ -114,3 +114,46 @@ def test_iq_unknown_format(tmp_path):
     save_iq(p, np.zeros(4, np.complex64), "sc16")
     with pytest.raises(ValueError, match="unknown IQ format"):
         load_iq(p, "nope")
+
+
+# ---- SigMF ----------------------------------------------------------------------
+
+
+def test_sigmf_roundtrip_cf32(tmp_path, rng):
+    from aether_primitives_tpu.utils import file as fio
+
+    x = (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+    base = fio.save_sigmf(
+        tmp_path / "cap", x, sample_rate=1e6, frequency=100e6,
+        description="test", annotations=[{"core:sample_start": 0,
+                                          "core:sample_count": 512,
+                                          "core:label": "burst"}],
+    )
+    got, meta = fio.load_sigmf(base)
+    assert (got == x).all()
+    assert meta["global"]["core:sample_rate"] == 1e6
+    assert meta["captures"][0]["core:frequency"] == 100e6
+    assert meta["annotations"][0]["core:label"] == "burst"
+    # the data file is the plain interleaved-f32 format (Rust-compatible)
+    raw = fio.load(str(tmp_path / "cap.sigmf-data"))
+    assert (raw == x).all()
+
+
+def test_sigmf_roundtrip_ci16(tmp_path, rng):
+    from aether_primitives_tpu.utils import file as fio
+
+    x = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex64)
+    x = (0.9 * x / np.abs(np.stack([x.real, x.imag])).max()).astype(np.complex64)
+    base = fio.save_sigmf(tmp_path / "c16", x, sample_rate=2e6,
+                          datatype="ci16_le")
+    got, meta = fio.load_sigmf(base)
+    assert meta["global"]["core:datatype"] == "ci16_le"
+    assert np.abs(np.asarray(got) - x).max() < 2e-4  # 16-bit quantization
+
+
+def test_sigmf_rejects_unknown_datatype(tmp_path):
+    from aether_primitives_tpu.utils import file as fio
+
+    with pytest.raises(ValueError, match="datatype"):
+        fio.save_sigmf(tmp_path / "x", np.zeros(4, np.complex64), 1e6,
+                       datatype="cf64_be")
