@@ -16,10 +16,11 @@ from . import ldpc
 from . import rs
 from . import turbo
 from . import firdes
+from . import iir
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "rs", "turbo", "firdes",
+    "fec", "ldpc", "rs", "turbo", "firdes", "iir",
 ]

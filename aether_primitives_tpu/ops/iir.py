@@ -1,0 +1,210 @@
+"""IIR filtering, TPU-native — plus classic recursive-filter designs.
+
+Recursive filters look hostile to a parallel machine (each output feeds
+the next). Two parallel formulations exist; both were built and
+MEASURED (DEVNOTES):
+
+- associative scan over affine state maps (``s' = M s + v x`` composes
+  associatively): exact in theory, but on chip the f32 log-tree loses
+  precision over long blocks (−41 dB at 1M samples) and compiles slowly
+  — rejected;
+- **truncated impulse response** (production): because ``M`` is constant,
+  the cumulative maps are just ``M^t`` — the biquad IS a convolution
+  with a geometrically decaying kernel. Truncating where the envelope
+  falls below 1e-7 (−140 dB, a few hundred taps for typical designs)
+  turns the IIR into :func:`~.fir.fir_filter_os` running at the
+  batched-FFT rate, with the truncation + f32 FFT floor as the
+  only error (measured −106 dB RMS vs scipy's exact recursion) and exact streaming state carried
+  by two small kernel dot products.
+
+Designs are host-side f64 (like :mod:`.firdes`): Butterworth low/high
+pass via prewarped bilinear transform into second-order sections, plus
+the FM broadcast de-emphasis single pole. Cross-checked against
+``scipy.signal`` in the tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import cf32
+from . import fir as _fir
+
+__all__ = [
+    "sosfilt",
+    "sosfilt_stream",
+    "biquad_apply",
+    "butter_sos",
+    "fm_deemphasis_sos",
+]
+
+_EPS = 1e-7  # kernel truncation: -140 dB
+_MAX_KERNEL = 1 << 17
+
+
+def _biquad_system(sos_row) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Normalized DF2T biquad: ``y = b0 x + s[0]``, ``s' = M s + v x``."""
+    b0, b1, b2, a0, a1, a2 = (float(c) for c in np.asarray(sos_row, np.float64))
+    b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+    m = np.array([[-a1, 1.0], [-a2, 0.0]], np.float64)
+    v = np.array([b1 - a1 * b0, b2 - a2 * b0], np.float64)
+    return b0, m, v
+
+
+@functools.lru_cache(maxsize=None)
+def _biquad_kernels(sos_key: tuple):
+    """Host-precomputed truncated kernels for one biquad:
+
+    - ``h``  [L]      impulse response (the FIR realization),
+    - ``ks`` [L, 2]   initial-state response ``c . M^t s0`` rows,
+    - ``sk`` [L, 2]   final-state kernels: ``s_end = sum_j sk[j] x[n-1-j]``
+      (+ the decayed initial state, below truncation for n >= L).
+    """
+    b0, m, v = _biquad_system(np.array(sos_key))
+    hs, kss = [b0], [np.array([1.0, 0.0])]
+    s = v.copy()  # state after the impulse
+    p = np.eye(2)
+    for _ in range(_MAX_KERNEL):
+        hs.append(s[0])
+        p = m @ p
+        kss.append(p[0])
+        s = m @ s
+        if abs(s[0]) + abs(s[1]) < _EPS and len(hs) > 8:
+            break
+    l = len(hs)
+    # sk[j] = M^j v (state contribution of the input j steps back)
+    sk = np.empty((l, 2))
+    acc = v.copy()
+    for j in range(l):
+        sk[j] = acc
+        acc = m @ acc
+    h = np.array(hs, np.float64)
+    ks = np.array(kss[:l], np.float64)
+    return h, ks, sk, m
+
+
+def biquad_apply(x, sos_row, state=None):
+    """One biquad over the last axis (truncated-IR realization; see the
+    module docstring). Returns ``(y, final_state)``; ``state``: optional
+    ``[..., 2]`` initial DF2T state (zeros = rest)."""
+    xc = jnp.asarray(x, dtype=cf32)
+    key = tuple(float(c) for c in np.asarray(sos_row, np.float64))
+    h, ks, sk, m = _biquad_kernels(key)
+    l = h.shape[0]
+    n = int(xc.shape[-1])
+    y = _fir.fir_filter_os(xc, h.astype(np.complex64))
+    if state is not None:
+        s0 = jnp.asarray(state, dtype=cf32)
+        resp = jnp.einsum("lj,...j->...l", jnp.asarray(ks.astype(np.float32)), s0)
+        if l >= n:
+            y = y + resp[..., :n]
+        else:
+            y = y.at[..., :l].add(resp)
+    # final state from the trailing min(L, n) inputs (+ decayed s0)
+    lt = min(l, n)
+    tail = xc[..., n - lt:][..., ::-1]  # x[n-1], x[n-2], ...
+    s_end = jnp.einsum(
+        "jk,...j->...k", jnp.asarray(sk[:lt].astype(np.float32)), tail
+    )
+    if state is not None and n < l:
+        mp = np.linalg.matrix_power(m, n).astype(np.float32)
+        s_end = s_end + jnp.einsum("kj,...j->...k", jnp.asarray(mp), s0)
+    return y.astype(cf32), s_end.astype(cf32)
+
+
+def sosfilt(sos, x, state=None):
+    """Cascade of second-order sections over the last axis (the
+    ``scipy.signal.sosfilt`` contract, cross-checked to ~-106 dB): ``sos``
+    is ``[k, 6]`` rows ``(b0, b1, b2, a0, a1, a2)``. Batched over leading
+    axes; runs at the overlap-save batched-FFT rate."""
+    y = jnp.asarray(x, dtype=cf32)
+    sos = np.atleast_2d(np.asarray(sos, np.float64))
+    for i, row in enumerate(sos):
+        st = None if state is None else state[i]
+        y, _ = biquad_apply(y, row, st)
+    return y
+
+
+def sosfilt_stream(sos, x, states):
+    """Streaming :func:`sosfilt`: ``states`` is a list of per-section
+    ``[..., 2]`` states (or ``None``s at cold start); returns
+    ``(y, new_states)`` so block-by-block filtering equals the one-shot
+    call to the truncation floor (tested)."""
+    y = jnp.asarray(x, dtype=cf32)
+    sos = np.atleast_2d(np.asarray(sos, np.float64))
+    new_states = []
+    for i, row in enumerate(sos):
+        y, s = biquad_apply(y, row, states[i] if states else None)
+        new_states.append(s)
+    return y, new_states
+
+
+# ------------------------------------------------------------------ designs
+
+
+@functools.lru_cache(maxsize=None)
+def butter_sos(order: int, cutoff: float, btype: str = "lowpass") -> np.ndarray:
+    """Butterworth design as second-order sections (host f64, prewarped
+    bilinear transform): ``cutoff`` in cycles/sample (0, 0.5), ``btype``
+    "lowpass" | "highpass". Magnitude response matches
+    ``scipy.signal.butter(.., output='sos')`` (tested)."""
+    order = int(order)
+    if not 0.0 < cutoff < 0.5:
+        raise ValueError("cutoff must be in (0, 0.5) cycles/sample")
+    if btype not in ("lowpass", "highpass"):
+        raise ValueError("btype must be 'lowpass' or 'highpass'")
+    wc = 2.0 * np.tan(np.pi * cutoff)  # prewarped analog cutoff (fs = 1)
+    k = np.arange(1, order + 1)
+    p_unit = np.exp(1j * (np.pi * (2 * k - 1) / (2 * order) + np.pi / 2))
+    if btype == "lowpass":
+        p_analog = wc * p_unit
+        z_digital = -1.0  # order zeros at z = -1
+        zref = 1.0  # unity gain at DC
+    else:
+        p_analog = wc / p_unit  # LP -> HP analog transform
+        z_digital = 1.0
+        zref = -1.0  # unity gain at Nyquist
+
+    def bilin(p):  # s = 2 (z - 1)/(z + 1)
+        return (2.0 + p) / (2.0 - p)
+
+    zp = bilin(p_analog)
+    # pair conjugate poles into biquads (one real pole for odd orders)
+    used = np.zeros(order, bool)
+    sos = []
+    for j in range(order):
+        if used[j]:
+            continue
+        used[j] = True
+        p = zp[j]
+        if abs(p.imag) > 1e-12:
+            for l in range(j + 1, order):
+                if not used[l] and abs(zp[l] - np.conj(p)) < 1e-9:
+                    used[l] = True
+                    break
+            a = np.poly([p, np.conj(p)]).real
+            b = np.poly([z_digital, z_digital]).real
+        else:
+            a = np.array([1.0, -p.real, 0.0])
+            b = np.array([1.0, -z_digital, 0.0])
+        sos.append(np.concatenate([b, a]))
+    sos = np.array(sos, np.float64)
+    # normalize to unity gain at the reference frequency
+    g = 1.0
+    for row in sos:
+        g *= np.polyval(row[:3], zref) / np.polyval(row[3:], zref)
+    sos[0, :3] /= g
+    return sos
+
+
+def fm_deemphasis_sos(tau_samples: float) -> np.ndarray:
+    """Single-pole FM broadcast de-emphasis (``tau`` in SAMPLES, e.g.
+    ``50e-6 * fs``): ``H(z) = b / (1 - a z^-1)`` with ``a = exp(-1/tau)``,
+    unity DC gain — apply after the discriminator
+    (:func:`~aether_primitives_tpu.ops.analog.fm_demodulate`)."""
+    a = float(np.exp(-1.0 / float(tau_samples)))
+    return np.array([[1.0 - a, 0.0, 0.0, 1.0, -a, 0.0]], np.float64)
