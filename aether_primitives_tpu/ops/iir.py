@@ -146,59 +146,106 @@ def sosfilt_stream(sos, x, states):
 # ------------------------------------------------------------------ designs
 
 
+def _zpk_to_sos(zeros, poles, zref_z):
+    """Pair conjugate digital zeros/poles into real SOS rows, normalized
+    to unity gain at the reference point ``zref_z`` on the unit circle."""
+    def pair(roots):
+        roots = list(np.asarray(roots, np.complex128))
+        out, reals = [], []
+        used = [False] * len(roots)
+        for j, r in enumerate(roots):
+            if used[j]:
+                continue
+            used[j] = True
+            if abs(r.imag) > 1e-10:
+                for l in range(j + 1, len(roots)):
+                    if not used[l] and abs(roots[l] - np.conj(r)) < 1e-8:
+                        used[l] = True
+                        break
+                out.append(np.poly([r, np.conj(r)]).real)
+            else:
+                reals.append(r.real)
+        while len(reals) >= 2:  # real roots pair into quadratic sections
+            a, b = reals.pop(), reals.pop()
+            out.append(np.poly([a, b]).real)
+        if reals:
+            out.append(np.array([1.0, -reals[0], 0.0]))
+        return out
+
+    zs, ps = pair(zeros), pair(poles)
+    while len(zs) < len(ps):
+        zs.append(np.array([1.0, 0.0, 0.0]))
+    sos = np.array([np.concatenate([b, a]) for b, a in zip(zs, ps)], np.float64)
+    g = 1.0 + 0.0j
+    zi = 1.0 / zref_z  # polynomial sections are in z^-1 powers
+    for row in sos:
+        g *= np.polyval(row[:3][::-1], zi) / np.polyval(row[3:][::-1], zi)
+    sos[0, :3] /= abs(g)
+    return sos
+
+
 @functools.lru_cache(maxsize=None)
-def butter_sos(order: int, cutoff: float, btype: str = "lowpass") -> np.ndarray:
+def butter_sos(order: int, cutoff, btype: str = "lowpass") -> np.ndarray:
     """Butterworth design as second-order sections (host f64, prewarped
-    bilinear transform): ``cutoff`` in cycles/sample (0, 0.5), ``btype``
-    "lowpass" | "highpass". Magnitude response matches
-    ``scipy.signal.butter(.., output='sos')`` (tested)."""
+    bilinear transform). ``btype``: "lowpass" | "highpass" (scalar
+    ``cutoff``) or "bandpass" | "bandstop" (``cutoff = (f1, f2)``),
+    frequencies in cycles/sample (0, 0.5). ``order`` is the PROTOTYPE
+    order (band filters have ``2*order`` poles, the scipy convention).
+    Magnitude response matches ``scipy.signal.butter(.., output='sos')``
+    (tested)."""
     order = int(order)
-    if not 0.0 < cutoff < 0.5:
-        raise ValueError("cutoff must be in (0, 0.5) cycles/sample")
-    if btype not in ("lowpass", "highpass"):
-        raise ValueError("btype must be 'lowpass' or 'highpass'")
-    wc = 2.0 * np.tan(np.pi * cutoff)  # prewarped analog cutoff (fs = 1)
     k = np.arange(1, order + 1)
     p_unit = np.exp(1j * (np.pi * (2 * k - 1) / (2 * order) + np.pi / 2))
-    if btype == "lowpass":
-        p_analog = wc * p_unit
-        z_digital = -1.0  # order zeros at z = -1
-        zref = 1.0  # unity gain at DC
-    else:
-        p_analog = wc / p_unit  # LP -> HP analog transform
-        z_digital = 1.0
-        zref = -1.0  # unity gain at Nyquist
+
+    def warp(f):
+        f = float(f)
+        if not 0.0 < f < 0.5:
+            raise ValueError("cutoff must be in (0, 0.5) cycles/sample")
+        return 2.0 * np.tan(np.pi * f)
 
     def bilin(p):  # s = 2 (z - 1)/(z + 1)
         return (2.0 + p) / (2.0 - p)
 
-    zp = bilin(p_analog)
-    # pair conjugate poles into biquads (one real pole for odd orders)
-    used = np.zeros(order, bool)
-    sos = []
-    for j in range(order):
-        if used[j]:
-            continue
-        used[j] = True
-        p = zp[j]
-        if abs(p.imag) > 1e-12:
-            for l in range(j + 1, order):
-                if not used[l] and abs(zp[l] - np.conj(p)) < 1e-9:
-                    used[l] = True
-                    break
-            a = np.poly([p, np.conj(p)]).real
-            b = np.poly([z_digital, z_digital]).real
+    if btype in ("lowpass", "highpass"):
+        wc = warp(cutoff)
+        if btype == "lowpass":
+            p_analog = wc * p_unit
+            zeros = np.full(order, -1.0 + 0.0j)
+            zref = 1.0
         else:
-            a = np.array([1.0, -p.real, 0.0])
-            b = np.array([1.0, -z_digital, 0.0])
-        sos.append(np.concatenate([b, a]))
-    sos = np.array(sos, np.float64)
-    # normalize to unity gain at the reference frequency
-    g = 1.0
-    for row in sos:
-        g *= np.polyval(row[:3], zref) / np.polyval(row[3:], zref)
-    sos[0, :3] /= g
-    return sos
+            p_analog = wc / p_unit
+            zeros = np.full(order, 1.0 + 0.0j)
+            zref = -1.0
+        return _zpk_to_sos(zeros, bilin(p_analog), zref)
+
+    if btype not in ("bandpass", "bandstop"):
+        raise ValueError(
+            "btype must be 'lowpass', 'highpass', 'bandpass' or 'bandstop'"
+        )
+    f1, f2 = cutoff
+    w1, w2 = warp(f1), warp(f2)
+    bw, w0 = w2 - w1, np.sqrt(w1 * w2)
+    poles = []
+    if btype == "bandpass":
+        # LP -> BP: s -> (s^2 + w0^2)/(bw s); each prototype pole p gives
+        # the two roots of s^2 - p*bw*s + w0^2 = 0
+        for p in p_unit:
+            d = np.sqrt((p * bw) ** 2 / 4.0 - w0 * w0 + 0j)
+            poles += [p * bw / 2.0 + d, p * bw / 2.0 - d]
+        zeros_d = np.concatenate([np.ones(order), -np.ones(order)])
+        z0 = np.exp(2j * np.pi * np.sqrt(f1 * f2))  # in-band reference
+        zref = z0
+    else:
+        # LP -> BS: s -> bw s/(s^2 + w0^2)
+        for p in p_unit:
+            d = np.sqrt((bw / p) ** 2 / 4.0 - w0 * w0 + 0j)
+            poles += [bw / (2.0 * p) + d, bw / (2.0 * p) - d]
+        # analog zeros at +-j w0 -> digital via bilinear, order copies each
+        zd = bilin(np.array([1j * w0, -1j * w0]))
+        zeros_d = np.concatenate([np.full(order, zd[0]), np.full(order, zd[1])])
+        zref = 1.0  # passband at DC
+    poles_d = bilin(np.asarray(poles))
+    return _zpk_to_sos(zeros_d, poles_d, zref)
 
 
 def fm_deemphasis_sos(tau_samples: float) -> np.ndarray:

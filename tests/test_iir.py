@@ -83,3 +83,29 @@ def test_butter_validation():
         butter_sos(2, 0.7)
     with pytest.raises(ValueError, match="btype"):
         butter_sos(2, 0.1, "bandpass")
+
+
+@pytest.mark.parametrize("order", [2, 3, 4])
+def test_butter_band_types_match_scipy(order):
+    for btype, co, wn in (
+        ("bandpass", (0.05, 0.12), (0.1, 0.24)),
+        ("bandstop", (0.08, 0.2), (0.16, 0.4)),
+    ):
+        mine = butter_sos(order, co, btype)
+        ref = ss.butter(order, wn, btype=btype, output="sos")
+        _, h1 = ss.sosfreqz(mine, worN=1024)
+        _, h2 = ss.sosfreqz(ref, worN=1024)
+        assert np.abs(np.abs(h1) - np.abs(h2)).max() < 1e-6, (order, btype)
+
+
+def test_bandpass_filter_isolates_tone(rng):
+    n = 8192
+    t = np.arange(n)
+    want = np.exp(2j * np.pi * 0.09 * t)
+    x = (want + np.exp(2j * np.pi * 0.3 * t) + np.exp(2j * np.pi * 0.01 * t)).astype(
+        np.complex64
+    )
+    sos = butter_sos(4, (0.07, 0.11), "bandpass")
+    y = np.asarray(sosfilt(sos, x))[2000:]
+    err = np.linalg.norm(y - want[2000:]) / np.linalg.norm(want[2000:])
+    assert 20 * np.log10(err) < -30
