@@ -222,7 +222,12 @@ def butter_sos(order: int, cutoff, btype: str = "lowpass") -> np.ndarray:
         raise ValueError(
             "btype must be 'lowpass', 'highpass', 'bandpass' or 'bandstop'"
         )
-    f1, f2 = cutoff
+    try:
+        f1, f2 = cutoff
+    except TypeError:
+        raise ValueError(f"{btype} needs cutoff = (f_low, f_high)") from None
+    if not f1 < f2:
+        raise ValueError("band edges must satisfy f_low < f_high")
     w1, w2 = warp(f1), warp(f2)
     bw, w0 = w2 - w1, np.sqrt(w1 * w2)
     poles = []
