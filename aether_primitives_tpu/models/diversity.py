@@ -126,3 +126,48 @@ def alamouti_decode(y, h0, h1) -> jnp.ndarray:
     s1 = (jnp.conj(h1) * r0 - h0 * jnp.conj(r1)) / jnp.maximum(den, 1e-30)
     out = jnp.stack([s0, s1], axis=-1)
     return out.reshape(y.shape).astype(cf32)
+
+
+# ------------------------------------------------------- spatial multiplexing
+
+
+def mimo_detect_zf(y, h):
+    """Zero-forcing detection for spatial multiplexing: per symbol time,
+    ``y = H s + n`` with ``y [..., n_rx]``, ``h [..., n_rx, n_tx]``
+    (broadcastable — pass one matrix per burst or per symbol). Returns
+    ``s_hat = pinv(H) y`` computed via the normal equations
+    (``(H^H H)^{-1} H^H y`` — batched tiny solves, TPU-friendly).
+    Requires ``n_rx >= n_tx``."""
+    y = jnp.asarray(y, dtype=cf32)
+    h = jnp.asarray(h, dtype=cf32)
+    hh = jnp.conj(jnp.swapaxes(h, -1, -2))
+    a = hh @ h  # [..., n_tx, n_tx]
+    b = (hh @ y[..., None])[..., 0]
+    return jnp.linalg.solve(a, b[..., None])[..., 0].astype(cf32)
+
+
+def mimo_detect_mmse(y, h, noise_var):
+    """Linear MMSE detection: ``(H^H H + sigma^2 I)^{-1} H^H y`` —
+    trades residual interference against noise enhancement (the standard
+    improvement over ZF at low SNR; per-stream BER gain tested).
+    ``noise_var``: scalar or broadcastable noise power per RX antenna
+    (unit-energy symbols assumed; scale accordingly)."""
+    y = jnp.asarray(y, dtype=cf32)
+    h = jnp.asarray(h, dtype=cf32)
+    hh = jnp.conj(jnp.swapaxes(h, -1, -2))
+    n_tx = h.shape[-1]
+    a = hh @ h + jnp.asarray(noise_var, jnp.float32) * jnp.eye(n_tx, dtype=cf32)
+    b = (hh @ y[..., None])[..., 0]
+    return jnp.linalg.solve(a, b[..., None])[..., 0].astype(cf32)
+
+
+def mimo_stream_snr(h, noise_var):
+    """Post-detection SNR per spatial stream for the ZF detector:
+    ``1 / (noise_var * [(H^H H)^{-1}]_kk)`` — the link-adaptation metric
+    (which streams can carry which constellation)."""
+    h = jnp.asarray(h, dtype=cf32)
+    hh = jnp.conj(jnp.swapaxes(h, -1, -2))
+    a = hh @ h
+    inv = jnp.linalg.inv(a)
+    diag = jnp.real(jnp.diagonal(inv, axis1=-2, axis2=-1))
+    return (1.0 / (jnp.asarray(noise_var, jnp.float32) * diag)).astype(jnp.float32)

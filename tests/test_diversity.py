@@ -125,3 +125,73 @@ def test_mrc_batched_leading_axes(rng):
     out = np.asarray(mrc_combine(y, h[..., None]))
     assert out.shape == (3, 128)
     assert np.allclose(out, np.broadcast_to(s, (3, 128)), atol=1e-5)
+
+
+# ------------------------------------------------------- spatial multiplexing
+
+
+def test_mimo_zf_exact_noise_free(rng):
+    from aether_primitives_tpu.models.diversity import mimo_detect_zf
+
+    n = 256
+    s = (np.sign(rng.normal(size=(n, 2))) + 1j * np.sign(rng.normal(size=(n, 2)))).astype(
+        np.complex64
+    ) / np.sqrt(2)
+    h = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))).astype(np.complex64)
+    y = np.einsum("ij,nj->ni", h, s)
+    got = np.asarray(mimo_detect_zf(y, h))
+    assert np.abs(got - s).max() < 1e-4
+
+
+def test_mimo_mmse_beats_zf_at_low_snr(rng):
+    from aether_primitives_tpu.models.diversity import (
+        mimo_detect_mmse,
+        mimo_detect_zf,
+    )
+    from aether_primitives_tpu.ops import modulation as mod
+
+    q = mod.qpsk()
+    n_trials, n = 300, 64
+    snr = 10 ** (12 / 10)
+    sigma2 = 2.0 / snr  # symbol energy |s|^2 = 2 for the generic table
+    e_zf = e_mmse = total = 0
+    for _ in range(n_trials):
+        bits = rng.integers(0, 2, 2 * 2 * n).astype(np.uint8)
+        s = np.asarray(q.modulate(bits)).reshape(n, 2)
+        h = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))).astype(
+            np.complex64
+        ) / np.sqrt(2)
+        noise = np.sqrt(sigma2 / 2) * (
+            rng.normal(size=(n, 2)) + 1j * rng.normal(size=(n, 2))
+        )
+        y = np.einsum("ij,nj->ni", h, s) + noise
+        zf = np.asarray(mimo_detect_zf(y, h)).reshape(-1)
+        mm = np.asarray(mimo_detect_mmse(y, h, sigma2 / 2.0)).reshape(-1)
+        e_zf += int((np.asarray(q.demod(zf.astype(np.complex64))) != bits).sum())
+        e_mmse += int((np.asarray(q.demod(mm.astype(np.complex64))) != bits).sum())
+        total += len(bits)
+    assert e_mmse < e_zf, (e_zf, e_mmse)
+    assert e_mmse / total < 0.05
+
+
+def test_mimo_stream_snr_orders_streams(rng):
+    from aether_primitives_tpu.models.diversity import mimo_stream_snr
+
+    # a channel with one strong and one weak column: the weak stream's
+    # post-ZF SNR must come out lower
+    h = np.array([[2.0, 0.1], [0.0, 0.1]], np.complex64)
+    snrs = np.asarray(mimo_stream_snr(h, 0.01))
+    assert snrs[0] > 10 * snrs[1]
+
+
+def test_mimo_per_symbol_channels(rng):
+    from aether_primitives_tpu.models.diversity import mimo_detect_zf
+
+    n = 64
+    s = (rng.normal(size=(n, 3)) + 1j * rng.normal(size=(n, 3))).astype(np.complex64)
+    h = (rng.normal(size=(n, 4, 3)) + 1j * rng.normal(size=(n, 4, 3))).astype(
+        np.complex64
+    )  # time-varying 4x3 channel
+    y = np.einsum("nij,nj->ni", h, s)
+    got = np.asarray(mimo_detect_zf(y, h))
+    assert np.abs(got - s).max() < 1e-3
