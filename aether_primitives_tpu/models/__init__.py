@@ -36,6 +36,7 @@ from . import ddc
 from . import equalizer
 from . import ofdm
 from . import fsk
+from . import fhss
 from .sync import OfdmEqualizer, detect_preamble
 from .ddc import Ddc, DdcConfig, Duc, DucConfig, ddc_bank, sharded_ddc, sharded_duc
 from .ofdm import OfdmConfig, OfdmModem, cp_sync
@@ -77,6 +78,7 @@ __all__ = [
     "ddc",
     "equalizer",
     "ofdm",
+    "fhss",
     "OfdmConfig",
     "OfdmModem",
     "cp_sync",
