@@ -242,3 +242,48 @@ def cma_equalize(
 
     w, y = jax.lax.scan(step, w_init, rows)
     return y.astype(cf32), w
+
+
+def rls_equalize(
+    x,
+    training,
+    ntaps: int = 11,
+    lam: float = 0.99,
+    delta: float = 0.01,
+    delay: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Trained RLS (recursive least squares): same contract as
+    :func:`lms_equalize` but converging in ~2*ntaps symbols instead of
+    hundreds (tested) — the short-preamble equalizer. The price is an
+    ``[ntaps, ntaps]`` inverse-correlation state updated per step; at
+    equalizer lengths (tens of taps) that is a tiny outer product per
+    scan step, fused on the VPU.
+
+    ``lam``: forgetting factor (1.0 = growing window; < 1 tracks drift).
+    ``delta``: initial inverse-correlation scale (P0 = I/delta) — small
+    values mean aggressive early steps.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    d = jnp.asarray(training, dtype=cf32)
+    rows = _sliding(x, ntaps)
+    m = min(int(d.shape[-1]), rows.shape[0] - int(delay))
+    d = d[:m]
+    train_rows = rows[delay : delay + m]
+    w0 = jnp.zeros((ntaps,), cf32)
+    p0 = jnp.eye(ntaps, dtype=cf32) / jnp.float32(delta)
+    lamf = jnp.float32(lam)
+
+    def step(carry, inp):
+        w, p = carry
+        u, dd = inp  # regression row, desired
+        pu = p @ u
+        denom = lamf + jnp.sum(jnp.conj(u) * pu)
+        k = pu / denom
+        e = dd - jnp.sum(jnp.conj(w) * u)
+        w = w + k * jnp.conj(e)
+        p = (p - k[:, None] * jnp.conj(pu)[None, :]) / lamf
+        return (w, p), jnp.abs(e)
+
+    (w, _), err = jax.lax.scan(step, (w0, p0), (train_rows, d))
+    y = jnp.matmul(rows, jnp.conj(w))
+    return y.astype(cf32), jnp.conj(w), err

@@ -136,3 +136,43 @@ def test_fdaf_length_mismatch_raises(rng):
         equalizer.fdaf(
             np.zeros(128, np.complex64), np.zeros(100, np.complex64), 8
         )
+
+
+# ---- RLS -----------------------------------------------------------------------
+
+
+def test_rls_identifies_channel_fast(rng):
+    from aether_primitives_tpu.models.equalizer import lms_equalize, rls_equalize
+    from aether_primitives_tpu.ops import modulation as mod
+
+    q = mod.qpsk()
+    bits = rng.integers(0, 2, 2 * 800).astype(np.uint8)
+    s = np.asarray(q.modulate(bits))
+    h = np.array([0.2, 1.0, -0.3 + 0.2j, 0.1j], np.complex64)
+    x = np.convolve(s, h)[: len(s)].astype(np.complex64)
+    delay = 4
+    # RLS with only 60 training symbols
+    y_r, w_r, err_r = rls_equalize(x, s[: 60], ntaps=9, delay=delay)
+    out_r = np.asarray(y_r)[delay : delay + len(s) - delay]
+    ref = s[: len(out_r)]
+    evm_r = np.sqrt(np.mean(np.abs(out_r[100:] - ref[100:]) ** 2))
+    assert evm_r < 0.1, evm_r
+    # NLMS with the same 60 symbols has NOT converged yet
+    y_l, w_l, err_l = lms_equalize(x, s[: 60], ntaps=9, mu=0.2, delay=delay)
+    out_l = np.asarray(y_l)[delay : delay + len(s) - delay]
+    evm_l = np.sqrt(np.mean(np.abs(out_l[100:] - ref[100:]) ** 2))
+    assert evm_r < evm_l / 2, (evm_r, evm_l)
+
+
+def test_rls_error_converges(rng):
+    from aether_primitives_tpu.models.equalizer import rls_equalize
+    from aether_primitives_tpu.ops import modulation as mod
+
+    q = mod.qpsk()
+    bits = rng.integers(0, 2, 2 * 400).astype(np.uint8)
+    s = np.asarray(q.modulate(bits))
+    h = np.array([1.0, 0.4 - 0.3j, -0.2], np.complex64)
+    x = np.convolve(s, h)[: len(s)].astype(np.complex64)
+    _, _, err = rls_equalize(x, s[:200], ntaps=7, delay=3)
+    err = np.asarray(err)
+    assert err[30:].mean() < 0.25 * err[:10].mean()
