@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,3 +117,62 @@ class FskModem:
         return (acc > 0).astype(jnp.uint8)
 
     __call__ = modulate
+
+
+# ----------------------------------------------------------------- OQPSK
+
+
+def oqpsk_modulate(bits, sps: int = 4, taps=None):
+    """Offset QPSK (802.15.4-style): the Q rail is staggered by half a
+    symbol so the envelope never crosses zero (max 90-degree phase steps
+    — PA-friendly like MSK, which IS OQPSK with half-sine pulses; this
+    uses an RRC by default). ``bits``: flat {0,1}, even count; ``sps``
+    must be even. Returns the shaped complex baseband at ``sps``
+    samples/symbol (length ``(n_bits/2)*sps + sps/2 + len(taps)`` — the
+    stagger plus the filter tail so every pulse fully emerges).
+    """
+    b = jnp.asarray(bits).astype(jnp.int32) % 2
+    if b.shape[-1] % 2:
+        raise ValueError("OQPSK consumes bit PAIRS")
+    sps = int(sps)
+    if sps % 2:
+        raise ValueError("sps must be even (half-symbol stagger)")
+    if taps is None:
+        taps = _fir.rrc_taps(sps, span=6, beta=0.5)
+    i_sym = (1.0 - 2.0 * b[0::2]).astype(jnp.float32)
+    q_sym = (1.0 - 2.0 * b[1::2]).astype(jnp.float32)
+    n_sym = i_sym.shape[-1]
+    base_i = jnp.zeros(n_sym * sps, jnp.float32).at[::sps].set(i_sym)
+    base_q = jnp.zeros(n_sym * sps, jnp.float32).at[::sps].set(q_sym)
+    half = sps // 2
+    tail = int(np.asarray(taps).shape[-1])  # let every pulse fully emerge
+    up_i = jnp.concatenate([base_i, jnp.zeros(half + tail, jnp.float32)])
+    up_q = jnp.concatenate(
+        [jnp.zeros(half, jnp.float32), base_q, jnp.zeros(tail, jnp.float32)]
+    )
+    x = jax.lax.complex(up_i, up_q)
+    return _fir.fir_filter(x, taps).astype(cf32)
+
+
+def oqpsk_demodulate(x, n_bits: int, sps: int = 4, taps=None):
+    """Matched-filter OQPSK demod (synchronized): filter, strobe the I
+    rail at ``k*sps`` and the Q rail at ``k*sps + sps/2`` (both offset by
+    the two filters' group delay), sign-detect. Inverse of
+    :func:`oqpsk_modulate` (bit-exact roundtrip + noise tested)."""
+    xc = jnp.asarray(x, dtype=cf32)
+    sps = int(sps)
+    if taps is None:
+        taps = _fir.rrc_taps(sps, span=6, beta=0.5)
+    taps = np.asarray(taps)
+    gd_pad = taps.shape[-1]  # let the tail symbols' matched peaks emerge
+    xc = jnp.concatenate([xc, jnp.zeros(gd_pad, cf32)])
+    mf = _fir.fir_filter(xc, taps)
+    gd = taps.shape[-1] - 1  # two cascaded filters' total group delay
+    n_sym = int(n_bits) // 2
+    i_pts = jnp.real(mf)[gd :: sps][:n_sym]
+    q_pts = jnp.imag(mf)[gd + sps // 2 :: sps][:n_sym]
+    bi = (i_pts < 0).astype(jnp.uint8)
+    bq = (q_pts < 0).astype(jnp.uint8)
+    from ..ops.modulation import _interleave_bits
+
+    return _interleave_bits([bi, bq])

@@ -66,3 +66,39 @@ def test_gaussian_pulse_properties():
     assert abs(g.sum() - 8.0) < 1e-4  # unit area in symbol time
     assert (g == g[::-1]).all()  # symmetric
     assert g.argmax() == g.size // 2
+
+
+# ----------------------------------------------------------------- OQPSK
+
+
+def test_oqpsk_roundtrip_and_envelope(rng):
+    from aether_primitives_tpu.models.fsk import oqpsk_demodulate, oqpsk_modulate
+
+    bits = rng.integers(0, 2, 2 * 512).astype(np.uint8)
+    x = np.asarray(oqpsk_modulate(bits, sps=8))
+    back = np.asarray(oqpsk_demodulate(x, len(bits), sps=8))
+    assert (back == bits).all()
+    # the offset keeps the envelope off zero in steady state (plain QPSK
+    # crosses zero on 180-degree transitions)
+    core = np.abs(x[8 * 8 : -8 * 8])
+    assert core.min() > 0.2 * core.max()
+
+
+def test_oqpsk_under_noise(rng):
+    from aether_primitives_tpu.models.fsk import oqpsk_demodulate, oqpsk_modulate
+
+    bits = rng.integers(0, 2, 2 * 2048).astype(np.uint8)
+    x = np.asarray(oqpsk_modulate(bits, sps=4))
+    noisy = (x + 0.05 * (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape))
+             ).astype(np.complex64)
+    back = np.asarray(oqpsk_demodulate(noisy, len(bits), sps=4))
+    assert (back == bits).mean() > 0.9995
+
+
+def test_oqpsk_validation():
+    from aether_primitives_tpu.models.fsk import oqpsk_modulate
+
+    with pytest.raises(ValueError, match="PAIRS"):
+        oqpsk_modulate(np.zeros(3, np.uint8))
+    with pytest.raises(ValueError, match="even"):
+        oqpsk_modulate(np.zeros(4, np.uint8), sps=5)
