@@ -26,7 +26,7 @@ the FM broadcast de-emphasis single pole. Cross-checked against
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -190,9 +190,11 @@ class ReedSolomon:
             d = n - 1 - j
             for i in range(self.nsym):
                 c = int(exp[((self.fcr + i) * d) % 255])
-                m = _mul_matrix(c, self.primitive_poly)  # [8, 8]: out_bit, in_bit
-                b[j * 8: j * 8 + 8, i * 8: i * 8 + 8] = m.T
-            # (row = input bit, col = output bit -> transpose of _mul_matrix)
+                # block (row = input bit, col = output bit) = transpose of
+                # _mul_matrix's (out_bit, in_bit) layout
+                b[j * 8: j * 8 + 8, i * 8: i * 8 + 8] = _mul_matrix(
+                    c, self.primitive_poly
+                ).T
         self._synd = b.astype(np.float32)
 
         # ---- bilinear GF multiply tensor & squaring matrix ----------------

@@ -23,7 +23,6 @@ LLR convention matches the framework: POSITIVE = bit 0
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
