@@ -313,6 +313,25 @@ def microbench_main(argv=None):
         iters=10,
     )
 
+    # spectral-processing pair and the truncated-IR IIR
+    from aether_primitives_tpu.models.channelizer import istft, stft
+    from aether_primitives_tpu.ops.iir import butter_sos, sosfilt
+
+    nsp = B * 1024
+    timed(
+        "stft+istft 1024/512 [flat]",
+        f32_boundary(lambda x: istft(stft(x, 1024), length=nsp)),
+        rsplit((nsp,)),
+        nsp,
+    )
+    sos4 = butter_sos(4, 0.1)
+    timed(
+        "iir sosfilt butter4 [flat]",
+        f32_boundary(lambda x: sosfilt(sos4, x)),
+        rsplit((nsp,)),
+        nsp,
+    )
+
     payload = {"platform": platform, "batch": B, "results": results}
     if args.json:
         with open(args.json, "w") as f:
