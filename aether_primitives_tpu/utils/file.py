@@ -273,3 +273,48 @@ def load_sigmf(basepath):
     else:
         samples = load_iq(base + ".sigmf-data", fmt=fmt)
     return samples, meta
+
+
+# ------------------------------------------------------------------ WAV audio
+
+
+def save_wav(filepath, audio, sample_rate: int, normalize: bool = True) -> None:
+    """Write mono (``[n]``) or multi-channel (``[ch, n]``) real audio as a
+    16-bit PCM WAV — the listening end of the analog demods
+    (:func:`~aether_primitives_tpu.ops.analog.fm_demod` etc.).
+    ``normalize`` scales peak to 0.9 full scale; otherwise values are
+    clipped at +-1."""
+    import wave
+
+    a = np.asarray(audio, np.float64)
+    if a.ndim == 1:
+        a = a[None, :]
+    if a.ndim != 2:
+        raise ValueError("audio must be [n] or [channels, n]")
+    if normalize:
+        peak = np.abs(a).max()
+        if peak > 0:
+            a = a * (0.9 / peak)
+    q = np.clip(np.rint(a * 32767.0), -32768, 32767).astype("<i2")
+    inter = q.T.reshape(-1)  # frame-interleaved channels
+    with wave.open(str(filepath), "wb") as w:
+        w.setnchannels(a.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(inter.tobytes())
+
+
+def load_wav(filepath):
+    """Read a 16-bit PCM WAV: returns ``(audio f32 in [-1, 1] —
+    ``[n]`` mono or ``[channels, n]`` — , sample_rate)``."""
+    import wave
+
+    with wave.open(str(filepath), "rb") as w:
+        nch, sw, rate, nfr = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        if sw != 2:
+            raise ValueError(f"only 16-bit PCM supported, got {8 * sw}-bit")
+        raw = np.frombuffer(w.readframes(nfr), dtype="<i2")
+    a = (raw.astype(np.float32) / 32768.0).reshape(-1, nch).T
+    return (a[0] if nch == 1 else a), rate

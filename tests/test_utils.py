@@ -157,3 +157,28 @@ def test_sigmf_rejects_unknown_datatype(tmp_path):
     with pytest.raises(ValueError, match="datatype"):
         fio.save_sigmf(tmp_path / "x", np.zeros(4, np.complex64), 1e6,
                        datatype="cf64_be")
+
+
+def test_wav_roundtrip_mono_and_stereo(tmp_path, rng):
+    from aether_primitives_tpu.utils import file as fio
+
+    mono = np.sin(2 * np.pi * 0.01 * np.arange(2000)).astype(np.float32)
+    fio.save_wav(tmp_path / "m.wav", mono, 8000)
+    got, rate = fio.load_wav(tmp_path / "m.wav")
+    assert rate == 8000 and got.shape == (2000,)
+    scale = 0.9 / np.abs(mono).max()
+    assert np.abs(got - mono * scale).max() < 2e-4
+
+    stereo = np.stack([mono, -mono])
+    fio.save_wav(tmp_path / "s.wav", stereo, 44100, normalize=False)
+    got2, rate2 = fio.load_wav(tmp_path / "s.wav")
+    assert rate2 == 44100 and got2.shape == (2, 2000)
+    assert np.abs(got2[0] - mono).max() < 2e-4
+    assert np.abs(got2[1] + mono).max() < 2e-4
+
+
+def test_wav_validation(tmp_path):
+    from aether_primitives_tpu.utils import file as fio
+
+    with pytest.raises(ValueError, match="channels"):
+        fio.save_wav(tmp_path / "x.wav", np.zeros((2, 2, 2)), 8000)
