@@ -30,6 +30,8 @@ MODULES = [
     "aether_primitives_tpu.ops.fec",
     "aether_primitives_tpu.ops.ldpc",
     "aether_primitives_tpu.ops.rs",
+    "aether_primitives_tpu.ops.turbo",
+    "aether_primitives_tpu.ops.iir",
     "aether_primitives_tpu.ops.pallas.cmul",
     "aether_primitives_tpu.ops.pallas.stream",
     "aether_primitives_tpu.ops.pallas.halo_rdma",
@@ -43,6 +45,9 @@ MODULES = [
     "aether_primitives_tpu.models.css",
     "aether_primitives_tpu.models.packet",
     "aether_primitives_tpu.models.caf",
+    "aether_primitives_tpu.models.amc",
+    "aether_primitives_tpu.models.diversity",
+    "aether_primitives_tpu.models.fhss",
     "aether_primitives_tpu.models.channel",
     "aether_primitives_tpu.models.detect",
     "aether_primitives_tpu.models.ber",
