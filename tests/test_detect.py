@@ -70,3 +70,57 @@ def test_burst_mask_and_segments(rng):
 def test_energy_detect_length_validation():
     with pytest.raises(ValueError, match="divisible"):
         detect.energy_detect(np.ones(100, np.complex64), 33, 1.0)
+
+
+# ---- cyclostationary feature detection ------------------------------------------
+
+
+def _shaped_bpsk(rng, nsym, sps):
+    from aether_primitives_tpu.ops import fir as fir_mod
+
+    s = (1.0 - 2.0 * rng.integers(0, 2, nsym)).astype(np.complex64)
+    up = np.zeros(nsym * sps, np.complex64)
+    up[::sps] = s
+    return np.asarray(fir_mod.fir_filter(up, fir_mod.rrc_taps(sps, span=6)))
+
+
+def test_cyclo_detects_below_noise_floor(rng):
+    from aether_primitives_tpu.models.detect import (
+        cyclostationary_detect,
+        energy_detect,
+    )
+
+    n_sym, sps = 32768, 4
+    sig = _shaped_bpsk(rng, n_sym, sps)
+    n = len(sig)
+    snr = 10 ** (-5 / 10)  # -5 dB: signal buried in the noise
+    sigma = np.sqrt(np.mean(np.abs(sig) ** 2) / snr / 2)
+    noise = sigma * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    rx = (sig + noise).astype(np.complex64)
+
+    stat, rate = cyclostationary_detect(rx)
+    stat_noise, _ = cyclostationary_detect(noise.astype(np.complex64))
+    assert float(stat) > 2.0 * float(stat_noise), (float(stat), float(stat_noise))
+    assert abs(float(rate) - 1.0 / sps) < 1e-3
+    # the energy detector cannot tell the two apart at matched total power
+    p_rx = np.mean(np.abs(rx) ** 2)
+    det_sig, _ = energy_detect(rx, 4096, noise_power=p_rx, pfa=1e-3)
+    det_noi, _ = energy_detect(
+        (noise * np.sqrt(p_rx / np.mean(np.abs(noise) ** 2))).astype(np.complex64),
+        4096, noise_power=p_rx, pfa=1e-3,
+    )
+    assert np.asarray(det_sig).mean() <= np.asarray(det_noi).mean() + 0.1
+
+
+def test_cyclo_statistic_batched(rng):
+    from aether_primitives_tpu.models.detect import cyclostationary_detect
+
+    sig = _shaped_bpsk(rng, 8192, 4)
+    noise = (rng.normal(size=len(sig)) + 1j * rng.normal(size=len(sig))).astype(
+        np.complex64
+    )
+    x = np.stack([sig + 0.3 * noise, noise])
+    stat, rate = cyclostationary_detect(x)
+    assert stat.shape == (2,)
+    assert float(stat[0]) > 3.0 * float(stat[1])
+    assert abs(float(rate[0]) - 0.25) < 1e-3
