@@ -17,10 +17,11 @@ from . import rs
 from . import turbo
 from . import firdes
 from . import iir
+from . import polar
 
 __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "rs", "turbo", "firdes", "iir",
+    "fec", "ldpc", "rs", "turbo", "polar", "firdes", "iir",
 ]

@@ -1,0 +1,142 @@
+"""Polar codes: construction, encoder vs the explicit Kronecker matrix,
+SC and CA-SCL decoding (noiseless exactness + coding gain + list gain)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aether_primitives_tpu.ops import fec, polar
+
+
+def _kron_encode(u: np.ndarray, n: int) -> np.ndarray:
+    """Reference encoder: x = u · F^{⊗log2(N)} mod 2, natural order."""
+    f = np.array([[1, 0], [1, 1]], np.uint8)
+    g = np.array([[1]], np.uint8)
+    while g.shape[0] < n:
+        g = np.kron(f, g)
+    return (u @ g) % 2
+
+
+def _bpsk_llr(x, snr_db, key):
+    """Transmit BPSK (+1 = bit 0), add AWGN at Es/N0 = snr_db, return LLRs."""
+    s = 1.0 - 2.0 * np.asarray(x, np.float32)
+    sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10.0))
+    noise = sigma * jax.random.normal(key, s.shape)
+    return 2.0 * (s + noise) / sigma**2
+
+
+def test_construct_basic_properties():
+    mask = polar.polar_construct(64, 32)
+    assert mask.shape == (64,) and mask.sum() == 32
+    # index N-1 takes the upgraded (z²) branch at every stage — always
+    # the most reliable; index 0 the degraded branch — always frozen.
+    assert mask[-1] and not mask[0]
+    # nested reliability: a higher-rate code's info set contains the
+    # lower-rate one's (argsort of the same z vector).
+    mask48 = polar.polar_construct(64, 48)
+    assert np.all(mask48[mask])
+
+
+@pytest.mark.parametrize("n", [2, 4, 8, 64])
+def test_encode_matches_kronecker(rng, n):
+    k = max(1, n // 2)
+    mask = polar.polar_construct(n, k)
+    bits = rng.integers(0, 2, size=(5, k)).astype(np.uint8)
+    u = np.zeros((5, n), np.uint8)
+    u[:, np.where(mask)[0]] = bits
+    want = _kron_encode(u, n)
+    got = np.asarray(polar.polar_encode(bits, mask))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sc_noiseless_roundtrip(rng):
+    mask = polar.polar_construct(128, 64)
+    bits = rng.integers(0, 2, size=(8, 64)).astype(np.uint8)
+    x = polar.polar_encode(bits, mask)
+    llr = fec.hard_to_llr(x) * 10.0
+    out = np.asarray(polar.polar_decode(llr, mask))
+    np.testing.assert_array_equal(out, np.asarray(bits))
+
+
+def test_sc_coding_gain():
+    """Rate-1/2 polar SC at 1 dB Es/N0: raw channel BER is ~6%, decoded
+    info BER must be at least 10x lower (statistical, fixed key)."""
+    n, k, snr_db = 256, 128, 1.0
+    mask = polar.polar_construct(n, k, design_snr_db=snr_db)
+    key = jax.random.PRNGKey(815)
+    bits = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (64, k)).astype(
+        jnp.uint8
+    )
+    x = polar.polar_encode(bits, mask)
+    llr = _bpsk_llr(np.asarray(x), snr_db, jax.random.fold_in(key, 2))
+    raw_ber = float(jnp.mean((llr[..., :] < 0).astype(jnp.float32) != np.asarray(x)))
+    out = polar.polar_decode(llr, mask)
+    ber = float(jnp.mean((out != bits).astype(jnp.float32)))
+    assert 0.02 < raw_ber < 0.12, raw_ber
+    assert ber < raw_ber / 10.0, (ber, raw_ber)
+
+
+def test_list_size_one_matches_sc(rng):
+    mask = polar.polar_construct(64, 32)
+    key = jax.random.PRNGKey(7)
+    bits = rng.integers(0, 2, size=(6, 32)).astype(np.uint8)
+    x = polar.polar_encode(bits, mask)
+    llr = _bpsk_llr(np.asarray(x), 0.0, key)  # noisy: decisions non-trivial
+    sc = np.asarray(polar.polar_decode(llr, mask))
+    lst, pm = polar.polar_decode_list(llr, mask, list_size=1)
+    np.testing.assert_array_equal(np.asarray(lst)[:, 0, :], sc)
+    assert pm.shape == (6, 1) and np.all(np.isfinite(np.asarray(pm)))
+
+
+def test_list_noiseless_best_path_exact(rng):
+    mask = polar.polar_construct(64, 32)
+    bits = rng.integers(0, 2, size=(4, 32)).astype(np.uint8)
+    x = polar.polar_encode(bits, mask)
+    llr = fec.hard_to_llr(x) * 8.0
+    lst, pm = polar.polar_decode_list(llr, mask, list_size=4)
+    np.testing.assert_array_equal(np.asarray(lst)[:, 0, :], np.asarray(bits))
+    # best path metric is 0 (no sign disagreements anywhere)
+    assert np.allclose(np.asarray(pm)[:, 0], 0.0)
+
+
+def test_ca_scl_beats_sc():
+    """CRC-aided list-8 decoding recovers blocks plain SC gets wrong —
+    the reason 5G uses CA-SCL. Fixed key; block error rates compared on
+    the same noisy batch."""
+    code = polar.PolarCode(n=128, k=64, design_snr_db=1.0, crc="crc8", list_size=8)
+    key = jax.random.PRNGKey(99)
+    payload = jax.random.bernoulli(
+        jax.random.fold_in(key, 1), 0.5, (96, code.payload_bits)
+    ).astype(jnp.uint8)
+    x = code.encode(payload)
+    llr = _bpsk_llr(np.asarray(x), -1.5, jax.random.fold_in(key, 2))
+    # plain SC on the same transmissions (decode all K bits, drop CRC)
+    sc_bits = polar.polar_decode(llr, code.info_mask)[..., : code.payload_bits]
+    sc_blers = np.asarray(jnp.any(sc_bits != payload, axis=-1))
+    out, ok = code.decode(llr)
+    ca_blers = np.asarray(jnp.any(out != payload, axis=-1))
+    assert sc_blers.mean() > 0.05, "channel too clean to discriminate"
+    assert ca_blers.mean() < sc_blers.mean(), (ca_blers.mean(), sc_blers.mean())
+    # the ok flag is truthful: every block flagged ok decoded correctly
+    ok = np.asarray(ok)
+    assert not np.any(ca_blers[ok]), "CRC-passing path with wrong payload"
+    assert ok.mean() > 1.0 - sc_blers.mean()  # list recovered some failures
+
+
+def test_polarcode_clean_roundtrip(rng):
+    code = polar.PolarCode(n=64, k=32, crc="crc8", list_size=4)
+    payload = rng.integers(0, 2, size=(3, code.payload_bits)).astype(np.uint8)
+    x = code.encode(payload)
+    assert x.shape == (3, 64)
+    out, ok = code.decode(fec.hard_to_llr(x) * 9.0)
+    np.testing.assert_array_equal(np.asarray(out), payload)
+    assert bool(np.all(np.asarray(ok)))
+
+
+def test_encode_rejects_wrong_width():
+    mask = polar.polar_construct(16, 8)
+    with pytest.raises(ValueError):
+        polar.polar_encode(np.zeros((2, 7), np.uint8), mask)
+    with pytest.raises(ValueError):
+        polar.polar_decode(np.zeros((2, 8), np.float32), mask)
