@@ -170,3 +170,75 @@ def cp_sync(x, config: OfdmConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     peak = jnp.take_along_axis(folded, off[..., None], axis=-1)[..., 0]
     cfo = -jnp.angle(peak) / (2.0 * np.pi * n)
     return off, cfo.astype(jnp.float32)
+
+
+def sc_preamble(config: OfdmConfig, seed: int = 815) -> np.ndarray:
+    """Schmidl-Cox preamble symbol (CP included): PN QPSK on the *even*
+    active subcarriers only (amplitude √2 keeps unit average power), so
+    the useful part consists of two identical ``fft_len/2`` halves —
+    the self-similarity :func:`sc_sync` detects. Host-side numpy
+    (complex constants embed at trace time — DEVNOTES boundary rule).
+    """
+    cfg = config
+    if cfg.fft_len % 2:
+        raise ValueError("sc_preamble needs an even fft_len")
+    rng = np.random.default_rng(seed)
+    a = cfg.bins()
+    half = a // 2
+    # even-bin indices inside the active band (centered split, cf.
+    # frames_to_spectra)
+    bins = np.concatenate(
+        [np.arange(0, half), np.arange(cfg.fft_len - (a - half), cfg.fft_len)]
+    )
+    even = bins[bins % 2 == 0]
+    spec = np.zeros(cfg.fft_len, np.complex64)
+    qpsk = (1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j)
+    spec[even] = np.sqrt(2.0) * np.array(
+        [qpsk[i] for i in rng.integers(0, 4, even.shape[0])], np.complex64
+    ) / np.sqrt(2.0 * a / cfg.fft_len)
+    time = np.fft.ifft(spec) * np.sqrt(cfg.fft_len)  # Scale.SN convention
+    pre = np.concatenate([time[-cfg.cp_len:], time]) if cfg.cp_len else time
+    return pre.astype(np.complex64)
+
+
+def sc_sync(x, config: OfdmConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Schmidl-Cox timing + fractional CFO from a :func:`sc_preamble`.
+
+    Timing metric ``M(d) = |P(d)|² / R(d)²`` with
+
+        P(d) = Σ_{i<N/2} conj(x[d+i]) · x[d+i+N/2]
+        R(d) = Σ_{i<N/2} |x[d+i+N/2]|²
+
+    — both are length-``N/2`` moving windows realized as one cumsum
+    difference each (no conv, no scan). The metric plateaus over the
+    preamble CP; the returned ``offset`` is the start of the *useful*
+    part, recovered as the plateau midpoint (first/last crossing of
+    90% of the peak — two argmaxes) plus ``cp/2``. ``cfo`` (cycles per
+    sample) comes from the angle of ``P`` mid-plateau; unambiguous for
+    ``|cfo| < 1/fft_len`` — twice :func:`cp_sync`'s range, and unlike
+    it Schmidl-Cox stays sharp through multipath and works per-burst
+    (Schmidl & Cox, IEEE Trans. Comm. 45(12), 1997).
+    """
+    cfg = config
+    x = jnp.asarray(x, dtype=cf32)
+    n = cfg.fft_len
+    h = n // 2
+
+    def moving(v, w):
+        c = jnp.cumsum(v, axis=-1)
+        zero = jnp.zeros(c.shape[:-1] + (1,), dtype=c.dtype)
+        c = jnp.concatenate([zero, c], axis=-1)
+        return c[..., w:] - c[..., :-w]
+
+    p = moving(jnp.conj(x[..., :-h]) * x[..., h:], h)  # P(d), d + N <= L
+    r = moving(jnp.abs(x[..., h:]) ** 2, h)
+    m = jnp.abs(p) ** 2 / jnp.maximum(r, 1e-12) ** 2
+    peak = jnp.max(m, axis=-1, keepdims=True)
+    above = m > 0.9 * peak
+    first = jnp.argmax(above, axis=-1)
+    last = above.shape[-1] - 1 - jnp.argmax(above[..., ::-1], axis=-1)
+    mid = (first + last) // 2
+    offset = mid + cfg.cp_len - cfg.cp_len // 2  # plateau mid -> useful start
+    pmid = jnp.take_along_axis(p, mid[..., None], axis=-1)[..., 0]
+    cfo = jnp.angle(pmid) / (np.pi * n)
+    return offset, cfo.astype(jnp.float32)
