@@ -38,6 +38,7 @@ import numpy as np
 
 from ..ops import fec as _fec
 from ..ops import ldpc as _ldpc
+from ..ops import polar as _polar
 from ..ops import modulation as _mod
 from ..ops import rs as _rs
 from ..ops import sequence as _seq
@@ -59,7 +60,7 @@ def _modulation_by_name(name: str):
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "rs" | "turbo" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "rs" | "turbo" | "polar" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
@@ -74,6 +75,12 @@ class PacketConfig:
     # correctable fade depth (2*errors + erasures <= n - k)
     rs_erasures: bool = False
     rs_erasure_threshold: float = 0.25
+    # polar (fec="polar"): rate-1/2 codewords of length polar_n; list > 1
+    # switches SC -> CA-SCL with a per-codeword inner CRC-8 (the 5G
+    # decoder; the outer packet CRC stays the end-to-end verdict)
+    polar_n: int = 512
+    polar_list: int = 8
+    polar_design_snr_db: float = 1.0
 
     @property
     def crc_width(self) -> int:
@@ -115,6 +122,18 @@ class PacketModem:
         elif c.fec == "turbo":
             # [sys n | par1 n | par2 n | tail_sys 3 | tail_par 3]
             self.coded_bits = 3 * self.frame_bits + 6
+        elif c.fec == "polar":
+            self._polar = _polar.PolarCode(
+                n=c.polar_n,
+                k=c.polar_n // 2,
+                design_snr_db=c.polar_design_snr_db,
+                crc="crc8" if c.polar_list > 1 else "",
+                list_size=c.polar_list,
+            )
+            bpf = self._polar.payload_bits
+            self.polar_frames = -(-self.frame_bits // bpf)
+            self.polar_pad = self.polar_frames * bpf - self.frame_bits
+            self.coded_bits = self.polar_frames * c.polar_n
         elif c.fec == "none":
             self.coded_bits = self.frame_bits
         else:
@@ -160,6 +179,11 @@ class PacketModem:
         elif c.fec == "turbo":
             sys_b, p1, p2, ts_b, tp_b = _turbo.turbo_encode(line)
             coded = jnp.concatenate([sys_b, p1, p2, ts_b, tp_b])
+        elif c.fec == "polar":
+            padded = jnp.concatenate(
+                [line, jnp.zeros(self.polar_pad, jnp.uint8)]
+            ).reshape(self.polar_frames, -1)
+            coded = self._polar.encode(padded).reshape(-1)
         else:
             coded = line
         if self.inter_pad or c.interleave_rows > 1:
@@ -238,6 +262,9 @@ class PacketModem:
             else:
                 dec, _rs_ok, _ = self._rs.decode(syms)
             line = _rs.symbols_to_bits(dec).reshape(-1)[: self.frame_bits]
+        elif c.fec == "polar":
+            dec, _pok = self._polar.decode(llr.reshape(self.polar_frames, -1))
+            line = dec.reshape(-1)[: self.frame_bits]
         elif c.fec == "turbo":
             nb = self.frame_bits
             line, _l = _turbo.turbo_decode(

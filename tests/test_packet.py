@@ -17,7 +17,7 @@ def _channel(burst, rng, delay=300, cfo=1e-3, gain=0.4 * np.exp(1j * 1.1),
     return x.astype(np.complex64)
 
 
-@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "turbo", "none"])
+@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "turbo", "polar", "none"])
 def test_loopback_all_fecs(rng, fec):
     cfg = PacketConfig(payload_bits=960, fec=fec)
     pm = PacketModem(cfg)
@@ -143,3 +143,17 @@ def test_rs_erasure_flagging_doubles_fade_depth(rng):
     assert not bool(ok_plain)  # 21 symbol errors > t = 16
     assert bool(ok_eras)
     assert (np.asarray(bits) == payload).all()
+
+
+def test_packet_through_channel_polar(rng):
+    """CA-SCL polar link (per-codeword CRC-8, list 8) survives the same
+    heavy channel the turbo test uses."""
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="polar",
+                                  polar_n=256, polar_list=8))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(pm.tx(payload))
+    cap = _channel(burst, rng, delay=300, cfo=8e-4, snr_sigma=0.30)
+    bits, ok, diag = pm.rx(cap)
+    assert bool(ok)
+    assert (np.asarray(bits) == payload).all()
+    assert int(diag["offset"]) == 300
