@@ -51,6 +51,8 @@ def _modulation_by_name(name: str):
     named = {"bpsk": _mod.bpsk, "qpsk": _mod.qpsk, "qam16": _mod.qam16}
     if name in named:
         return named[name]()
+    if name.startswith("apsk"):
+        return _mod.apsk(int(name[4:]))
     if name.startswith("psk"):
         return _mod.psk(int(name[3:]))
     return _mod.qam(int(name[3:]))

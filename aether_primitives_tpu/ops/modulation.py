@@ -323,6 +323,75 @@ def qam(order: int) -> Modulation:
     return Modulation(table, name=f"qam{order}")
 
 
+#: DVB-S2 ring-ratio tables (EN 302 307 §5.4.3/5.4.4): code rate -> ratios.
+APSK16_GAMMA = {
+    "2/3": 3.15, "3/4": 2.85, "4/5": 2.75, "5/6": 2.70,
+    "8/9": 2.60, "9/10": 2.57,
+}
+APSK32_GAMMA = {
+    "3/4": (2.84, 5.27), "4/5": (2.72, 4.87), "5/6": (2.64, 4.64),
+    "8/9": (2.54, 4.33), "9/10": (2.53, 4.30),
+}
+
+
+def apsk(order: int, gamma=None) -> Modulation:
+    """Amplitude-phase-shift keying on concentric rings (unit average
+    energy) — the satellite-link constellation family: near-constant
+    envelope rings tolerate saturated power amplifiers far better than
+    square QAM's corner points (lower peak-to-average power, tested).
+
+    ``apsk(16)``: the DVB-S2 4+12 *geometry* — inner QPSK ring at
+    ``pi/4 + k*pi/2``, 12 outer points at ``pi/12 + k*pi/6``; ``gamma``
+    is the outer/inner radius ratio: a float, or a code-rate string
+    from :data:`APSK16_GAMMA` (default ``"3/4"`` -> 2.85). The bit
+    labeling is the framework's own quadrant-Gray map (NOT the
+    standard's code-rate-specific table): index bits 2-3 Gray-select
+    the quadrant, bits 0-1 select within it (00 = the inner point,
+    01/11/10 a Gray walk over its three outer points) — so each
+    quadrant holds one inner + three outer points and angularly
+    adjacent outer points differ in one bit within a quadrant.
+
+    ``apsk(32)``: the DVB-S2 4+12+16 geometry (middle ring at
+    ``pi/12 + k*pi/6``, outer at ``k*pi/8``), ``gamma`` a ``(g2, g3)``
+    pair or rate string from :data:`APSK32_GAMMA` (default ``"3/4"``).
+    Labeling is ring-major (indices 0-3 inner, 4-15 middle, 16-31
+    outer), quadrant-symmetric.
+
+    Demod/soft-LLR come from the generic table machinery — the 2^bits
+    scan the reference's blanket demod could not do (SURVEY.md quirk 4).
+    """
+    order = int(order)
+    if order == 16:
+        g = gamma if gamma is not None else "3/4"
+        if isinstance(g, str):
+            g = APSK16_GAMMA[g]
+        r1, r2 = 1.0, float(g)
+        quad_for_code = (0, 1, 3, 2)  # Gray: 00,01,11,10 walk the quadrants
+        within_walk = {0b01: 0, 0b11: 1, 0b10: 2}  # Gray walk over outer trio
+        table = np.empty(16, np.complex64)
+        for idx in range(16):
+            q = quad_for_code[(idx >> 2) & 3]
+            w = idx & 3
+            if w == 0:
+                table[idx] = r1 * np.exp(1j * (np.pi / 4 + q * np.pi / 2))
+            else:
+                j = within_walk[w]
+                table[idx] = r2 * np.exp(1j * (np.pi / 12 + (3 * q + j) * np.pi / 6))
+    elif order == 32:
+        g = gamma if gamma is not None else "3/4"
+        if isinstance(g, str):
+            g = APSK32_GAMMA[g]
+        g2, g3 = (float(g[0]), float(g[1]))
+        inner = [np.exp(1j * (np.pi / 4 + k * np.pi / 2)) for k in range(4)]
+        mid = [g2 * np.exp(1j * (np.pi / 12 + k * np.pi / 6)) for k in range(12)]
+        outer = [g3 * np.exp(1j * (k * np.pi / 8)) for k in range(16)]
+        table = np.array(inner + mid + outer, np.complex64)
+    else:
+        raise ValueError(f"apsk supports order 16 or 32, got {order}")
+    table /= np.sqrt(np.mean(np.abs(table) ** 2))
+    return Modulation(table, name=f"apsk{order}")
+
+
 def differential_encode(indices, order: int) -> jnp.ndarray:
     """Differential symbol-index encoding: ``tx[i] = sum_{j<=i} d[j] mod M``
     (a running sum — ``jnp.cumsum``, fully parallel). The receiver

@@ -337,3 +337,67 @@ def test_pi4dqpsk_noise_tolerance(rng):
 def test_pi4dqpsk_odd_bits_rejected():
     with pytest.raises(ValueError, match="PAIRS"):
         mod.pi4dqpsk_modulate(np.zeros(5, np.uint8))
+
+
+class TestApsk:
+    def test_apsk16_geometry(self):
+        m = mod.apsk(16)
+        t = m.table
+        assert t.shape == (16,) and len(np.unique(np.round(t, 6))) == 16
+        radii = np.abs(t)
+        r_in, r_out = np.min(radii), np.max(radii)
+        assert np.sum(np.isclose(radii, r_in)) == 4
+        assert np.sum(np.isclose(radii, r_out)) == 12
+        assert abs(r_out / r_in - 2.85) < 1e-5  # default "3/4" ring ratio
+        assert abs(np.mean(radii**2) - 1.0) < 1e-6  # unit average energy
+
+    def test_apsk16_quadrant_gray_labels(self):
+        m = mod.apsk(16)
+        t = m.table
+        # within each quadrant the three outer points, walked by angle,
+        # differ in exactly one bit
+        radii = np.abs(t)
+        outer = np.where(np.isclose(radii, radii.max()))[0]
+        for q in range(4):
+            lo, hi = q * np.pi / 2, (q + 1) * np.pi / 2
+            ang = np.angle(t[outer]) % (2 * np.pi)
+            sel = outer[(ang >= lo) & (ang < hi)]
+            sel = sel[np.argsort(np.angle(t[sel]) % (2 * np.pi))]
+            assert sel.size == 3
+            for a, b in zip(sel[:-1], sel[1:]):
+                assert bin(a ^ b).count("1") == 1, (a, b)
+
+    def test_apsk16_lower_papr_than_qam16(self):
+        a, q = mod.apsk(16), mod.qam(16)
+        papr = lambda m: np.max(np.abs(m.table) ** 2) / np.mean(np.abs(m.table) ** 2)
+        assert papr(a) < papr(q)
+
+    @pytest.mark.parametrize("order", [16, 32])
+    def test_apsk_roundtrip(self, rng, order):
+        m = mod.apsk(order)
+        bits = rng.integers(0, 2, 40 * m.bits_per_symbol).astype(np.uint8)
+        syms = m.modulate(bits)
+        out = np.asarray(m.demod(syms))
+        np.testing.assert_array_equal(out, bits)
+
+    def test_apsk32_rings_and_rate_gamma(self):
+        m = mod.apsk(32, gamma="4/5")
+        radii = np.sort(np.unique(np.round(np.abs(m.table), 5)))
+        assert radii.size == 3
+        assert abs(radii[1] / radii[0] - 2.72) < 1e-4
+        assert abs(radii[2] / radii[0] - 4.87) < 1e-4
+        assert abs(np.mean(np.abs(m.table) ** 2) - 1.0) < 1e-6
+
+    def test_apsk16_soft_demod_noisy(self, rng):
+        m = mod.apsk(16)
+        bits = rng.integers(0, 2, 4000).astype(np.uint8)
+        syms = np.asarray(m.modulate(bits))
+        noisy = syms + 0.05 * (rng.normal(size=syms.size)
+                               + 1j * rng.normal(size=syms.size)).astype(np.complex64)
+        llr = np.asarray(m.demod_soft(noisy, 0.005))
+        assert np.isfinite(llr).all()
+        assert ((llr < 0).astype(np.uint8) == bits).mean() > 0.999
+
+    def test_apsk_rejects_bad_order(self):
+        with pytest.raises(ValueError):
+            mod.apsk(64)
