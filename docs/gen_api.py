@@ -31,6 +31,7 @@ MODULES = [
     "aether_primitives_tpu.ops.ldpc",
     "aether_primitives_tpu.ops.rs",
     "aether_primitives_tpu.ops.turbo",
+    "aether_primitives_tpu.ops.polar",
     "aether_primitives_tpu.ops.iir",
     "aether_primitives_tpu.ops.pallas.cmul",
     "aether_primitives_tpu.ops.pallas.stream",
