@@ -313,6 +313,43 @@ def microbench_main(argv=None):
         iters=10,
     )
 
+    # polar decode — batched, like turbo: SC is serial over bit indices,
+    # so throughput comes from the codeword batch axis
+    from aether_primitives_tpu.ops import polar as _polar
+
+    def _np_polar_encode(u):
+        x, step = u.copy(), 1
+        while step < u.shape[-1]:
+            b = x.reshape(x.shape[:-1] + (-1, 2, step))
+            b[..., 0, :] ^= b[..., 1, :]
+            x = b.reshape(x.shape)
+            step *= 2
+        return x
+
+    npo, kpo, nblk_po = 1024, 512, max(B // 16, 1)
+    po_mask = _polar.polar_construct(npo, kpo, design_snr_db=1.0)
+    po_u = np.zeros((nblk_po, npo), np.uint8)
+    po_u[:, np.where(po_mask)[0]] = rng.integers(0, 2, (nblk_po, kpo)).astype(np.uint8)
+    po_llr = (8.0 * (1.0 - 2.0 * _np_polar_encode(po_u))).astype(np.float32)
+    timed(
+        f"polar SC decode (1024,512) [{nblk_po} cw]",
+        lambda l: _polar.polar_decode(l, po_mask),
+        po_llr,
+        nblk_po * kpo,
+        iters=10,
+    )
+    scl_code = _polar.PolarCode(n=256, k=128, crc="crc8", list_size=8)
+    scl_bits = rng.integers(0, 2, (nblk_po, scl_code.payload_bits)).astype(np.uint8)
+    scl_x = np.asarray(jax.jit(scl_code.encode)(scl_bits))
+    scl_llr = (8.0 * (1.0 - 2.0 * scl_x)).astype(np.float32)
+    timed(
+        f"polar CA-SCL L=8 (256,128+crc8) [{nblk_po} cw]",
+        lambda l: scl_code.decode(l)[0],
+        scl_llr,
+        nblk_po * scl_code.payload_bits,
+        iters=10,
+    )
+
     # spectral-processing pair and the truncated-IR IIR
     from aether_primitives_tpu.models.channelizer import istft, stft
     from aether_primitives_tpu.ops.iir import butter_sos, sosfilt
