@@ -379,12 +379,17 @@ def microbench_main(argv=None):
     return None
 
 
-def numpy_reference_bits(x: np.ndarray, taps: np.ndarray, dec: int, fft_len: int):
-    """float64 reference chain: causal FIR, decimate, fft(SN), QPSK demod."""
+def numpy_reference_spectra(x: np.ndarray, taps: np.ndarray, dec: int, fft_len: int):
+    """float64 reference front half: causal FIR, decimate, fft(SN) frames."""
     y = np.convolve(x.astype(np.complex128), taps.astype(np.complex128))[: len(x)]
     y = y[::dec]
     frames = y.reshape(-1, fft_len)
-    spec = np.fft.fft(frames, axis=-1) / np.sqrt(np.float32(fft_len))
+    return np.fft.fft(frames, axis=-1) / np.sqrt(np.float32(fft_len))
+
+
+def numpy_reference_bits(x: np.ndarray, taps: np.ndarray, dec: int, fft_len: int):
+    """float64 reference chain: causal FIR, decimate, fft(SN), QPSK demod."""
+    spec = numpy_reference_spectra(x, taps, dec, fft_len)
     b0 = (spec.real < 0).astype(np.uint8)
     b1 = (spec.imag < 0).astype(np.uint8)
     return np.stack([b0, b1], axis=-1).reshape(-1)
@@ -417,19 +422,45 @@ def bench_main(argv=None):
     n = 1 << 22  # one shape for gate + timing: one jit compile total
 
     # -- correctness gate ---------------------------------------------------
+    # Two conditions, both tied to the framework's own numeric contract
+    # (the reference's assert_evm default, /root/reference/src/lib.rs:29-31):
+    #   1. demod bits vs the float64 reference chain: agreement >= 0.99999
+    #      (HIGH-precision einsums may flip only near-zero-magnitude bins);
+    #   2. the PRE-DEMOD spectrum vs the float64 reference spectrum:
+    #      RMS EVM <= -80 dB — so a precision regression cannot hide behind
+    #      sign-invariant bit agreement.
     x_small = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
-    got = np.asarray(step(Split(x_small.real.copy(), x_small.imag.copy())))
-    ref_bits = numpy_reference_bits(
+    blk_small = Split(x_small.real.copy(), x_small.imag.copy())
+    got = np.asarray(step(blk_small))
+    ref_spec = numpy_reference_spectra(
         x_small, chain.taps, chain.config.decimation, chain.config.fft_len
     )
+    ref_bits = np.stack(
+        [(ref_spec.real < 0), (ref_spec.imag < 0)], axis=-1
+    ).astype(np.uint8).reshape(-1)
     agree = float((got == ref_bits).mean())
-    if agree < 0.999:
+
+    spec_fn = jax.jit(
+        lambda blk: (lambda sp: (jnp.real(sp), jnp.imag(sp)))(
+            chain.spectra(blk.to_complex())
+        )
+    )
+    sr, si = (np.asarray(v) for v in spec_fn(blk_small))
+    err2 = (sr - ref_spec.real) ** 2 + (si - ref_spec.imag) ** 2
+    evm_rms_db = float(
+        10.0 * np.log10(err2.mean() / (np.abs(ref_spec) ** 2).mean())
+    )
+    if agree < 0.99999 or evm_rms_db > -80.0:
         print(json.dumps({
             "metric": "rx_chain_msamples_per_s_per_chip",
             "value": 0.0,
             "unit": "Msamples/s",
             "vs_baseline": 0.0,
-            "error": f"correctness gate failed: bit agreement {agree}",
+            "error": (
+                f"correctness gate failed: bit agreement {agree} "
+                f"(need >= 0.99999), spectrum EVM {evm_rms_db:.1f} dB "
+                "(need <= -80)"
+            ),
         }))
         sys.exit(1)
 
@@ -489,6 +520,8 @@ def bench_main(argv=None):
             "block_samples": n,
             "ms_per_block": round(dt * 1e3, 3),
             "correctness_bit_agreement": agree,
+            "spectrum_evm_rms_db": round(evm_rms_db, 1),
+            "gate": "bit_agreement>=0.99999 and evm_rms_db<=-80",
             "device": str(dev),
         },
     }))

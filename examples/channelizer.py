@@ -16,6 +16,7 @@ then shows:
 Run: python examples/channelizer.py [prefix]   (PNGs, default /tmp/aeth_chan)
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

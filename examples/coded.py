@@ -5,6 +5,7 @@ recovers exact bits where the uncoded link fails badly.
 Run: python examples/coded.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

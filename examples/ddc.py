@@ -11,6 +11,7 @@ overlap-save spectral-fold decimation down.
 Run: python examples/ddc.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

@@ -12,6 +12,7 @@ enough and the tracking loops take over:
 Run: python examples/feedback_rx.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

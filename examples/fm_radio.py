@@ -9,6 +9,7 @@ Ddc (NCO + fused OS spectral fold) -> fm_demod -> audio lowpass/decimate.
 Run: python examples/fm_radio.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

@@ -5,6 +5,7 @@ bit-exact assert -> time + constellation plots.
 Run: python examples/modem.py [--plot out_prefix]
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

@@ -10,6 +10,7 @@ for free.
 Run: python examples/ofdm.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

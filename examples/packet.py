@@ -9,6 +9,7 @@ graph — acquires, corrects, decodes, and verifies the CRC.
 Run: python examples/packet.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

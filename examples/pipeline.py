@@ -9,6 +9,7 @@ the production ingest path.
 Run: python examples/pipeline.py [poolsize] [buffsize] [seconds]
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 import time
 

@@ -6,6 +6,7 @@ Writes PNGs to the given prefix (default /tmp/aeth).
 Run: python examples/plotting.py [prefix]
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

@@ -9,6 +9,7 @@ exact data bits.
 Run: python examples/receiver.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

@@ -15,6 +15,7 @@ and must rediscover exactly what was planted, channel by channel.
 Run: python examples/scanner.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import sys
 
 import numpy as np

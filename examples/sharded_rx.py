@@ -9,6 +9,7 @@ so the sharding machinery is demonstrable anywhere.
 Run: python examples/sharded_rx.py
 """
 
+import _bootstrap  # noqa: F401  (offline bare-clone path setup)
 import os
 import sys
 
