@@ -153,12 +153,18 @@ def _apply_platform_table() -> None:
 
 def set_factor(n: int, n1: Optional[int]) -> None:
     """Override the first-stage Cooley-Tukey factor for length ``n``
-    (``None`` removes the override). Used by the on-chip autotuner."""
+    (``None`` removes the override). ``n1 == n`` selects the single-stage
+    dense DFT matmul — for small n the [n, n] matmul is lane-perfect on the
+    MXU while any factorization leaves a sub-128 minor dim somewhere, and
+    the O(n^2) flop surplus is cheaper than the layout penalty (measured,
+    benches/results_fft_autotune.json). Used by the on-chip autotuner."""
     if n1 is None:
         _FACTOR_OVERRIDES.pop(int(n), None)
     else:
         if n % n1:
             raise ValueError(f"{n1} does not divide {n}")
+        if n1 == n and n > _DENSE_MAX:
+            raise ValueError(f"dense DFT override capped at {_DENSE_MAX}")
         _FACTOR_OVERRIDES[int(n)] = int(n1)
 
 
@@ -218,6 +224,10 @@ def mm_fft(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
         f = jnp.asarray(_dft_matrix(n, sign))
         return jnp.matmul(x, f, precision=_PREC)
     n1 = _best_factor(n)
+    if n1 is not None and n1 >= n:
+        # autotuned dense override: single [n, n] DFT matmul (see set_factor)
+        f = jnp.asarray(_dft_matrix(n, sign))
+        return jnp.matmul(x, f, precision=_PREC)
     if n1 is None:
         if n <= _DENSE_MAX:
             f = jnp.asarray(_dft_matrix(n, sign))

@@ -16,17 +16,31 @@ Usage: python benches/fft_autotune.py [--sizes 512,1024,...] [--json out]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_PEAK_GBPS = 819.0  # v5e
 
 
 def candidates(n: int):
     """Usable stage-1 divisors: multiples of 8 up to 256 (stage-1 matrix
-    [n1, n1] must stay MXU-tileable), plus the heuristic's pick."""
-    out = [d for d in range(8, min(n, 257), 8) if n % d == 0]
+    [n1, n1] must stay MXU-tileable), plus the shallow divisors 2/4 (for
+    small n they make the stage-2 minor dim a full 128 lanes — the layout
+    effect that won the fused chain op its n1=16 entry, DEVNOTES.md), plus
+    the single-stage dense DFT (n1 == n) for n <= 2048 where the O(n^2)
+    matmul is lane-perfect end to end."""
+    out = [d for d in (2, 4) if n % d == 0 and n > 256]
+    out += [d for d in range(8, min(n, 257), 8) if n % d == 0]
+    if 256 < n <= 2048:
+        out.append(n)  # dense
     return out or [d for d in range(2, min(n, 257)) if n % d == 0][:4]
 
 

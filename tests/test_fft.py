@@ -155,3 +155,28 @@ def test_factor_overrides():
     ref = np.fft.fft(x.astype(np.complex128), axis=-1)
     from aether_primitives_tpu.evm import evm_rms_db
     assert evm_rms_db(alt, ref) < -110
+
+
+def test_dense_and_shallow_factor_overrides():
+    """The autotuner's lane-layout candidates: shallow stage-1 factors
+    (2/4 — stage-2 minor dim becomes a full 128 lanes) and the
+    single-stage dense DFT (``n1 == n``) all compute the same transform."""
+    from aether_primitives_tpu.evm import evm_rms_db
+    from aether_primitives_tpu.ops import fft as fft_mod
+
+    rng = np.random.default_rng(51)
+    x = (rng.normal(size=(3, 512)) + 1j * rng.normal(size=(3, 512))).astype(
+        np.complex64
+    )
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    for n1 in (2, 4, 512):
+        fft_mod.set_factor(512, n1)
+        try:
+            got = np.asarray(fft_mod.mm_fft(jnp.asarray(x), -1))
+        finally:
+            fft_mod.set_factor(512, None)
+        assert evm_rms_db(got, ref) < -110, n1
+    # the dense override is capped: O(n^2) matmuls above _DENSE_MAX are
+    # never worth it and the matrix itself would be 512 MB+
+    with pytest.raises(ValueError):
+        fft_mod.set_factor(8192, 8192)
