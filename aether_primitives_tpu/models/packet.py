@@ -62,7 +62,7 @@ def _modulation_by_name(name: str):
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "rs" | "turbo" | "polar" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "rs" | "turbo" | "polar" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
@@ -106,8 +106,14 @@ class PacketModem:
         self.frame_bits = c.payload_bits + c.crc_width
         if c.fec == "viterbi":
             self.coded_bits = 2 * (self.frame_bits + _fec.DEFAULT_K - 1)
-        elif c.fec == "ldpc":
-            h, g, info = _ldpc.make_regular_ldpc(seed=c.ldpc_seed)
+        elif c.fec in ("ldpc", "ldpc11n"):
+            # "ldpc" = Gallager random-regular ensemble; "ldpc11n" = the
+            # IEEE 802.11n n=648 Z=27 rate-1/2 QC-LDPC standard code
+            # (codeword-level interoperable with compliant receivers)
+            if c.fec == "ldpc11n":
+                h, g, info = _ldpc.wifi_ldpc()
+            else:
+                h, g, info = _ldpc.make_regular_ldpc(seed=c.ldpc_seed)
             self._ldpc = (h, g, info)
             k = g.shape[0]
             self.ldpc_frames = -(-self.frame_bits // k)
@@ -166,7 +172,7 @@ class PacketModem:
         line = _seq.scramble_multiplicative(frame, c.scrambler)
         if c.fec == "viterbi":
             coded = _fec.conv_encode(line)
-        elif c.fec == "ldpc":
+        elif c.fec in ("ldpc", "ldpc11n"):
             h, g, info = self._ldpc
             padded = jnp.concatenate(
                 [line, jnp.zeros(self.ldpc_pad, jnp.uint8)]
@@ -245,7 +251,7 @@ class PacketModem:
             llr = llr[: self.coded_bits]
         if c.fec == "viterbi":
             line = _fec.viterbi_decode(llr)
-        elif c.fec == "ldpc":
+        elif c.fec in ("ldpc", "ldpc11n"):
             h, g, info = self._ldpc
             hard, _ok = _ldpc.ldpc_decode(
                 llr.reshape(self.ldpc_frames, -1), h, iters=30

@@ -125,9 +125,17 @@ def _twiddle(n1: int, n2: int, sign: int) -> np.ndarray:
 #: TPU platforms only; the heuristic serves CPU/interpret runs and all
 #: other sizes.
 _V5E_FACTORS: dict = {
+    512: 512,   # DENSE single-stage DFT: 1.75 vs >=2.83 ms @ 32768 rows —
+                # 1.6x every factored form (r3 sweep, kernel-dominated
+                # blocks); also won/near-won both 4M-sample sweeps. The
+                # [512, 512] matmul is lane-perfect end to end; every
+                # factorization leaves a sub-128 minor dim somewhere.
+    1024: 8,    # vs heuristic 32: 2.35 vs 2.87 ms @ 16384 rows; won the
+                # r2 sweep and r3 sweeps 1+3 (r=128 stage-2 lanes)
     2048: 128,  # vs heuristic 64: faster in every sweep (0.39-0.50 vs 0.48-1.0 ms @ 2048 rows)
     4096: 32,   # vs heuristic 64: both sweeps' winners (32/16) beat 64 by ~1.5x
     8192: 32,   # vs heuristic 128: 2x, agreed by both sweeps (0.33 vs 0.62-0.74 ms)
+    # 16384+: heuristic n1=128 confirmed best by two r3 sweeps (14-17 Gsa/s)
 }
 
 #: Per-size stage-1 factor overrides. Consulted before the heuristic;

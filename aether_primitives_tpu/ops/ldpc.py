@@ -136,6 +136,104 @@ def make_regular_ldpc(
     return h, g, info
 
 
+# --------------------------------------------------------- QC-LDPC (802.11n)
+
+
+def qc_expand(base: np.ndarray, z: int) -> np.ndarray:
+    """Expand a QC-LDPC base matrix of circulant shifts into the full
+    binary parity-check matrix.
+
+    ``base[i, j] == -1`` becomes a ``[z, z]`` zero block; ``s >= 0``
+    becomes the identity cyclically right-shifted by ``s`` columns —
+    i.e. block-row ``i`` checks bit ``(t + s) mod z`` of block-column
+    ``j``. The block-circulant structure is exactly the TPU-friendly
+    form: expansion is ``np.roll`` of an identity (host-side, once), and
+    the decoder's dense masked plane never needs gathers.
+    """
+    base = np.asarray(base, np.int64)
+    mb, nb = base.shape
+    h = np.zeros((mb * z, nb * z), np.uint8)
+    eye = np.eye(z, dtype=np.uint8)
+    for i in range(mb):
+        for j in range(nb):
+            s = int(base[i, j])
+            if s >= 0:
+                h[i * z : (i + 1) * z, j * z : (j + 1) * z] = np.roll(
+                    eye, -(s % z), axis=0
+                )
+    return h
+
+
+#: IEEE 802.11n (Wi-Fi) rate-1/2 base matrix for n=648, Z=27
+#: (IEEE Std 802.11-2012 Annex F, Table F-1). 12 block rows x 24 block
+#: columns; the right 12 block columns are the standard dual-diagonal
+#: parity structure. -1 = zero block, otherwise circulant shift.
+_WIFI_648_R12 = np.array([
+    [ 0, -1, -1, -1,  0,  0, -1, -1,  0, -1, -1,  0,  1,  0, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1],
+    [22,  0, -1, -1, 17, -1,  0,  0, 12, -1, -1, -1, -1,  0,  0, -1, -1, -1, -1, -1, -1, -1, -1, -1],
+    [ 6, -1,  0, -1, 10, -1, -1, -1, 24, -1,  0, -1, -1, -1,  0,  0, -1, -1, -1, -1, -1, -1, -1, -1],
+    [ 2, -1, -1,  0, 20, -1, -1, -1, 25,  0, -1, -1, -1, -1, -1,  0,  0, -1, -1, -1, -1, -1, -1, -1],
+    [23, -1, -1, -1,  3, -1, -1, -1,  0, -1,  9, 11, -1, -1, -1, -1,  0,  0, -1, -1, -1, -1, -1, -1],
+    [24, -1, 23,  1, 17, -1,  3, -1, 10, -1, -1, -1, -1, -1, -1, -1, -1,  0,  0, -1, -1, -1, -1, -1],
+    [25, -1, -1, -1,  8, -1, -1, -1,  7, 18, -1, -1,  0, -1, -1, -1, -1, -1,  0,  0, -1, -1, -1, -1],
+    [13, 24, -1, -1,  0, -1,  8, -1,  6, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,  0,  0, -1, -1, -1],
+    [ 7, 20, -1, 16, 22, 10, -1, -1, 23, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,  0,  0, -1, -1],
+    [11, -1, -1, -1, 19, -1, -1, -1, 13, -1,  3, 17, -1, -1, -1, -1, -1, -1, -1, -1, -1,  0,  0, -1],
+    [25, -1,  8, -1, 23, 18, -1, 14,  9, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,  0,  0],
+    [ 3, -1, -1, -1, 16, -1, -1,  2, 25,  5, -1, -1,  1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,  0],
+], np.int64)
+
+
+def _gf2_solve_parity(h: np.ndarray, k: int) -> np.ndarray:
+    """For systematic ``h = [A | B]`` (``A [m, k]``, ``B [m, m]``
+    invertible over GF(2)), return ``P = B^{-1} A  [m, k]`` so that
+    parity ``p = P @ u (mod 2)`` completes ``[u | p]`` to a codeword."""
+    m = h.shape[0]
+    a = h[:, :k].astype(np.uint8).copy()
+    b = h[:, k:].astype(np.uint8).copy()
+    assert b.shape == (m, m)
+    # Gauss-Jordan on [B | A] -> [I | B^{-1}A]
+    for col in range(m):
+        piv = col + np.nonzero(b[col:, col])[0]
+        if piv.size == 0:
+            raise ValueError("parity block is singular over GF(2)")
+        p = piv[0]
+        if p != col:
+            b[[col, p]] = b[[p, col]]
+            a[[col, p]] = a[[p, col]]
+        hits = np.nonzero(b[:, col])[0]
+        hits = hits[hits != col]
+        b[hits] ^= b[col]
+        a[hits] ^= a[col]
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def wifi_ldpc(rate: str = "1/2") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """IEEE 802.11n QC-LDPC, n=648, Z=27: returns ``(H, G, info_indices)``.
+
+    Unlike :func:`make_regular_ldpc`'s random Gallager ensemble, this is
+    the deployed standard code (802.11n Annex F), so
+    ``PacketModem(fec="ldpc11n")`` interoperates at the codeword level
+    with any compliant implementation. ``G = [I_k | P^T]`` is TRUE
+    systematic (codeword = message bits followed by parity), derived by
+    GF(2) elimination of the dual-diagonal parity block; encoding stays
+    one f32 matmul mod 2 and :func:`ldpc_decode`'s dense masked plane
+    handles H unchanged (324 x 648 ≈ 840 KB/codeword f32).
+    """
+    if rate != "1/2":
+        raise ValueError("only the rate-1/2 n=648 code is built in; expand "
+                         "any published base matrix with qc_expand")
+    z = 27
+    h = qc_expand(_WIFI_648_R12, z)
+    m, n = h.shape
+    k = n - m
+    p = _gf2_solve_parity(h, k)  # [m, k]
+    g = np.concatenate([np.eye(k, dtype=np.uint8), p.T], axis=1)  # [k, n]
+    assert ((g @ h.T) % 2 == 0).all()
+    return h, g, np.arange(k, dtype=np.int64)
+
+
 # --------------------------------------------------------------- device codecs
 
 
