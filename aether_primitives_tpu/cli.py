@@ -304,7 +304,7 @@ def microbench_main(argv=None):
 
     tb_args = tuple(_tb_llr(v) for v in enc)
     tb_vmapped = jax.vmap(lambda a, b, c, d, e: turbo_decode(
-        a, b, c, d, e, iterations=8, window=128)[0])
+        a, b, c, d, e, iterations=8, window=64, guard=16)[0])
     timed(
         f"turbo decode 8 iters win128 [{nblk} x {ntb} bits]",
         lambda t: tb_vmapped(*t),

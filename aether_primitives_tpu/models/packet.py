@@ -282,7 +282,8 @@ class PacketModem:
                 llr[3 * nb : 3 * nb + 3],
                 llr[3 * nb + 3 :],
                 iterations=8,
-                window=128,  # parallel BCJR: 3.8x on chip, same BER
+                window=64,  # parallel BCJR, measured-best window (DEVNOTES)
+                guard=16,
             )
         else:
             line = (llr < 0).astype(jnp.uint8)

@@ -202,22 +202,29 @@ def _bcjr_maxlog_windowed(l_sys, l_par, l_apr, window: int, guard: int):
     prev_u_j = jnp.asarray(prev_u)
     nxt_j = jnp.asarray(nxt)
 
-    def fwd(alpha, g_t):  # alpha [W, 8], g_t [W, 8, 2]
+    # ONE combined scan advances the forward recursion and the
+    # time-reversed backward recursion together — half the serial scan
+    # steps of two separate scans for identical output. This is the only
+    # reformulation of this kernel that measured >= the two-scan baseline
+    # on chip: gather radix-4, max-plus [8, 8] transition matrices, a
+    # sublane-state/lane-batch radix-2^k kernel, slab framing, and
+    # skipping the per-step normalization ALL measured slower
+    # (DEVNOTES.md round-3 negative results).
+    def step(carry, inp):  # alpha/beta [W, 8]; g [W, 8, 2]
+        alpha, beta = carry
+        g_t, g_rev_t = inp
         cand = alpha[:, prev_s_j] + g_t[:, prev_s_j, prev_u_j]
         a_new = jnp.max(cand, axis=-1)
         a_new = a_new - jnp.max(a_new, axis=-1, keepdims=True)
-        return a_new, alpha
+        bc = g_rev_t + beta[:, nxt_j]
+        b_new = jnp.max(bc, axis=-1)
+        b_new = b_new - jnp.max(b_new, axis=-1, keepdims=True)
+        return (a_new, b_new), (alpha, beta)
 
     a0 = jnp.zeros((n_win, _N_STATES), jnp.float32)
-    _, alphas = jax.lax.scan(fwd, a0, wins)  # [Lw, W, 8]
-
-    def bwd(beta, g_t):
-        cand = g_t + beta[:, nxt_j]
-        b_new = jnp.max(cand, axis=-1)
-        b_new = b_new - jnp.max(b_new, axis=-1, keepdims=True)
-        return b_new, beta
-
-    _, betas_rev = jax.lax.scan(bwd, a0, wins[::-1])
+    _, (alphas, betas_rev) = jax.lax.scan(
+        step, (a0, a0), (wins, wins[::-1])
+    )  # [Lw, W, 8] each
     betas = betas_rev[::-1]
 
     core = slice(guard, guard + window)
