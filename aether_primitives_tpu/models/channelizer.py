@@ -749,6 +749,7 @@ def pfb_channelize_os(
     taps_per_branch: int = 16,
     scale: Scale = Scale.NONE,
     fft_backend: Optional[str] = None,
+    pallas: Optional[object] = None,
 ) -> jnp.ndarray:
     """OVERSAMPLED polyphase analysis filterbank: channel frames advance by
     ``hop = n_chan/os`` input samples (``os``-times oversampled channels),
@@ -767,6 +768,14 @@ def pfb_channelize_os(
     limit (see :func:`pfb_synthesis_taps`): with ``os >= 2`` the matched
     WOLA inverse (:func:`pfb_synthesize_os`) reconstructs to the
     prototype's stopband floor instead of -35 dB.
+
+    ``pallas`` selects the resident-tile fold kernel
+    (:mod:`~aether_primitives_tpu.ops.pallas.pfb_fold`): ``None`` = auto
+    (on for flat real-prototype inputs on TPU with ``M % 128 == 0``),
+    ``True``/``False`` force, ``"interpret"`` runs the kernel in
+    interpreter mode (CPU tests). The kernel computes the identical fold
+    (same accumulation order) with the overlapped input slab resident in
+    VMEM instead of ``P * os`` HBM passes.
 
     TPU notes: an ``os``-oversampled bank is ``os`` INTERLEAVED
     critically sampled banks — class ``j`` is the plain ``M``-stride WOLA
@@ -799,6 +808,37 @@ def pfb_channelize_os(
     need = ((t_cls - 1) * os + (os - 1)) * hop + p * m  # last class frame end
     if need > n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
+
+    use_pallas = pallas
+    if use_pallas is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        use_pallas = (
+            platform == "tpu"
+            and x.ndim == 1
+            and m % 128 == 0
+            and not np.iscomplexobj(np.asarray(taps) if taps is not None else h.real)
+        )
+    if use_pallas and x.ndim == 1 and not (np.abs(h.imag) > 0).any():
+        from ..ops.pallas.pfb_fold import pfb_fold_os
+
+        tile_t = max(8, min(64, t_cls))
+        n_t = -(-t_cls // tile_t)
+        need_k = (os - 1) * hop + (n_t * tile_t - 1 + p) * m
+        xk = jnp.pad(x, (0, max(0, need_k - x.shape[-1])))
+        out_r, out_i = pfb_fold_os(
+            jnp.real(xk).astype(jnp.float32),
+            jnp.imag(xk).astype(jnp.float32),
+            jnp.asarray(hb.real.astype(np.float32)),
+            os, t_cls, tile_t=tile_t,
+            interpret=(use_pallas == "interpret"),
+        )
+        u = jax.lax.complex(out_r, out_i)  # [os, t_cls, m], rolls applied
+        u = jnp.moveaxis(u, 0, 1).reshape(t_cls * os, m)[:t_frames]
+        return fft_plan(m, fft_backend).fwd(u, scale)
+
     classes = []
     for j in range(os):
         xj = x[..., j * hop : j * hop + (t_cls - 1) * m + p * m]

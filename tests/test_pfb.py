@@ -567,3 +567,48 @@ def test_sharded_pfb_os_matches_single(eight_devices):
     # undersized spans are rejected loudly, not silently truncated
     with pytest.raises(ValueError, match="span"):
         sharded_pfb_os(rand_c(rng, 8 * m * 6), m, mesh, os=2, taps_per_branch=p)
+
+
+def test_pfb_os_pallas_fold_matches_xla(rng):
+    """The resident-tile Pallas fold (interpret mode on CPU) computes the
+    identical analysis as the XLA slice fold — same accumulation order,
+    so near-bit equality; on chip it measured bit-identical and 5.1x
+    (443 -> 2260 Msa/s at m=2048, os=2, P=16 — DEVNOTES round 3)."""
+    from aether_primitives_tpu.models.channelizer import pfb_channelize_os
+
+    for m, os_, p, n in (
+        (256, 2, 8, 256 * 40 + 13),
+        (128, 4, 4, 128 * 37),
+    ):
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        ref = np.asarray(
+            pfb_channelize_os(x, m, os=os_, taps_per_branch=p, pallas=False)
+        )
+        got = np.asarray(
+            pfb_channelize_os(x, m, os=os_, taps_per_branch=p, pallas="interpret")
+        )
+        assert got.shape == ref.shape
+        rel = np.sqrt(np.mean(np.abs(got - ref) ** 2) / np.mean(np.abs(ref) ** 2))
+        assert rel < 1e-6, (m, os_, rel)
+
+
+def test_pfb_os_pallas_roundtrip_floor(rng):
+    """Analysis via the Pallas fold -> matched WOLA synthesis still hits
+    the root-Nyquist reconstruction floor (the -76 dB-class gate that
+    guards the os bank's purpose)."""
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        pfb_synthesize_os,
+    )
+
+    m = 64
+    n = 30000
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    y = pfb_channelize_os(x, m, os=2, pallas="interpret")
+    back = np.asarray(pfb_synthesize_os(y, m, os=2, length=n))
+    core = slice(2 * m * 16, n - 2 * m * 16)
+    err = back[core] - np.asarray(x)[core].astype(np.complex128)
+    db = 10 * np.log10(
+        np.mean(np.abs(err) ** 2) / np.mean(np.abs(x[core]) ** 2)
+    )
+    assert db < -70, db
