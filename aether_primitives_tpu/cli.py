@@ -130,7 +130,15 @@ def microbench_main(argv=None):
             return time.perf_counter() - t0
 
         run(2)
-        dt, floor = marginal_cost(run, max(2, iters // 5), iters)
+        # relay stalls are one-sided (DEVNOTES.md): take the best of 3
+        # marginal-cost rounds, like the headline bench — single-round
+        # numbers undersell by up to ~2x on a stalled pass
+        dt, floor = None, float("inf")
+        for _ in range(3):
+            dt_i, floor_i = marginal_cost(run, max(2, iters // 5), iters)
+            floor = min(floor, floor_i)
+            if dt_i is not None:
+                dt = dt_i if dt is None else min(dt, dt_i)
         if dt is None or not _plausible(dt, samples):
             results.append({
                 "bench": name, "us_per_call": None, "msamples_per_s": None,
@@ -240,6 +248,13 @@ def microbench_main(argv=None):
         llr_blk,
         nfr * 648,
     )
+    h_11n, _g11, _i11 = _ldpc.wifi_ldpc()
+    timed(
+        f"ldpc 802.11n(648,R1/2) min-sum 25 it [{nfr} cw]",
+        lambda l: _ldpc.ldpc_decode(l, h_11n, iters=25)[0],
+        llr_blk,
+        nfr * 648,
+    )
 
     css = CssModem(CssConfig(sf=10))
     n_css = B * 1024
@@ -306,7 +321,7 @@ def microbench_main(argv=None):
     tb_vmapped = jax.vmap(lambda a, b, c, d, e: turbo_decode(
         a, b, c, d, e, iterations=8, window=64, guard=16)[0])
     timed(
-        f"turbo decode 8 iters win128 [{nblk} x {ntb} bits]",
+        f"turbo decode 8 iters win64 [{nblk} x {ntb} bits]",
         lambda t: tb_vmapped(*t),
         tb_args,
         nblk * ntb,

@@ -867,9 +867,16 @@ def pfb_synthesize_os(
     fft_backend: Optional[str] = None,
     length: Optional[int] = None,
     normalize: bool = True,
+    pallas: Optional[object] = None,
 ) -> jnp.ndarray:
     """Matched-WOLA inverse of :func:`pfb_channelize_os`:
     ``[..., T, n_chan]`` oversampled channel frames -> samples.
+
+    ``pallas`` selects the resident-tile spread kernel for the per-class
+    overlap-add (the same kernel as the analysis fold with the branch
+    order reversed — the spread is the fold's correlation dual): ``None``
+    = auto (TPU, 2-D frames, real prototype, ``M % 128 == 0``),
+    ``True``/``False`` force, ``"interpret"`` for CPU tests.
 
     Synthesis prototype = the analysis prototype (matched filterbank),
     spread back at hop ``n_chan/os`` with exact per-sample normalization
@@ -914,25 +921,70 @@ def pfb_synthesize_os(
     hb = h.reshape(p, m)
     m_slabs = t_cls + p - 1  # M-slabs per class stream
     n_slabs = m_slabs * os + (os - 1)  # hop-slabs of the combined output
-    acc = None
-    for j in range(os):
-        wj = wg[..., j, :]  # [..., t_cls, M]
-        a = (j * hop) % m  # undo the class's constant reference roll
-        if a:
-            wj = jnp.concatenate([wj[..., a:], wj[..., :a]], axis=-1)
-        wp = jnp.pad(wj, [(0, 0)] * (nb - 2) + [(p - 1, p - 1), (0, 0)])
-        oj = None
-        for pi in range(p):
-            sl = jax.lax.slice_in_dim(wp, p - 1 - pi, p - 1 - pi + m_slabs, axis=-2)
-            term = sl * jnp.asarray(hb[pi])
-            oj = term if oj is None else oj + term
-        oh = oj.reshape(oj.shape[:-2] + (m_slabs * os, hop))
-        oh = jnp.pad(
-            oh,
-            [(0, 0)] * (nb - 2) + [(j, n_slabs - m_slabs * os - j), (0, 0)],
+
+    use_pallas = pallas
+    if use_pallas is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        use_pallas = (
+            platform == "tpu"
+            and y.ndim == 2
+            and m % 128 == 0
+            and not (np.abs(h.imag) > 0).any()
         )
-        acc = oh if acc is None else acc + oh
-    out = acc.reshape(acc.shape[:-2] + (n_slabs * hop,))
+    if use_pallas and y.ndim == 2 and not (np.abs(h.imag) > 0).any():
+        # per-class spread = the analysis fold with branch order reversed
+        # (oj[s] = sum_pi wp[s + p-1-pi] * hb[pi]); same resident-tile
+        # kernel, os=1, over the class's padded frame stream
+        from ..ops.pallas.pfb_fold import pfb_fold_os
+
+        hb_rev = jnp.asarray(np.ascontiguousarray(hb.real[::-1]).astype(np.float32))
+        tile = max(8, min(64, m_slabs))
+        n_t = -(-m_slabs // tile)
+        need_k = (n_t * tile - 1 + p) * m
+        acc = None
+        for j in range(os):
+            wj = wg[..., j, :]
+            a = (j * hop) % m
+            if a:
+                wj = jnp.concatenate([wj[..., a:], wj[..., :a]], axis=-1)
+            wp = jnp.pad(wj, [(p - 1, p - 1), (0, 0)]).reshape(-1)
+            wp = jnp.pad(wp, (0, max(0, need_k - wp.shape[-1])))
+            o_r, o_i = pfb_fold_os(
+                jnp.real(wp).astype(jnp.float32),
+                jnp.imag(wp).astype(jnp.float32),
+                hb_rev, 1, m_slabs, tile_t=tile,
+                interpret=(use_pallas == "interpret"),
+            )
+            oj = jax.lax.complex(o_r[0], o_i[0])  # [m_slabs, M]
+            oh = oj.reshape(m_slabs * os, hop)
+            oh = jnp.pad(oh, [(j, n_slabs - m_slabs * os - j), (0, 0)])
+            acc = oh if acc is None else acc + oh
+        out = acc.reshape(n_slabs * hop)
+    else:
+        acc = None
+        for j in range(os):
+            wj = wg[..., j, :]  # [..., t_cls, M]
+            a = (j * hop) % m  # undo the class's constant reference roll
+            if a:
+                wj = jnp.concatenate([wj[..., a:], wj[..., :a]], axis=-1)
+            wp = jnp.pad(wj, [(0, 0)] * (nb - 2) + [(p - 1, p - 1), (0, 0)])
+            oj = None
+            for pi in range(p):
+                sl = jax.lax.slice_in_dim(
+                    wp, p - 1 - pi, p - 1 - pi + m_slabs, axis=-2
+                )
+                term = sl * jnp.asarray(hb[pi])
+                oj = term if oj is None else oj + term
+            oh = oj.reshape(oj.shape[:-2] + (m_slabs * os, hop))
+            oh = jnp.pad(
+                oh,
+                [(0, 0)] * (nb - 2) + [(j, n_slabs - m_slabs * os - j), (0, 0)],
+            )
+            acc = oh if acc is None else acc + oh
+        out = acc.reshape(acc.shape[:-2] + (n_slabs * hop,))
     if normalize:
         # exact normalization: overlap-add of h*g (= h^2, matched) tiles
         full = n_slabs * hop

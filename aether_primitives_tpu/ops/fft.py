@@ -184,6 +184,25 @@ def _best_factor(n: int) -> Optional[int]:
     return _heuristic_factor(n)
 
 
+def chained_factor(n: int) -> Optional[int]:
+    """First-stage factor for FFTs embedded in chained spectral
+    compositions (fft -> elementwise -> ifft, e.g. the correlator).
+
+    Measured (v5e, interleaved single-session A/B at 512): the dense
+    single-matmul table entry wins STANDALONE batched FFTs by ~1.3x, but
+    inside a chain the FACTORED form wins by ~1.3x — XLA fuses the
+    factored stages with the neighboring elementwise work where the
+    dense [n, n] HIGHEST matmuls stay fusion barriers. Returns the
+    heuristic factor when the table entry is dense, else None (use the
+    table). Pass the result as ``mm_fft(..., first_factor=...)``.
+    """
+    _apply_platform_table()
+    ov = _FACTOR_OVERRIDES.get(n)
+    if ov is not None and ov >= n:
+        return _heuristic_factor(n)
+    return None
+
+
 @functools.lru_cache(maxsize=None)
 def _heuristic_factor(n: int) -> Optional[int]:
     """Pick n1 | n for the first Cooley-Tukey stage.
@@ -210,7 +229,8 @@ def _heuristic_factor(n: int) -> Optional[int]:
     return best_any
 
 
-def mm_fft(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
+def mm_fft(x: jnp.ndarray, sign: int = -1,
+           first_factor: Optional[int] = None) -> jnp.ndarray:
     """Batched DFT along the last axis via MXU matmuls (four-step FFT).
 
     Recursive Cooley-Tukey: with n = n1*n2 and input index n = n1_idx*n2 +
@@ -223,15 +243,19 @@ def mm_fft(x: jnp.ndarray, sign: int = -1) -> jnp.ndarray:
 
     All matrices are f64-precomputed complex64 constants; matmuls run at
     ``Precision.HIGHEST`` so f32 accuracy survives the MXU.
+    ``first_factor`` overrides the top-level stage-1 factor only (see
+    :func:`chained_factor`); the recursion keeps the table.
     """
     n = x.shape[-1]
     x = jnp.asarray(x, dtype=cf32)
     if n == 1:
         return x
-    if n <= _DFT_BASE:
+    if n <= _DFT_BASE and first_factor is None:
         f = jnp.asarray(_dft_matrix(n, sign))
         return jnp.matmul(x, f, precision=_PREC)
-    n1 = _best_factor(n)
+    n1 = first_factor if first_factor is not None else _best_factor(n)
+    if n1 is not None and n % n1:
+        raise ValueError(f"first_factor {n1} does not divide {n}")
     if n1 is not None and n1 >= n:
         # autotuned dense override: single [n, n] DFT matmul (see set_factor)
         f = jnp.asarray(_dft_matrix(n, sign))

@@ -896,6 +896,29 @@ def correlate(x, ref, fft_backend: Optional[str] = None) -> jnp.ndarray:
         ref = jnp.pad(ref, [(0, 0)] * (ref.ndim - 1) + [(0, n - ref.shape[-1])])
     elif ref.shape[-1] > n:
         raise ValueError("Reference longer than signal")
+    b = fft_backend or _fft.default_backend()
+    if b == "matmul":
+        # chained composition: prefer the factored stage over a dense
+        # table entry — the factored FFT fuses with the spectrum multiply
+        # where the dense [n, n] matmul is a fusion barrier (measured
+        # ~1.3x at n=512; ops/fft.py:chained_factor)
+        return _correlate_mm(n, _fft.chained_factor(n))(x, ref)
     plan = _fft.plan(n, fft_backend)
     spec = plan.fwd(x, Scale.NONE) * jnp.conj(plan.fwd(ref, Scale.NONE))
     return plan.bwd(spec, Scale.N)
+
+
+@functools.lru_cache(maxsize=None)
+def _correlate_mm(n: int, first_factor):
+    """Cached jitted matmul-FFT correlator core (jit = eager-call safety
+    on backends where per-op dispatch is pathological)."""
+
+    @jax.jit
+    def f(x, ref):
+        spec = _fft.mm_fft(x, -1, first_factor=first_factor) * jnp.conj(
+            _fft.mm_fft(ref, -1, first_factor=first_factor)
+        )
+        out = _fft.mm_fft(spec, +1, first_factor=first_factor)
+        return out * jnp.float32(1.0 / n)
+
+    return f

@@ -13,6 +13,14 @@ Correctness is gated against the f64 composed golden on a prefix before
 timing. Usage: python benches/ddc_bench.py [--cpu] [--n 4194304] [--dec 8]
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

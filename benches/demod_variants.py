@@ -26,6 +26,14 @@ with the marginal-cost estimator. Winner ships in RxChain._bits_fast.
 Usage: python benches/demod_variants.py [--cpu] [--n 4194304] [--rounds 4]
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -15,6 +15,14 @@ Bit agreement for both full variants is gated against the f64 numpy
 reference before timing. Usage: python benches/fold_chain_bench.py [--cpu]
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

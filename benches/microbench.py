@@ -6,6 +6,14 @@
 Usage: python benches/microbench.py [--cpu] [--json out.json]
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from aether_primitives_tpu.cli import microbench_main
 
 if __name__ == "__main__":

@@ -16,6 +16,14 @@ Usage: python benches/n1_sweep.py [--cpu] [--n 4194304] [--rounds 3]
 Writes one line per (round, candidate) immediately (buffering=1 safe).
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -9,6 +9,14 @@ direct WOLA golden on a small prefix before timing.
 Usage: python benches/pfb_bench.py [--cpu] [--n 4194304] [--chan 2048]
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 
@@ -90,8 +98,18 @@ def main():
     variants = [
         ("pfb P=%d" % p, lambda b: pfb_channelize(b.to_complex(), m, taps=h)),
         (
-            "os-pfb os=2 (analysis)",
+            "os-pfb os=2 (analysis)",  # auto = Pallas resident-tile on TPU
             lambda b: pfb_channelize_os(b.to_complex(), m, os=2),
+        ),
+        (
+            "os-pfb os=2 (analysis, xla fold)",
+            lambda b: pfb_channelize_os(b.to_complex(), m, os=2, pallas=False),
+        ),
+        (
+            "os-pfb os=2 (synthesis, xla)",
+            lambda b: pfb_synthesize_os(
+                b.to_complex().reshape(-1, m), m, os=2, pallas=False
+            ),
         ),
         (
             "rect P=1 (chunked FFT)",

@@ -9,6 +9,14 @@ at HIGH. Results recorded in DEVNOTES.md.
 Usage: python benches/precision_experiment.py [--cpu] [--n 4194304]
 """
 
+try:
+    import aether_primitives_tpu  # noqa: F401
+except ModuleNotFoundError:  # bare offline clone: resolve the in-tree package
+    import os as _os
+    import sys as _sys
+
+    _sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

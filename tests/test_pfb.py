@@ -612,3 +612,26 @@ def test_pfb_os_pallas_roundtrip_floor(rng):
         np.mean(np.abs(err) ** 2) / np.mean(np.abs(x[core]) ** 2)
     )
     assert db < -70, db
+
+
+def test_pfb_os_pallas_synthesis_matches_xla(rng):
+    """The per-class synthesis spread through the resident-tile kernel
+    (analysis fold with reversed branch order) equals the XLA overlap-add
+    path."""
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_channelize_os,
+        pfb_synthesize_os,
+    )
+
+    for m, os_, p, n in ((256, 2, 8, 256 * 40 + 13), (128, 4, 4, 128 * 37)):
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        y = pfb_channelize_os(x, m, os=os_, taps_per_branch=p, pallas=False)
+        ref = np.asarray(
+            pfb_synthesize_os(y, m, os=os_, taps_per_branch=p, pallas=False)
+        )
+        got = np.asarray(
+            pfb_synthesize_os(y, m, os=os_, taps_per_branch=p, pallas="interpret")
+        )
+        assert got.shape == ref.shape
+        rel = np.sqrt(np.mean(np.abs(got - ref) ** 2) / np.mean(np.abs(ref) ** 2))
+        assert rel < 1e-6, (m, os_, rel)
