@@ -255,6 +255,12 @@ def microbench_main(argv=None):
         llr_blk,
         nfr * 648,
     )
+    timed(
+        f"ldpc 802.11n QC edge decoder 25 it [{nfr} cw]",
+        lambda l: _ldpc.qc_ldpc_decode(l, _ldpc._WIFI_648_R12, 27, iters=25)[0],
+        llr_blk,
+        nfr * 648,
+    )
 
     css = CssModem(CssConfig(sf=10))
     n_css = B * 1024

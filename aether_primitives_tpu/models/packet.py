@@ -112,8 +112,12 @@ class PacketModem:
             # (codeword-level interoperable with compliant receivers)
             if c.fec == "ldpc11n":
                 h, g, info = _ldpc.wifi_ldpc()
+                # QC edge-message decoder: bit-identical to the dense
+                # plane, ~48x faster on chip (DEVNOTES round 3)
+                self._ldpc_qc = (_ldpc._WIFI_648_R12, 27)
             else:
                 h, g, info = _ldpc.make_regular_ldpc(seed=c.ldpc_seed)
+                self._ldpc_qc = None
             self._ldpc = (h, g, info)
             k = g.shape[0]
             self.ldpc_frames = -(-self.frame_bits // k)
@@ -253,9 +257,15 @@ class PacketModem:
             line = _fec.viterbi_decode(llr)
         elif c.fec in ("ldpc", "ldpc11n"):
             h, g, info = self._ldpc
-            hard, _ok = _ldpc.ldpc_decode(
-                llr.reshape(self.ldpc_frames, -1), h, iters=30
-            )
+            if self._ldpc_qc is not None:
+                base, zf = self._ldpc_qc
+                hard, _ok = _ldpc.qc_ldpc_decode(
+                    llr.reshape(self.ldpc_frames, -1), base, zf, iters=30
+                )
+            else:
+                hard, _ok = _ldpc.ldpc_decode(
+                    llr.reshape(self.ldpc_frames, -1), h, iters=30
+                )
             line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
         elif c.fec == "rs":
             hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols

@@ -234,7 +234,141 @@ def wifi_ldpc(rate: str = "1/2") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return h, g, np.arange(k, dtype=np.int64)
 
 
-# --------------------------------------------------------------- device codecs
+@functools.lru_cache(maxsize=None)
+def _qc_edges(base_key) -> tuple:
+    """Edge tables for the QC decoder: edges sorted by block-row.
+
+    Returns ``(rows, cols, shifts, row_slices)`` — numpy arrays over the
+    ``E`` base-matrix edges plus per-block-row ``(start, stop)`` spans.
+    """
+    base = np.asarray(base_key, np.int64)
+    rows, cols, shifts = [], [], []
+    for i in range(base.shape[0]):
+        for j in range(base.shape[1]):
+            if base[i, j] >= 0:
+                rows.append(i)
+                cols.append(j)
+                shifts.append(int(base[i, j]))
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    shifts = np.asarray(shifts)
+    row_slices = []
+    e0 = 0
+    for i in range(base.shape[0]):
+        e1 = e0 + int((rows == i).sum())
+        row_slices.append((e0, e1))
+        e0 = e1
+    return rows, cols, shifts, tuple(row_slices)
+
+
+def qc_ldpc_decode(
+    llrs,
+    base,
+    z: int,
+    iters: int = 25,
+    alpha: float = 0.75,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized min-sum decode exploiting the QC (block-circulant)
+    structure: messages live per base-matrix EDGE (``[E, z, batch]``)
+    instead of on the dense ``[m, n]`` plane.
+
+    For the 802.11n n=648 code the dense plane holds 324*648 = 210k
+    entries per codeword where only 88 edges * 27 = 2376 messages exist —
+    the dense decoder is ~88x redundant HBM traffic and measured 7.3 ms
+    per 25-iteration batch-64 decode vs 0.15 ms here (~48x; DEVNOTES
+    round 3). Runs the same min-sum update over the edge tensor with
+    circulant alignment as static per-edge rolls. Same LLR convention
+    and ``(hard, syndrome_ok)`` contract as :func:`ldpc_decode`; both
+    converge to the same codeword on correctable channels (f32
+    column-sum order differs, so marginal undecodable frames may flip
+    different bits).
+
+    ``base``: the ``[mb, nb]`` shift matrix (e.g. ``_WIFI_648_R12``),
+    ``z``: lifting size. ``llrs [..., nb*z]``.
+    """
+    base = np.asarray(base, np.int64)
+    rows_np, cols_np, shifts_np, row_slices = _qc_edges(
+        tuple(map(tuple, base.tolist()))
+    )
+    mb, nb = base.shape
+    n = nb * z
+    lam = jnp.asarray(llrs, jnp.float32)
+    if lam.shape[-1] != n:
+        raise ValueError(f"LLR length {lam.shape[-1]} != code length {n}")
+    bshape = lam.shape[:-1]
+    # internal layout: [nb, z, B] — batch on lanes
+    lam_v = jnp.moveaxis(lam.reshape(bshape + (nb, z)), tuple(range(len(bshape))),
+                         tuple(range(-len(bshape), 0)))  # [nb, z, B...]
+    e_count = rows_np.shape[0]
+    cols_j = jnp.asarray(cols_np)
+
+    # one-hot column-sum matrix: col_total = Mcol @ c2v (sum over edges)
+    mcol = np.zeros((nb, e_count), np.float32)
+    mcol[cols_np, np.arange(e_count)] = 1.0
+    mcol_j = jnp.asarray(mcol)
+
+    big = jnp.float32(1e30)
+
+    # alignment: qc_expand's block (i, j, s) is np.roll(eye, -s, 0), i.e.
+    # check (i, u) touches var (j, (u + s) mod z) -> check view = roll(-s)
+    def to_check(v):  # variable -> check alignment
+        return jnp.stack(
+            [jnp.roll(v[e], -shifts_np[e], axis=0) for e in range(e_count)]
+        )
+
+    def to_var(c):  # check -> variable alignment
+        return jnp.stack(
+            [jnp.roll(c[e], shifts_np[e], axis=0) for e in range(e_count)]
+        )
+
+    def check_update(v2c_c):
+        """Min-sum over each block-row's edges (check alignment)."""
+        outs = []
+        for (e0, e1) in row_slices:
+            grp = v2c_c[e0:e1]  # [d, z, B...]
+            mag = jnp.abs(grp)
+            sgn = jnp.where(grp >= 0, 1.0, -1.0)
+            row_sign = jnp.prod(sgn, axis=0, keepdims=True)
+            m1 = jnp.min(mag, axis=0, keepdims=True)
+            a1 = jnp.argmin(mag, axis=0)
+            onehot = jax.nn.one_hot(a1, e1 - e0, dtype=jnp.float32)
+            onehot = jnp.moveaxis(onehot, -1, 0)
+            m2 = jnp.min(jnp.where(onehot == 1, big, mag), axis=0, keepdims=True)
+            ext = jnp.where(onehot == 1, m2, m1)
+            outs.append(alpha * row_sign * sgn * ext)
+        return jnp.concatenate(outs, axis=0)
+
+    def contract_cols(c2v_v):
+        """Per-column sums of variable-aligned messages (one-hot matmul)."""
+        flat = c2v_v.reshape(e_count, -1)
+        tot = jnp.matmul(mcol_j, flat, precision=jax.lax.Precision.HIGHEST)
+        return tot.reshape((nb,) + c2v_v.shape[1:])
+
+    def bp_iter(c2v_v, _):
+        col_total = lam_v + contract_cols(c2v_v)
+        v2c_v = jnp.take(col_total, cols_j, axis=0) - c2v_v
+        c2v_c = check_update(to_check(v2c_v))
+        return to_var(c2v_c), None
+
+    c2v0 = jnp.zeros((e_count,) + lam_v.shape[1:], jnp.float32)
+    c2v, _ = jax.lax.scan(bp_iter, c2v0, None, length=int(iters))
+
+    post = lam_v + contract_cols(c2v)  # [nb, z, B...]
+    hard_v = (post < 0).astype(jnp.uint8)
+    # syndrome: per check bit, XOR of member bits at check alignment
+    hard_e = jnp.take(hard_v, cols_j, axis=0)
+    hard_c = to_check(hard_e.astype(jnp.float32)).astype(jnp.uint8)
+    syn_ok_rows = []
+    for i, (e0, e1) in enumerate(row_slices):
+        par = jnp.sum(hard_c[e0:e1].astype(jnp.float32), axis=0) % 2
+        syn_ok_rows.append(jnp.all(par == 0, axis=0))
+    ok = jnp.stack(syn_ok_rows).all(axis=0)  # [B...]
+
+    nb_batch = len(bshape)
+    hard = jnp.moveaxis(hard_v, tuple(range(-nb_batch, 0)) if nb_batch else (),
+                        tuple(range(nb_batch)) if nb_batch else ())
+    hard = hard.reshape(bshape + (n,))
+    return hard, ok
 
 
 def ldpc_encode(bits, g) -> jnp.ndarray:

@@ -208,3 +208,44 @@ def test_packet_modem_ldpc11n(rng):
     got, ok, _diag = pm.loopback(payload)
     assert bool(ok)
     assert (np.asarray(got) == payload).all()
+
+
+def test_qc_decoder_matches_dense(rng, wifi):
+    """The QC edge-message decoder runs the same normalized min-sum
+    schedule as the dense plane; on any correctable channel both converge
+    to the transmitted codeword (f32 column-sum ORDER differs — the dense
+    plane reduces over 324 rows, the edge decoder over its 88 edges — so
+    marginal undecodable frames may flip different bits). On chip it is
+    ~48x faster (0.15 vs 7.3 ms per 25-iteration batch-64 decode;
+    DEVNOTES r3)."""
+    h, g, info = wifi
+    u = rng.integers(0, 2, (6, 324)).astype(np.uint8)
+    cw = np.asarray(ldpc.ldpc_encode(u, g)).astype(np.float32)
+    sigma = 0.72  # Eb/N0 ~ 2.9 dB: comfortably decodable
+    rx = (1.0 - 2.0 * cw) + sigma * rng.normal(size=cw.shape).astype(np.float32)
+    llr = 2.0 * rx / sigma**2
+    hd, okd = ldpc.ldpc_decode(llr, h, iters=25)
+    hq, okq = ldpc.qc_ldpc_decode(llr, ldpc._WIFI_648_R12, 27, iters=25)
+    both_ok = np.asarray(okd) & np.asarray(okq)
+    assert both_ok.mean() > 0.5  # the channel is decodable
+    assert (np.asarray(hd)[both_ok] == np.asarray(hq)[both_ok]).all()
+    # flat (no batch axis) path matches the batched one exactly
+    h1, ok1 = ldpc.qc_ldpc_decode(llr[0], ldpc._WIFI_648_R12, 27, iters=25)
+    assert (np.asarray(h1) == np.asarray(hq)[0]).all()
+    assert bool(np.asarray(ok1)) == bool(np.asarray(okq)[0])
+
+
+def test_qc_decoder_corrects_and_flags(rng, wifi):
+    h, g, info = wifi
+    u = rng.integers(0, 2, (4, 324)).astype(np.uint8)
+    cw = np.asarray(ldpc.ldpc_encode(u, g))
+    llr = 4.0 * (1.0 - 2.0 * cw.astype(np.float32))
+    for row in llr:
+        row[rng.choice(648, 28, replace=False)] *= -1.0
+    hard, ok = ldpc.qc_ldpc_decode(llr, ldpc._WIFI_648_R12, 27, iters=30)
+    assert np.asarray(ok).all()
+    assert (np.asarray(hard) == cw).all()
+    # garbage must not satisfy the syndrome
+    bad = rng.normal(size=648).astype(np.float32) * 0.1
+    _, okb = ldpc.qc_ldpc_decode(bad, ldpc._WIFI_648_R12, 27, iters=3)
+    assert not bool(np.asarray(okb))
