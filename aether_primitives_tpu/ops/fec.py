@@ -117,6 +117,8 @@ def viterbi_decode(
     polys: Sequence[int] = DEFAULT_POLYS,
     constraint: int = DEFAULT_K,
     terminated: bool = True,
+    window: int = 0,
+    guard: int = 48,
 ) -> jnp.ndarray:
     """Maximum-likelihood decode of a rate-``1/n`` convolutional code.
 
@@ -132,6 +134,19 @@ def viterbi_decode(
     the surviving predecessor; the backward pass scans the recorded
     ``[T, S]`` decisions from the final state (0 when terminated, argmin
     otherwise). 1-D input (the metric recursion is a stream property).
+
+    ``window > 0`` selects the WINDOWED truncated-traceback decoder (the
+    streaming-receiver idiom): the block splits into parallel windows
+    extended by ``guard`` warmup/merge steps each side (``guard`` of
+    ~5-7 constraint lengths makes survivor paths merge, so the core
+    decisions equal the full-block decode with overwhelming
+    probability); both scans shrink from ``T`` to ``window + 2*guard``
+    steps with the windows batched. At PACKET sizes the full-block
+    decode measures faster (fatter windowed steps outweigh the step
+    reduction — same finding as the turbo radix study, DEVNOTES r3);
+    the windowed mode is for LONG streams, where the full-block scan's
+    serial length is prohibitive (a 1M-bit stream is ~2 s of serial
+    ACS steps full-block but ~224 batched steps windowed).
     """
     llr = jnp.asarray(llrs, jnp.float32)
     if llr.ndim != 1:
@@ -141,6 +156,10 @@ def viterbi_decode(
     if llr.shape[-1] % n:
         raise ValueError(f"LLR count must be a multiple of n = {n}")
     t_steps = llr.shape[-1] // n
+    if window:
+        return _viterbi_windowed(
+            llr, tuple(int(p) for p in polys), k, terminated, window, guard
+        )
     pred, outs = _trellis(tuple(int(p) for p in polys), k)
     s_count = pred.shape[0]
     pred_j = jnp.asarray(pred)  # [S, 2]
@@ -173,6 +192,63 @@ def viterbi_decode(
 
     _, bits_rev = jax.lax.scan(back, end_state, decisions, reverse=True)
     bits = bits_rev  # scan(reverse=True) emits in forward order
+    if terminated:
+        bits = bits[: t_steps - (k - 1)]
+    return bits
+
+
+def _viterbi_windowed(llr, polys, k, terminated, window, guard):
+    """Windowed parallel ACS + truncated traceback (see viterbi_decode).
+
+    Each window's metrics start uniform and its traceback starts at the
+    argmin state ``guard`` steps past the core — both converge onto the
+    maximum-likelihood path within the guard (survivor-merge depth
+    ~5-7 K). Outside-the-block steps use zero (uninformative) LLRs.
+    """
+    n = len(polys)
+    t_steps = llr.shape[-1] // n
+    pred, outs = _trellis(polys, k)
+    s_count = pred.shape[0]
+    pred_j = jnp.asarray(pred)
+    outs_j = jnp.asarray(outs)
+    sym = llr.reshape(t_steps, n)
+
+    n_win = -(-t_steps // window)
+    t_pad = n_win * window
+    lw = window + 2 * guard
+    symp = jnp.pad(sym, [(guard, guard + (t_pad - t_steps)), (0, 0)])
+    wins = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(symp, w * window, lw, axis=0)
+            for w in range(n_win)
+        ],
+        axis=1,
+    )  # [Lw, W, n]
+
+    pm0 = jnp.zeros((n_win, s_count), jnp.float32)
+
+    def acs(pm, llr_t):  # pm [W, S]; llr_t [W, n]
+        bm = jnp.sum(outs_j[None] * llr_t[:, None, None, :], axis=-1)  # [W, S, 2]
+        cand = pm[:, pred_j] + bm
+        which = jnp.argmin(cand, axis=-1)
+        pm_next = jnp.min(cand, axis=-1)
+        pm_next = pm_next - jnp.min(pm_next, axis=-1, keepdims=True)
+        return pm_next, which.astype(jnp.uint8)
+
+    pm, decisions = jax.lax.scan(acs, pm0, wins)  # decisions [Lw, W, S]
+
+    end_state = jnp.argmin(pm, axis=-1).astype(jnp.int32)  # [W]
+
+    def back(state, dec_t):  # state [W]; dec_t [W, S]
+        which = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]
+        prev = pred_j[state, which.astype(jnp.int32)]
+        bit = (state & 1).astype(jnp.uint8)
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(back, end_state, decisions, reverse=True)
+    # bits_rev [Lw, W] in forward order; keep each window's core
+    core = bits_rev[guard : guard + window]  # [window, W]
+    bits = core.T.reshape(t_pad)[:t_steps]
     if terminated:
         bits = bits[: t_steps - (k - 1)]
     return bits
