@@ -31,6 +31,7 @@ from . import channel
 from . import detect
 from . import amc
 from . import diversity
+from . import doa
 from . import ber
 from . import ddc
 from . import equalizer
