@@ -262,6 +262,19 @@ def microbench_main(argv=None):
         nfr * 648,
     )
 
+    vb_bits = rng.integers(0, 2, (nfr, 1024)).astype(np.uint8)
+    vb_coded = np.stack(
+        [np.asarray(_fec.conv_encode(vb_bits[i])) for i in range(nfr)]
+    )
+    vb_llr = (4.0 * (1.0 - 2.0 * vb_coded.astype(np.float32))).astype(np.float32)
+    timed(
+        f"viterbi K=7 decode [{nfr} x 1024 bits]",
+        jax.vmap(_fec.viterbi_decode),
+        vb_llr,
+        nfr * 1024,
+        iters=10,
+    )
+
     css = CssModem(CssConfig(sf=10))
     n_css = B * 1024
     timed(
