@@ -346,3 +346,60 @@ def zadoff_chu(root: int, length: int, shift: int = 0) -> np.ndarray:
     # phase in half-turns: u n (n + 1 + 2 q) / L, reduced mod 2L
     ph = (root * n * (n + 1 + 2 * int(shift))) % (2 * length)
     return np.exp(-1j * np.pi * ph / length).astype(np.complex64)
+
+
+# ------------------------------------------------------------- GPS C/A codes
+
+#: IS-GPS-200 Table 3-I: PRN -> (G2 phase-select taps), and the published
+#: first-10-chip octal of each code. The octal column makes the table
+#: SELF-VERIFYING: :func:`gps_ca_code` recomputes the prefix from the LFSRs
+#: and refuses to return a code whose prefix disagrees — a transcription
+#: error in either column cannot ship silently.
+_GPS_CA_TAPS = {
+    1: (2, 6, 0o1440), 2: (3, 7, 0o1620), 3: (4, 8, 0o1710),
+    4: (5, 9, 0o1744), 5: (1, 9, 0o1133), 6: (2, 10, 0o1455),
+    7: (1, 8, 0o1131), 8: (2, 9, 0o1454), 9: (3, 10, 0o1626),
+    10: (2, 3, 0o1504), 11: (3, 4, 0o1642), 12: (5, 6, 0o1750),
+    13: (6, 7, 0o1764), 14: (7, 8, 0o1772), 15: (8, 9, 0o1775),
+    16: (9, 10, 0o1776), 17: (1, 4, 0o1156), 18: (2, 5, 0o1467),
+    19: (3, 6, 0o1633), 20: (4, 7, 0o1715), 21: (5, 8, 0o1746),
+    22: (6, 9, 0o1763), 23: (1, 3, 0o1063), 24: (4, 6, 0o1706),
+    25: (5, 7, 0o1743), 26: (6, 8, 0o1761), 27: (7, 9, 0o1770),
+    28: (8, 10, 0o1774), 29: (1, 6, 0o1127), 30: (2, 7, 0o1453),
+    31: (3, 8, 0o1625), 32: (4, 9, 0o1712),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def gps_ca_code(prn: int) -> np.ndarray:
+    """GPS L1 C/A spreading code for satellite ``prn`` (1..32): 1023
+    chips in {0, 1} (IS-GPS-200 §3.3.2.3).
+
+    ``G1``: 10-stage LFSR ``1 + x^3 + x^10``; ``G2``: ``1 + x^2 + x^3 +
+    x^6 + x^8 + x^9 + x^10`` (both all-ones init); the C/A chip is
+    ``G1_out XOR (G2[s1] XOR G2[s2])`` with the PRN's phase-select taps.
+    The generated code's first 10 chips are checked against the
+    standard's published octal (see ``_GPS_CA_TAPS``) — the two columns
+    verify each other. Map to BPSK chips with
+    :func:`bits_to_chips`; acquire delay/Doppler with
+    :func:`~aether_primitives_tpu.models.caf.ambiguity`.
+    """
+    if prn not in _GPS_CA_TAPS:
+        raise ValueError(f"PRN {prn} not in 1..32")
+    s1, s2, octal_ref = _GPS_CA_TAPS[prn]
+    g1 = np.ones(10, np.uint8)
+    g2 = np.ones(10, np.uint8)
+    out = np.zeros(1023, np.uint8)
+    for i in range(1023):
+        out[i] = g1[9] ^ g2[s1 - 1] ^ g2[s2 - 1]
+        f1 = g1[2] ^ g1[9]  # taps 3, 10
+        f2 = g2[1] ^ g2[2] ^ g2[5] ^ g2[7] ^ g2[8] ^ g2[9]  # 2,3,6,8,9,10
+        g1 = np.concatenate([[f1], g1[:9]])
+        g2 = np.concatenate([[f2], g2[:9]])
+    prefix = int("".join(str(int(b)) for b in out[:10]), 2)
+    if prefix != octal_ref:
+        raise AssertionError(
+            f"PRN {prn}: generated prefix {oct(prefix)} != standard "
+            f"{oct(octal_ref)} — tap/octal table transcription error"
+        )
+    return out

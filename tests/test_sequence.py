@@ -217,3 +217,63 @@ def test_zadoff_chu_cross_correlation_and_validation():
         sequence.zadoff_chu(3, 64)
     with _pytest.raises(ValueError, match="coprime"):
         sequence.zadoff_chu(7, 63)
+
+
+def test_gps_ca_codes_standard_properties():
+    """IS-GPS-200 C/A codes: every PRN's first 10 chips match the
+    standard's published octal (the generator self-verifies this), codes
+    are balanced (512 ones / 511 zeros), and cross-correlations take the
+    Gold three-valued set {-65, -1, 63}/1023."""
+    from aether_primitives_tpu.ops.sequence import gps_ca_code
+
+    for prn in (1, 7, 17, 32):
+        c = gps_ca_code(prn)
+        assert c.shape == (1023,)
+        assert c.sum() == 512
+    a = 1.0 - 2.0 * gps_ca_code(1).astype(np.float64)
+    b = 1.0 - 2.0 * gps_ca_code(22).astype(np.float64)
+    xc = np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(b))).real
+    assert set(np.round(xc).astype(int).tolist()) <= {-65, -1, 63}
+    # autocorrelation: 1023 at lag 0, sidelobes in the Gold set
+    ac = np.fft.ifft(np.abs(np.fft.fft(a)) ** 2).real
+    assert round(ac[0]) == 1023
+    assert set(np.round(ac[1:]).astype(int).tolist()) <= {-65, -1, 63}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PRN"):
+        gps_ca_code(33)
+
+
+def test_gps_ca_acquisition_via_caf(rng):
+    """Cold acquisition: two satellites at different code phases and
+    Dopplers + noise; the CAF over each PRN's BPSK chips recovers code
+    phase exactly and Doppler to sub-bin accuracy, and a wrong PRN shows
+    no significant peak."""
+    from aether_primitives_tpu.models.caf import ambiguity
+    from aether_primitives_tpu.ops.sequence import gps_ca_code
+
+    n = 1023
+    sats = {5: (217, 2.1e-4), 12: (800, -3.3e-4)}  # prn: (phase, doppler)
+    t = np.arange(n)
+    x = np.zeros(n, np.complex128)
+    for prn, (tau, fd) in sats.items():
+        chips = 1.0 - 2.0 * gps_ca_code(prn).astype(np.float64)
+        x += np.roll(chips, tau) * np.exp(2j * np.pi * fd * t)
+    x += 0.7 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    x = x.astype(np.complex64)
+
+    dops = np.linspace(-5e-4, 5e-4, 41).astype(np.float32)
+    for prn, (tau, fd) in sats.items():
+        ref = (1.0 - 2.0 * gps_ca_code(prn).astype(np.float32)).astype(
+            np.complex64
+        )
+        surf = np.abs(np.asarray(ambiguity(x, ref, dops)))
+        di, ti = np.unravel_index(surf.argmax(), surf.shape)
+        assert ti == tau, (prn, ti, tau)
+        assert abs(float(dops[di]) - fd) < 3e-5, (prn, dops[di], fd)
+    # absent PRN: no peak above 2/3 of the weakest real satellite's
+    ref9 = (1.0 - 2.0 * gps_ca_code(9).astype(np.float32)).astype(np.complex64)
+    surf9 = np.abs(np.asarray(ambiguity(x, ref9, dops)))
+    ref5 = (1.0 - 2.0 * gps_ca_code(5).astype(np.float32)).astype(np.complex64)
+    surf5 = np.abs(np.asarray(ambiguity(x, ref5, dops)))
+    assert surf9.max() < 0.67 * surf5.max()
