@@ -98,6 +98,9 @@ def microbench_main(argv=None):
     ap.add_argument("--json", default=None)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="marginal-cost rounds per row (best is kept; "
+                         "relay stalls are one-sided)")
     args = ap.parse_args(argv)
 
     import jax
@@ -130,11 +133,11 @@ def microbench_main(argv=None):
             return time.perf_counter() - t0
 
         run(2)
-        # relay stalls are one-sided (DEVNOTES.md): take the best of 3
+        # relay stalls are one-sided (DEVNOTES.md): take the best of N
         # marginal-cost rounds, like the headline bench — single-round
         # numbers undersell by up to ~2x on a stalled pass
         dt, floor = None, float("inf")
-        for _ in range(3):
+        for _ in range(max(1, args.rounds)):
             dt_i, floor_i = marginal_cost(run, max(2, iters // 5), iters)
             floor = min(floor, floor_i)
             if dt_i is not None:
