@@ -155,11 +155,18 @@ class PacketModem:
         line_bits = self.coded_bits + self.inter_pad
         self.mod_pad = (-line_bits) % bps
         self.n_data_symbols = (line_bits + self.mod_pad) // bps
-        # ---- preamble: Gold QPSK, two identical halves
+        # ---- preamble: Gold QPSK, two identical halves. Constructed in
+        # HOST numpy: an eager device `modulate` here made the modem
+        # unconstructable in a TPU process (eager int conversions hit
+        # UNIMPLEMENTED on backends without eager complex/conversion
+        # support), and the preamble is a trace-time constant anyway.
         pre_bits = np.asarray(
             _seq.lte_gold(c.preamble_cinit, 2 * c.preamble_half)
         )
-        half = np.asarray(_mod.qpsk().modulate(pre_bits), dtype=np.complex64)
+        qtab = np.asarray(_mod.qpsk().table, dtype=np.complex64)
+        grouped = pre_bits.reshape(-1, 2).astype(np.int64)
+        idx = grouped[:, 0] + 2 * grouped[:, 1]  # LSB-first packing
+        half = qtab[idx]
         self.preamble = np.concatenate([half, half])
         self.burst_len = self.preamble.size + self.n_data_symbols
 

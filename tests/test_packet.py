@@ -157,3 +157,20 @@ def test_packet_through_channel_polar(rng):
     assert bool(ok)
     assert (np.asarray(bits) == payload).all()
     assert int(diag["offset"]) == 300
+
+
+def test_preamble_is_host_constant():
+    """PacketModem.__init__ must not run eager device ops: an eager
+    `modulate` made the modem unconstructable in a TPU process (eager
+    conversions hit UNIMPLEMENTED there). The preamble is built in host
+    numpy and must equal the modulated Gold halves exactly."""
+    from aether_primitives_tpu.ops import modulation as _mod
+    from aether_primitives_tpu.ops import sequence as _seq
+
+    pm = PacketModem(PacketConfig(payload_bits=64))
+    assert isinstance(pm.preamble, np.ndarray)
+    pre_bits = np.asarray(
+        _seq.lte_gold(pm.config.preamble_cinit, 2 * pm.config.preamble_half)
+    )
+    half = np.asarray(_mod.qpsk().modulate(pre_bits), dtype=np.complex64)
+    assert (pm.preamble == np.concatenate([half, half])).all()
