@@ -635,3 +635,22 @@ def test_pfb_os_pallas_synthesis_matches_xla(rng):
         assert got.shape == ref.shape
         rel = np.sqrt(np.mean(np.abs(got - ref) ** 2) / np.mean(np.abs(ref) ** 2))
         assert rel < 1e-6, (m, os_, rel)
+
+
+def test_pfb_synthesize_pallas_matches_xla(rng):
+    """The critically sampled synthesis overlap-add through the
+    resident-tile spread kernel equals the XLA slice-sum path."""
+    from aether_primitives_tpu.models.channelizer import (
+        pfb_synthesis_taps,
+        pfb_synthesize,
+    )
+
+    m, p = 256, 4
+    h = pfb_prototype(m, p)
+    g = pfb_synthesis_taps(h, m)
+    y = rand_c(rng, (37, m))
+    ref = np.asarray(pfb_synthesize(y, m, taps=g, pallas=False))
+    got = np.asarray(pfb_synthesize(y, m, taps=g, pallas="interpret"))
+    assert got.shape == ref.shape
+    rel = np.sqrt(np.mean(np.abs(got - ref) ** 2) / np.mean(np.abs(ref) ** 2))
+    assert rel < 1e-6, rel
