@@ -254,3 +254,30 @@ def eye(
     ax1.set_xlabel("time [symbols]")
     ax0.set_title(title)
     _finish(fig, file)
+
+
+def doa_spectrum(
+    angles,
+    spectrum,
+    title: str = "spatial spectrum",
+    estimates=None,
+    file: Optional[str] = None,
+):
+    """Spatial (MUSIC/Capon) pseudo-spectrum vs bearing, in dB relative
+    to the peak; optional vertical markers at estimated bearings.
+    Completes the observability family for :mod:`...models.doa` the way
+    :func:`spectrum` does for the frequency axis."""
+    ang = np.degrees(np.asarray(angles, dtype=np.float64))
+    s = np.abs(np.asarray(spectrum, dtype=np.float64))
+    s_db = 10.0 * np.log10(s / (s.max() + 1e-30) + 1e-12)
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(ang, s_db, lw=1.2)
+    if estimates is not None:
+        for e in np.degrees(np.atleast_1d(np.asarray(estimates, np.float64))):
+            ax.axvline(e, color="darkorange", ls="--", lw=1.0)
+    ax.set_xlabel("bearing [deg from broadside]")
+    ax.set_ylabel("power [dB rel. peak]")
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    _finish(fig, file)

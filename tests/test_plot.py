@@ -83,3 +83,16 @@ def test_eye_saves(tmp_path, rng):
 def test_eye_too_short():
     with pytest.raises(ValueError, match="too short"):
         plot.eye(np.zeros(4, np.complex64), sps=4)
+
+
+def test_doa_spectrum_plot(tmp_path):
+    from aether_primitives_tpu.models import doa
+
+    rng = np.random.default_rng(9)
+    x = (rng.normal(size=(8, 128)) + 1j * rng.normal(size=(8, 128))).astype(
+        np.complex64
+    )
+    ang, spec = doa.music_spectrum(doa.covariance(x), 2)
+    out = tmp_path / "doa.png"
+    plot.doa_spectrum(ang, spec, "doa", estimates=[0.1], file=str(out))
+    assert out.stat().st_size > 1000
