@@ -62,7 +62,7 @@ def _modulation_by_name(name: str):
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "rs" | "turbo" | "polar" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "rs" | "ccsds" | "turbo" | "polar" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
@@ -77,6 +77,11 @@ class PacketConfig:
     # correctable fade depth (2*errors + erasures <= n - k)
     rs_erasures: bool = False
     rs_erasure_threshold: float = 0.25
+    # concatenated CCSDS-style telemetry coding (fec="ccsds"): RS(rs_n,
+    # rs_k) outer + K=7 (171, 133) convolutional inner, with a bit
+    # block-interleaver between them so the Viterbi decoder's
+    # characteristic burst errors scatter across RS codeword symbols
+    ccsds_interleave_rows: int = 8
     # polar (fec="polar"): rate-1/2 codewords of length polar_n; list > 1
     # switches SC -> CA-SCL with a per-codeword inner CRC-8 (the 5G
     # decoder; the outer packet CRC stays the end-to-end verdict)
@@ -123,14 +128,23 @@ class PacketModem:
             self.ldpc_frames = -(-self.frame_bits // k)
             self.ldpc_pad = self.ldpc_frames * k - self.frame_bits
             self.coded_bits = self.ldpc_frames * h.shape[1]
-        elif c.fec == "rs":
+        elif c.fec in ("rs", "ccsds"):
             # byte-oriented: frame bits pad to whole GF(2^8) symbols, then
             # to whole RS(rs_n, rs_k) codewords
             self._rs = _rs.ReedSolomon(c.rs_n, c.rs_k)
             frame_bytes = -(-self.frame_bits // 8)
             self.rs_frames = -(-frame_bytes // c.rs_k)
             self.rs_pad_bits = self.rs_frames * c.rs_k * 8 - self.frame_bits
-            self.coded_bits = self.rs_frames * c.rs_n * 8
+            rs_bits = self.rs_frames * c.rs_n * 8
+            if c.fec == "ccsds":
+                # inner interleave (pad to whole rows) + conv rate 1/2
+                rows = max(1, c.ccsds_interleave_rows)
+                self.ccsds_pad = (-rs_bits) % rows
+                self.coded_bits = 2 * (
+                    rs_bits + self.ccsds_pad + _fec.DEFAULT_K - 1
+                )
+            else:
+                self.coded_bits = rs_bits
         elif c.fec == "turbo":
             # [sys n | par1 n | par2 n | tail_sys 3 | tail_par 3]
             self.coded_bits = 3 * self.frame_bits + 6
@@ -189,12 +203,18 @@ class PacketModem:
                 [line, jnp.zeros(self.ldpc_pad, jnp.uint8)]
             ).reshape(self.ldpc_frames, -1)
             coded = _ldpc.ldpc_encode(padded, g).reshape(-1)
-        elif c.fec == "rs":
+        elif c.fec in ("rs", "ccsds"):
             padded = jnp.concatenate(
                 [line, jnp.zeros(self.rs_pad_bits, jnp.uint8)]
             )
             syms = _rs.bits_to_symbols(padded).reshape(self.rs_frames, c.rs_k)
             coded = _rs.symbols_to_bits(self._rs.encode(syms)).reshape(-1)
+            if c.fec == "ccsds":
+                inner = jnp.concatenate(
+                    [coded, jnp.zeros(self.ccsds_pad, jnp.uint8)]
+                )
+                inner = _fec.interleave(inner, c.ccsds_interleave_rows)
+                coded = _fec.conv_encode(inner)
         elif c.fec == "turbo":
             sys_b, p1, p2, ts_b, tp_b = _turbo.turbo_encode(line)
             coded = jnp.concatenate([sys_b, p1, p2, ts_b, tp_b])
@@ -274,8 +294,20 @@ class PacketModem:
                     llr.reshape(self.ldpc_frames, -1), h, iters=30
                 )
             line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
-        elif c.fec == "rs":
-            hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols
+        elif c.fec in ("rs", "ccsds"):
+            if c.fec == "ccsds":
+                # inner Viterbi (soft) -> deinterleave -> outer RS (hard):
+                # the deinterleaver scatters the Viterbi decoder's burst
+                # errors across RS codeword symbols
+                inner_bits = _fec.viterbi_decode(llr)
+                inner_bits = _fec.deinterleave(
+                    inner_bits, c.ccsds_interleave_rows
+                )
+                rs_len = self.rs_frames * c.rs_n * 8
+                hard = inner_bits[:rs_len]
+                llr = _fec.hard_to_llr(hard)  # for the erasure heuristic
+            else:
+                hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols
             syms = _rs.bits_to_symbols(hard).reshape(self.rs_frames, c.rs_n)
             if c.rs_erasures:
                 rel = jnp.min(

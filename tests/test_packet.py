@@ -174,3 +174,31 @@ def test_preamble_is_host_constant():
     )
     half = np.asarray(_mod.qpsk().modulate(pre_bits), dtype=np.complex64)
     assert (pm.preamble == np.concatenate([half, half])).all()
+
+
+def test_ccsds_concatenated_fec(rng):
+    """CCSDS-style telemetry coding: RS(255,223) outer + K=7 (171,133)
+    convolutional inner with a bit interleaver between — the concatenated
+    deep-space standard, composed from the framework's verified pieces.
+    The interleaver scatters the Viterbi decoder's burst errors across RS
+    symbols, so a deep fade that kills the conv-only link decodes clean."""
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="ccsds"))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    bits, ok, _ = pm.loopback(payload)
+    assert bool(ok) and (np.asarray(bits) == payload).all()
+
+    def faded(modem, fade_syms=60, sigma=0.25):
+        x = np.asarray(modem.tx(payload), dtype=np.complex64).copy()
+        lo = modem.preamble.size + 40
+        x[lo : lo + fade_syms] *= 0.05
+        x += (
+            sigma * (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape))
+        ).astype(np.complex64)
+        return x.astype(np.complex64)
+
+    bits2, ok2, _ = pm.rx(faded(pm))
+    assert bool(ok2) and (np.asarray(bits2) == payload).all()
+
+    pmv = PacketModem(PacketConfig(payload_bits=960, fec="viterbi"))
+    _bv, okv, _ = pmv.rx(faded(pmv))
+    assert not bool(okv)  # the burst defeats the inner code alone
