@@ -28,11 +28,14 @@ from ..types import cf32
 
 __all__ = [
     "steering_vector",
+    "steering_vector_pos",
     "covariance",
     "spatial_smoothing",
     "music_spectrum",
+    "music_spectrum_2d",
     "capon_spectrum",
     "estimate_doa",
+    "estimate_doa_2d",
     "beamform",
     "mvdr_weights",
 ]
@@ -45,6 +48,34 @@ def steering_vector(n_elem: int, theta, d_lambda: float = 0.5) -> jnp.ndarray:
     th = jnp.asarray(theta, jnp.float32)
     m = jnp.arange(n_elem, dtype=jnp.float32)
     phase = -2.0 * jnp.pi * d_lambda * jnp.sin(th)[..., None] * m
+    return jnp.exp(1j * phase.astype(jnp.float32)).astype(cf32)
+
+
+def steering_vector_pos(positions, az, el=0.0) -> jnp.ndarray:
+    """Steering vector(s) for an ARBITRARY array geometry.
+
+    ``positions [M, 2 or 3]`` element coordinates in WAVELENGTHS
+    (x = "right", y = boresight, z = "up"); ``az`` azimuth from boresight
+    toward +x, ``el`` elevation toward +z (radians; broadcastable).
+    ``a_m = e^{-2 pi i p_m . u(az, el)}`` with unit direction
+    ``u = (sin az cos el, cos az cos el, sin el)``. A ULA on the x axis
+    reproduces :func:`steering_vector` (tested)."""
+    p = np.asarray(positions, np.float32)
+    if p.ndim != 2 or p.shape[1] not in (2, 3):
+        raise ValueError("positions must be [M, 2] or [M, 3] (wavelengths)")
+    if p.shape[1] == 2:
+        p = np.concatenate([p, np.zeros((p.shape[0], 1), np.float32)], axis=1)
+    az = jnp.asarray(az, jnp.float32)
+    el = jnp.asarray(el, jnp.float32)
+    u = jnp.stack(
+        [
+            jnp.sin(az) * jnp.cos(el),
+            jnp.cos(az) * jnp.cos(el),
+            jnp.sin(el) * jnp.ones_like(az),
+        ],
+        axis=-1,
+    )  # [.., 3]
+    phase = -2.0 * jnp.pi * jnp.einsum("...c,mc->...m", u, jnp.asarray(p))
     return jnp.exp(1j * phase.astype(jnp.float32)).astype(cf32)
 
 
@@ -105,6 +136,71 @@ def music_spectrum(
     )  # [.., G, M-K]
     denom = jnp.sum(jnp.abs(proj) ** 2, axis=-1)
     return jnp.asarray(grid), 1.0 / (denom + 1e-12)
+
+
+def music_spectrum_2d(
+    r,
+    n_sources: int,
+    positions,
+    n_az: int = 181,
+    n_el: int = 61,
+    el_max: float = np.pi / 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Joint azimuth/elevation MUSIC for an arbitrary (planar/3-D) array.
+
+    Returns ``(az_grid [Ga], el_grid [Ge], spectrum [.., Ga, Ge])`` —
+    the noise-subspace projection evaluated on the full angle grid as ONE
+    ``[Ga*Ge, M] x [M, M-K]`` matmul. Needs a 2-D-capable geometry: a
+    purely linear array cannot separate elevation (cone ambiguity)."""
+    r = jnp.asarray(r, cf32)
+    m = r.shape[-1]
+    _w, v = jnp.linalg.eigh(r)
+    en = v[..., : m - n_sources]
+    az = np.linspace(-np.pi / 2 * 0.98, np.pi / 2 * 0.98, n_az).astype(np.float32)
+    el = np.linspace(-el_max, el_max, n_el).astype(np.float32)
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    a = steering_vector_pos(
+        positions, jnp.asarray(azg.ravel()), jnp.asarray(elg.ravel())
+    )  # [Ga*Ge, M]
+    proj = jnp.matmul(jnp.conj(a), en, precision=jax.lax.Precision.HIGHEST)
+    denom = jnp.sum(jnp.abs(proj) ** 2, axis=-1)
+    spec = (1.0 / (denom + 1e-12)).reshape(
+        denom.shape[:-1] + (n_az, n_el)
+    )
+    return jnp.asarray(az), jnp.asarray(el), spec
+
+
+def estimate_doa_2d(
+    x,
+    n_sources: int,
+    positions,
+    n_az: int = 181,
+    n_el: int = 61,
+    el_max: float = np.pi / 3,
+) -> jnp.ndarray:
+    """``[K, 2]`` (azimuth, elevation) bearings from snapshots
+    ``x [M, T]`` of an arbitrary-geometry array, via 2-D MUSIC: top-K
+    local maxima of the az/el surface (3x3 neighborhood), sorted by
+    azimuth."""
+    az, el, spec = music_spectrum_2d(
+        covariance(x), n_sources, positions, n_az, n_el, el_max
+    )
+    s = spec
+    pad = jnp.pad(s, [(1, 1), (1, 1)], constant_values=-jnp.inf)
+    is_peak = jnp.ones_like(s, dtype=bool)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            nb = pad[1 + di : 1 + di + s.shape[0], 1 + dj : 1 + dj + s.shape[1]]
+            is_peak = is_peak & (s >= nb)
+    masked = jnp.where(is_peak, s, -jnp.inf).reshape(-1)
+    _vals, idx = jax.lax.top_k(masked, n_sources)
+    ai = idx // el.shape[0]
+    ei = idx % el.shape[0]
+    pairs = jnp.stack([az[ai], el[ei]], axis=-1)  # [K, 2]
+    order = jnp.argsort(pairs[:, 0])
+    return pairs[order]
 
 
 def capon_spectrum(

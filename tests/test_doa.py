@@ -94,3 +94,43 @@ def test_batched_covariance_and_spectrum(rng):
     assert r.shape == (2, 8, 8)
     ang, spec = doa.music_spectrum(r, 2)
     assert spec.shape == (2, ang.shape[0])
+
+
+def test_steering_vector_pos_matches_ula():
+    pos = np.stack([0.5 * np.arange(8), np.zeros(8)], axis=1)  # x-axis ULA
+    a1 = np.asarray(doa.steering_vector(8, 0.3))
+    a2 = np.asarray(doa.steering_vector_pos(pos, 0.3, 0.0))
+    assert np.allclose(a1, a2, atol=1e-6)
+    with pytest.raises(ValueError, match="positions"):
+        doa.steering_vector_pos(np.zeros((4,)), 0.1)
+
+
+def test_2d_music_l_array(rng):
+    """A 9-element L-shaped (x-z) array separates azimuth AND elevation:
+    two sources at distinct (az, el) recovered within the grid step."""
+    px = np.stack([0.5 * np.arange(5), np.zeros(5), np.zeros(5)], axis=1)
+    pz = np.stack(
+        [np.zeros(4), np.zeros(4), 0.5 * np.arange(1, 5)], axis=1
+    )
+    pos3 = np.concatenate([px, pz])
+    true_src = [
+        (np.deg2rad(-15.0), np.deg2rad(10.0)),
+        (np.deg2rad(30.0), np.deg2rad(-20.0)),
+    ]
+    T = 600
+    t = np.arange(T)
+    x = np.zeros((9, T), np.complex64)
+    for az0, el0 in true_src:
+        a = np.asarray(doa.steering_vector_pos(pos3, az0, el0))
+        x += (
+            a[:, None]
+            * np.exp(2j * np.pi * rng.uniform(0.05, 0.45) * t)[None, :]
+        )
+    x += 0.2 * (
+        rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+    ).astype(np.complex64)
+    est = np.rad2deg(
+        np.asarray(doa.estimate_doa_2d(x.astype(np.complex64), 2, pos3))
+    )
+    want = np.rad2deg(np.asarray(sorted(true_src)))
+    assert np.allclose(est, want, atol=2.5), (est, want)
