@@ -403,3 +403,112 @@ class OfdmEqualizer:
         return (jnp.asarray(spec, dtype=cf32) / jnp.asarray(h, dtype=cf32)).astype(
             cf32
         )
+
+
+def code_tracking_loop(
+    x,
+    chips,
+    sps: int = 2,
+    loop_bw: float = 0.005,
+    damping: float = 0.7071,
+    n_dwells: Optional[int] = None,
+):
+    """Early-late delay-locked loop (DLL) for DSSS/GNSS code tracking —
+    returns ``(prompt, tau_trace)``: one complex prompt correlation per
+    code period (the despread symbol stream; its angle carries the data
+    and residual carrier) plus the tracked code phase in samples.
+
+    The spreading-code complement of :func:`gardner_loop`: after
+    acquisition (:func:`~aether_primitives_tpu.models.caf.ambiguity`
+    over e.g. :func:`~aether_primitives_tpu.ops.sequence.gps_ca_code`)
+    pins the code phase to a sample, a drifting chip clock (TCXO ppm
+    error, Doppler time dilation) needs feedback to hold it. Per dwell
+    the scan fetches one code period of samples, applies the COMMON
+    fractional shift with a cubic 4-tap kernel (one vectorized pass —
+    every sample in a dwell shares the loop's tau), despreads at three
+    half-chip-spaced lags, and drives a second-order loop with the
+    normalized noncoherent early-late power discriminator
+    ``(|E|^2 - |L|^2) / (|E|^2 + |L|^2)`` — carrier-phase and CFO
+    insensitive, so it runs before any carrier recovery.
+
+    ``chips``: the code in {0,1} or ±1, length L (one dwell = ``L*sps``
+    samples nominal); ``sps`` integer samples/chip >= 2; ``loop_bw`` in
+    cycles/dwell. Alignment contract: slice the capture so the code's
+    first chip begins ~``sps`` samples in (one chip of lead-in — the
+    acquisition's code phase gives the slice point); the loop then locks
+    with ``tau`` near 0 and follows clock drift from there. Pull-in
+    range is ~±half a chip and the slew limit is set by ``loop_bw``
+    (drift per dwell must stay well under ``kp * sps/2`` — any real
+    TCXO/Doppler is orders below it). 1-D input; vmap for batches.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    if x.ndim != 1:
+        raise ValueError("code_tracking_loop takes one stream; vmap batches")
+    sps = int(sps)
+    if sps < 2:
+        raise ValueError("DLL needs >= 2 samples/chip (half-chip lags)")
+    c = np.asarray(chips)
+    code = np.where(c > 0.5, 1.0, -1.0).astype(np.float32) if c.min() >= 0 \
+        else c.astype(np.float32)
+    l_chips = code.shape[-1]
+    dwell = l_chips * sps
+    half = sps // 2
+    n = int(x.shape[-1])
+    if n_dwells is None:
+        # leave a margin for the fractional window and clock drift
+        n_dwells = max((n - 2 * sps - 8) // dwell - 1, 1)
+
+    zeta = float(damping)
+    theta = float(loop_bw) / (zeta + 1.0 / (4.0 * zeta))
+    d = 1.0 + 2.0 * zeta * theta + theta * theta
+    kp = jnp.float32(4.0 * zeta * theta / d)
+    ki = jnp.float32(4.0 * theta * theta / d)
+
+    re = jnp.real(x)
+    im = jnp.imag(x)
+    code_j = jnp.asarray(code)
+    win = dwell + 2 * half + 4  # E..L span + cubic kernel margin
+    nmax = jnp.float32(n - win - 2)
+
+    def despread(seg_r, seg_i, off):
+        cols_r = jax.lax.dynamic_slice(seg_r, (off,), (dwell,)).reshape(
+            l_chips, sps
+        )[:, 0]
+        cols_i = jax.lax.dynamic_slice(seg_i, (off,), (dwell,)).reshape(
+            l_chips, sps
+        )[:, 0]
+        return jnp.dot(code_j, cols_r), jnp.dot(code_j, cols_i)
+
+    def step(carry, k):
+        tau, rate = carry
+        base = k.astype(jnp.float32) * dwell + tau
+        base = jnp.clip(base, 1.0, nmax)
+        i0 = jnp.floor(base).astype(jnp.int32)
+        mu = base - i0.astype(jnp.float32)
+        wr = jax.lax.dynamic_slice(re, (i0 - 1,), (win,))
+        wi = jax.lax.dynamic_slice(im, (i0 - 1,), (win,))
+        # common fractional shift: cubic Lagrange on the whole window
+        c0 = -mu * (mu - 1.0) * (mu - 2.0) / 6.0
+        c1 = (mu + 1.0) * (mu - 1.0) * (mu - 2.0) / 2.0
+        c2 = -(mu + 1.0) * mu * (mu - 2.0) / 2.0
+        c3 = (mu + 1.0) * mu * (mu - 1.0) / 6.0
+        sr = (c0 * wr[:-3] + c1 * wr[1:-2] + c2 * wr[2:-1] + c3 * wr[3:])
+        si = (c0 * wi[:-3] + c1 * wi[1:-2] + c2 * wi[2:-1] + c3 * wi[3:])
+        er, ei = despread(sr, si, 0)          # early  (-half samples)
+        pr, pi = despread(sr, si, half)       # prompt
+        lr, li = despread(sr, si, 2 * half)   # late   (+half samples)
+        pe = er * er + ei * ei
+        pl = lr * lr + li * li
+        # > 0 when the EARLY lag matches best, i.e. the signal's code sits
+        # earlier than the local prompt -> move the local window earlier
+        err = (pe - pl) / (pe + pl + 1e-12)
+        rate_new = rate - ki * err * jnp.float32(half)
+        tau_new = tau + rate_new - kp * err * jnp.float32(half)
+        return (tau_new, rate_new), (jax.lax.complex(pr, pi), tau + jnp.float32(half))
+
+    ks = jnp.arange(int(n_dwells), dtype=jnp.int32)
+    # geometric equilibrium for the documented alignment (code phase 0 at
+    # sample sps): prompt lag sits half a chip into each chip
+    tau0 = jnp.float32(sps - half)
+    _, (prompt, tau_trace) = jax.lax.scan(step, (tau0, jnp.float32(0.0)), ks)
+    return prompt, tau_trace
