@@ -452,25 +452,42 @@ def bench_main(argv=None):
 
     dev = jax.devices()[0]
     chain = RxChain(RxChainConfig(fft_len=2048, decimation=4))
-    step = chain.jitted(donate=False, split_boundary=True)
+    # the headline is the STREAMING step (state = FIR history threaded
+    # block-to-block, models/modem.py:streaming_step): identical compute
+    # graph to the stateless step — the history lands in the fused op's
+    # existing wrap-correction matmul — but it is the continuous-capture
+    # production form, and the gate below exercises the block boundary.
+    step = chain.jitted_streaming(donate_state=True, split_boundary=True)
     digest = jax.jit(lambda bits: jnp.sum(bits.astype(jnp.float32)))
 
     rng = np.random.default_rng(815)
     n = 1 << 22  # one shape for gate + timing: one jit compile total
 
     # -- correctness gate ---------------------------------------------------
-    # Two conditions, both tied to the framework's own numeric contract
-    # (the reference's assert_evm default, /root/reference/src/lib.rs:29-31):
-    #   1. demod bits vs the float64 reference chain: agreement >= 0.99999
-    #      (HIGH-precision einsums may flip only near-zero-magnitude bins);
-    #   2. the PRE-DEMOD spectrum vs the float64 reference spectrum:
-    #      RMS EVM <= -80 dB — so a precision regression cannot hide behind
-    #      sign-invariant bit agreement.
-    x_small = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
-    blk_small = Split(x_small.real.copy(), x_small.imag.copy())
-    got = np.asarray(step(blk_small))
+    # TWO CONSECUTIVE BLOCKS of one contiguous capture through the
+    # streaming step (VERDICT r3 item 2: boundary handling is inside the
+    # headline's correctness check), three conditions tied to the
+    # framework's numeric contract (the reference's assert_evm default,
+    # /root/reference/src/lib.rs:29-31):
+    #   1. demod bits of BOTH blocks vs the float64 reference chain run on
+    #      the full 2-block capture: agreement >= 0.99999 (HIGH-precision
+    #      einsums may flip only near-zero-magnitude bins);
+    #   2. the PRE-DEMOD spectrum of block 2 (whose first K-1 samples
+    #      depend on the threaded history) vs the float64 reference:
+    #      RMS EVM <= -80 dB — a precision OR boundary regression cannot
+    #      hide behind sign-invariant bit agreement.
+    x_full = (rng.normal(size=2 * n)
+              + 1j * rng.normal(size=2 * n)).astype(np.complex64)
+    k = chain.taps.shape[-1]
+    state = chain.init_state_split()
+    got_blocks = []
+    for i in range(2):
+        xb = x_full[i * n : (i + 1) * n]
+        bits, state = step(Split(xb.real.copy(), xb.imag.copy()), state)
+        got_blocks.append(np.asarray(bits))
+    got = np.concatenate(got_blocks)
     ref_spec = numpy_reference_spectra(
-        x_small, chain.taps, chain.config.decimation, chain.config.fft_len
+        x_full, chain.taps, chain.config.decimation, chain.config.fft_len
     )
     ref_bits = np.stack(
         [(ref_spec.real < 0), (ref_spec.imag < 0)], axis=-1
@@ -478,14 +495,25 @@ def bench_main(argv=None):
     agree = float((got == ref_bits).mean())
 
     spec_fn = jax.jit(
-        lambda blk: (lambda sp: (jnp.real(sp), jnp.imag(sp)))(
-            chain.spectra(blk.to_complex())
+        lambda blk, h: (lambda sp: (jnp.real(sp), jnp.imag(sp)))(
+            chain._active(
+                chain._frames_spectra(blk.to_complex(), history=h.to_complex())
+            )
         )
     )
-    sr, si = (np.asarray(v) for v in spec_fn(blk_small))
-    err2 = (sr - ref_spec.real) ** 2 + (si - ref_spec.imag) ** 2
+    x2 = x_full[n:]
+    hist = x_full[n - (k - 1) : n]
+    sr, si = (
+        np.asarray(v)
+        for v in spec_fn(
+            Split(x2.real.copy(), x2.imag.copy()),
+            Split(hist.real.copy(), hist.imag.copy()),
+        )
+    )
+    ref_spec2 = ref_spec[ref_spec.shape[0] // 2 :]
+    err2 = (sr - ref_spec2.real) ** 2 + (si - ref_spec2.imag) ** 2
     evm_rms_db = float(
-        10.0 * np.log10(err2.mean() / (np.abs(ref_spec) ** 2).mean())
+        10.0 * np.log10(err2.mean() / (np.abs(ref_spec2) ** 2).mean())
     )
     if agree < 0.99999 or evm_rms_db > -80.0:
         print(json.dumps({
@@ -502,6 +530,8 @@ def bench_main(argv=None):
         sys.exit(1)
 
     # -- throughput ---------------------------------------------------------
+    # streaming form: the FIR-history state threads call-to-call on device
+    # (donated each step), exactly how a production continuous capture runs
     nblocks = 4
     blocks = [
         jax.device_put(
@@ -513,15 +543,17 @@ def bench_main(argv=None):
         )
         for _ in range(nblocks)
     ]
+    state_box = [state]  # donated each call; always use the newest
+    _bits = None
     for b in blocks:  # warm: compile + first executions
-        step(b)
-    float(np.asarray(digest(step(blocks[0]))))
+        _bits, state_box[0] = step(b, state_box[0])
+    float(np.asarray(digest(_bits)))
 
     def run(iters: int) -> float:
         t0 = time.perf_counter()
         out = None
         for i in range(iters):
-            out = step(blocks[i % nblocks])
+            out, state_box[0] = step(blocks[i % nblocks], state_box[0])
         float(np.asarray(digest(out)))  # force completion through the relay
         return time.perf_counter() - t0
 
@@ -553,12 +585,12 @@ def bench_main(argv=None):
         "unit": "Msamples/s",
         "vs_baseline": round(msps / TARGET_MSPS_PER_CHIP, 2),
         "detail": {
-            "chain": f"fir{chain.taps.shape[-1]}+dec4+fft2048+qpsk_demod",
+            "chain": f"fir{chain.taps.shape[-1]}+dec4+fft2048+qpsk_demod (streaming)",
             "block_samples": n,
             "ms_per_block": round(dt * 1e3, 3),
             "correctness_bit_agreement": agree,
             "spectrum_evm_rms_db": round(evm_rms_db, 1),
-            "gate": "bit_agreement>=0.99999 and evm_rms_db<=-80",
+            "gate": "2-consecutive-block streaming: bit_agreement>=0.99999 and block-2 evm_rms_db<=-80 (FIR boundary inside the check)",
             "device": str(dev),
         },
     }))

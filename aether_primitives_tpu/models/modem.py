@@ -322,6 +322,81 @@ class RxChain:
             return self._bits_fast(x)
         return self.demod_spectra(self.spectra(x))
 
+    # -------------------------------------------------- streaming state
+
+    def init_state(self, batch_shape=()) -> jnp.ndarray:
+        """Zero FIR history ``[..., K-1]``: feeding a capture's FIRST block
+        with this state makes :meth:`streaming_step` equal the causal
+        :meth:`step` (which zero-pads before sample 0)."""
+        k = self.taps.shape[-1]
+        return jnp.zeros(tuple(batch_shape) + (max(k - 1, 0),), cf32)
+
+    def streaming_step(self, block, state):
+        """``(block, state) -> (bits, new_state)`` — :meth:`step` with the
+        FIR history threaded block-to-block.
+
+        :meth:`step` restarts the filter at every call, so successive
+        blocks of ONE contiguous capture get ``K-1`` corrupted samples per
+        boundary; this is the continuous form (the reference's pipeline
+        contract, reference src/pipeline.rs:70-79): ``state`` is the
+        previous block's last ``K-1`` full-rate samples
+        (:meth:`init_state` before the first block), and N successive
+        calls are bit-exact to one contiguous :meth:`step`
+        (tests/test_models.py). Same compute graph as :meth:`step` — the
+        history enters the fused op's existing wrap-correction matmul
+        (ops/fir.py:600-627), so streaming costs nothing.
+
+        Blocks must keep one static shape (one compile); state stays on
+        device between calls, serializing nothing on the host.
+        """
+        x = jnp.asarray(block, dtype=cf32)
+        k = self.taps.shape[-1]
+        h = jnp.asarray(state, dtype=cf32) if k > 1 else None
+        if self._sign_fast_path_ok():
+            bits = self._bits_fast(x, history=h)
+        else:
+            bits = self._demod_frames(self._frames_spectra(x, history=h))
+        if k > 1:
+            new_state = x[..., x.shape[-1] - (k - 1):]
+        else:
+            new_state = jnp.asarray(state, dtype=cf32)
+        return bits, new_state
+
+    def streaming_step_split(self, block_split, state_split):
+        """:meth:`streaming_step` over f32 :class:`~aether_primitives_tpu.
+        boundary.Split` block AND state — the boundary-safe streaming
+        signature (state crosses call boundaries as two f32 planes)."""
+        from ..boundary import Split
+
+        if not isinstance(block_split, Split) or not isinstance(
+            state_split, Split
+        ):
+            raise TypeError("streaming_step_split expects Split block/state")
+        bits, ns = self.streaming_step(
+            block_split.to_complex(), state_split.to_complex()
+        )
+        return bits, Split(jnp.real(ns), jnp.imag(ns))
+
+    def init_state_split(self, batch_shape=()):
+        """:meth:`init_state` as a :class:`~aether_primitives_tpu.boundary.
+        Split` (for :meth:`streaming_step_split`)."""
+        from ..boundary import Split
+
+        k = self.taps.shape[-1]
+        z = np.zeros(tuple(batch_shape) + (max(k - 1, 0),), np.float32)
+        return Split(z, z.copy())
+
+    def jitted_streaming(self, donate_state: bool = True,
+                         split_boundary: bool = False):
+        """Compile :meth:`streaming_step` (optionally donating the state
+        buffer — safe because each call consumes the previous call's
+        state exactly once)."""
+        fn = (
+            self.streaming_step_split if split_boundary
+            else self.streaming_step
+        )
+        return jax.jit(fn, donate_argnums=(1,) if donate_state else ())
+
     def _shard_bits(self, x, axis_name):
         """Per-shard block -> bits (halo + fast path when applicable)."""
         k = self.taps.shape[-1]

@@ -266,6 +266,110 @@ class StreamExecutor:
         return out
 
 
+class StatefulExecutor:
+    """Bounded-depth executor for STATEFUL streaming steps — chains whose
+    blocks are successive spans of one contiguous capture and must thread
+    carry-over state (e.g. FIR history) block-to-block.
+
+    ``step(block, state) -> (out, new_state)`` (e.g.
+    :meth:`~aether_primitives_tpu.models.modem.RxChain.streaming_step`);
+    ``init_state`` is the pre-capture state (zeros for a causal chain).
+    This is the continuous-stream form of the reference's pipeline
+    (reference src/pipeline.rs:70-79: each worker loops over successive
+    blocks of one stream) that the stateless :class:`StreamExecutor`
+    cannot express — its chain restarts per block.
+
+    The state dependency does NOT serialize the host: state lives on
+    device, ``send`` dispatches asynchronously, and the device queue
+    resolves block *i+1*'s dependence on block *i*'s state while the host
+    stages block *i+2* (same double buffering as :class:`StreamExecutor`,
+    minus cross-block reordering, which a stateful chain forbids anyway).
+    The state buffer is donated back to XLA each step (each call consumes
+    the previous state exactly once), so no state garbage accumulates.
+    """
+
+    MAX_BACKLOG_FACTOR = StreamExecutor.MAX_BACKLOG_FACTOR
+
+    def __init__(
+        self,
+        step: Callable[[Any, Any], Any],
+        init_state,
+        name: str = "stream",
+        depth: int = 2,
+        donate_state: bool = True,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        report_every_s: float = 1.0,
+        printer: Optional[Callable[[str], None]] = print,
+    ):
+        self.depth = max(1, int(depth))
+        self.sharding = sharding
+        self._fn = jax.jit(
+            step, donate_argnums=(1,) if donate_state else ()
+        )
+        self._state = init_state
+        self._inflight: deque = deque()
+        self._closed = False
+        self.chain_stats = StageStats(
+            name, report_every_s=report_every_s, printer=printer
+        )
+
+    def send(self, block) -> None:
+        """Feed the next contiguous block (same backpressure contract as
+        :meth:`StreamExecutor.send`)."""
+        if self._closed:
+            raise RuntimeError("Executor is closed")
+        if len(self._inflight) >= self.depth * self.MAX_BACKLOG_FACTOR:
+            raise RuntimeError(
+                "in-flight backlog exceeded: drain results with recv() "
+                "(or use run(), which interleaves send/recv)"
+            )
+        if len(self._inflight) >= self.depth:
+            jax.block_until_ready(self._inflight[-self.depth][0])
+        t0 = time.monotonic()
+        x = block if isinstance(block, jax.Array) else jax.tree.map(
+            jnp.asarray, block
+        )
+        if self.sharding is not None:
+            x = jax.device_put(x, self.sharding)
+        nsamp = int(
+            sum(np.prod(l.shape) for l in jax.tree.leaves(x))
+        )
+        y, self._state = self._fn(x, self._state)
+        self._inflight.append((y, t0, nsamp))
+
+    def recv(self):
+        """Wait for and return the oldest in-flight result."""
+        if not self._inflight:
+            raise IndexError("No blocks in flight")
+        y, t0, nsamp = self._inflight.popleft()
+        y = jax.block_until_ready(y)
+        self.chain_stats.record(time.monotonic() - t0, samples=nsamp)
+        return y
+
+    @property
+    def state(self):
+        """Current carry state (e.g. to checkpoint / resume a stream)."""
+        return self._state
+
+    def close(self) -> None:
+        self._closed = True
+
+    def __iter__(self):
+        while self._inflight:
+            yield self.recv()
+
+    def run(self, blocks) -> list:
+        """Push all contiguous blocks through in order; returns all results
+        (keeps at most ``depth`` blocks in flight)."""
+        out = []
+        for b in blocks:
+            if len(self._inflight) >= self.depth:
+                out.append(self.recv())
+            self.send(b)
+        out.extend(self)
+        return out
+
+
 # --------------------------------------------------------------------------
 # Block pool (reference src/pool.rs)
 # --------------------------------------------------------------------------

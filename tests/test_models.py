@@ -354,3 +354,89 @@ def test_step_split_and_plane_op_match_reference():
     b1 = np.asarray(fast._bits_from_planes(zr1, zi1))
     b2 = np.asarray(fast._bits_from_planes(zr2, zi2))
     assert (np.concatenate([b1, b2]) == ref).mean() == 1.0
+
+
+# ------------------------------------------------------- streaming state
+
+
+@pytest.mark.parametrize("mode", ["fused", "os", "shift_add"])
+def test_rx_chain_streaming_equals_contiguous(mode):
+    # VERDICT r3 item 2: N successive streaming_step blocks of one
+    # contiguous capture must be bit-exact to the single contiguous step
+    # (the per-block `step` corrupts K-1 samples per boundary).
+    rng = np.random.default_rng(21)
+    nblk, nblocks = 2 * 256 * 4, 4
+    x = (rng.normal(size=nblk * nblocks)
+         + 1j * rng.normal(size=nblk * nblocks)).astype(np.complex64)
+    chain = RxChain(RxChainConfig(fft_len=256, decimation=4, fir_mode=mode))
+    contiguous = np.asarray(chain.step(x))
+    state = chain.init_state()
+    outs = []
+    step = jax.jit(chain.streaming_step)
+    for i in range(nblocks):
+        bits, state = step(x[i * nblk : (i + 1) * nblk], state)
+        outs.append(np.asarray(bits))
+    streamed = np.concatenate(outs)
+    assert (streamed == contiguous).all()
+    # and per-block restart really does differ at the boundaries (the
+    # corruption streaming exists to fix): K>1 taps, random data
+    per_block = np.concatenate(
+        [np.asarray(chain.step(x[i * nblk : (i + 1) * nblk]))
+         for i in range(nblocks)]
+    )
+    assert (per_block != contiguous).any()
+
+
+def test_rx_chain_streaming_qam16_and_batched():
+    # non-sign-fast-path modulation + leading batch axis
+    rng = np.random.default_rng(22)
+    nblk, nblocks, b = 4 * 128 * 2, 3, 2
+    x = (rng.normal(size=(b, nblk * nblocks))
+         + 1j * rng.normal(size=(b, nblk * nblocks))).astype(np.complex64)
+    chain = RxChain(
+        RxChainConfig(fft_len=128, decimation=4, modulation="qam16")
+    )
+    contiguous = np.asarray(chain.step(x))
+    state = chain.init_state((b,))
+    outs = []
+    for i in range(nblocks):
+        bits, state = chain.streaming_step(x[..., i * nblk : (i + 1) * nblk], state)
+        outs.append(np.asarray(bits))
+    streamed = np.concatenate(outs, axis=-1)
+    assert (streamed == contiguous).all()
+
+
+def test_rx_chain_streaming_split_boundary():
+    rng = np.random.default_rng(23)
+    nblk, nblocks = 2 * 256 * 4, 3
+    x = (rng.normal(size=nblk * nblocks)
+         + 1j * rng.normal(size=nblk * nblocks)).astype(np.complex64)
+    chain = RxChain(RxChainConfig(fft_len=256, decimation=4))
+    contiguous = np.asarray(chain.step(x))
+    state = chain.init_state_split()
+    step = chain.jitted_streaming(split_boundary=True)
+    outs = []
+    for i in range(nblocks):
+        blk = x[i * nblk : (i + 1) * nblk]
+        bits, state = step(split(blk), state)
+        outs.append(np.asarray(bits))
+    assert (np.concatenate(outs) == contiguous).all()
+
+
+def test_stateful_executor_contiguous_capture():
+    from aether_primitives_tpu.parallel.streaming import StatefulExecutor
+
+    rng = np.random.default_rng(24)
+    nblk, nblocks = 2 * 256 * 4, 6
+    x = (rng.normal(size=nblk * nblocks)
+         + 1j * rng.normal(size=nblk * nblocks)).astype(np.complex64)
+    chain = RxChain(RxChainConfig(fft_len=256, decimation=4))
+    ex = StatefulExecutor(
+        chain.streaming_step, chain.init_state(), depth=2, printer=None
+    )
+    blocks = [x[i * nblk : (i + 1) * nblk] for i in range(nblocks)]
+    outs = ex.run(blocks)
+    ex.close()
+    streamed = np.concatenate([np.asarray(o) for o in outs])
+    assert (streamed == np.asarray(chain.step(x))).all()
+    assert ex.chain_stats.total_n == nblocks
