@@ -202,3 +202,45 @@ def test_ccsds_concatenated_fec(rng):
     pmv = PacketModem(PacketConfig(payload_bits=960, fec="viterbi"))
     _bv, okv, _ = pmv.rx(faded(pmv))
     assert not bool(okv)  # the burst defeats the inner code alone
+
+
+# ------------------------------------------------------- batched burst RX
+
+
+@pytest.mark.parametrize("fec", ["viterbi", "ldpc11n", "rs", "ccsds"])
+def test_rx_batch_bit_identical_to_per_burst(rng, fec):
+    # VERDICT r3 item 1: rx_batch over [B, window] must be bit-identical
+    # to per-window rx — different delay / CFO / payload per burst
+    pm = PacketModem(PacketConfig(payload_bits=480, fec=fec))
+    b = 4
+    payloads = rng.integers(0, 2, (b, 480)).astype(np.uint8)
+    caps = np.stack([
+        _channel(
+            np.asarray(pm.tx(payloads[i])), rng,
+            delay=100 + 137 * i, cfo=(i - 1.5) * 4e-4, snr_sigma=0.08,
+            capture_len=8192,
+        )
+        for i in range(b)
+    ])
+    bits_b, ok_b, diag_b = pm.rx_batch(caps)
+    bits_b, ok_b = np.asarray(bits_b), np.asarray(ok_b)
+    for i in range(b):
+        bits_i, ok_i, diag_i = pm.rx(caps[i])
+        assert (bits_b[i] == np.asarray(bits_i)).all(), fec
+        assert bool(ok_b[i]) == bool(ok_i), fec
+        assert int(diag_b["offset"][i]) == int(diag_i["offset"])
+    assert ok_b.all()  # channel is clean enough that every burst decodes
+    assert (bits_b == payloads).all()
+
+
+def test_rx_batch_shape_check():
+    pm = PacketModem(PacketConfig(payload_bits=480, fec="none"))
+    with pytest.raises(ValueError, match="B, window"):
+        pm.rx_batch(np.zeros(4096, np.complex64))
+
+
+def test_ccsds_rejects_erasure_mode():
+    # advisor finding r3: with hard inner-decoder bits every reliability is
+    # identical, so erasure flagging could never engage — reject the combo
+    with pytest.raises(ValueError, match="rs_erasures"):
+        PacketModem(PacketConfig(fec="ccsds", rs_erasures=True))
