@@ -13,6 +13,7 @@ from . import frontend
 from . import analog
 from . import fec
 from . import ldpc
+from . import nr_ldpc
 from . import rs
 from . import turbo
 from . import firdes
@@ -23,5 +24,5 @@ __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "rs", "turbo", "polar", "firdes", "iir",
+    "fec", "ldpc", "nr_ldpc", "rs", "turbo", "polar", "firdes", "iir",
 ]

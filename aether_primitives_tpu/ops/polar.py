@@ -168,6 +168,125 @@ def polar_decode(llrs, info_mask) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Belief-propagation (flooding) decoding
+# ---------------------------------------------------------------------------
+
+
+def polar_decode_bp(
+    llrs, info_mask, iters: int = 40
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Belief-propagation decode of ``[..., N]`` channel LLRs over the
+    polar factor graph: ``(info_bits [..., K], ok [...])``.
+
+    The THROUGHPUT decoder (VERDICT r3 item 4 — the round-3 turbo study's
+    conclusion applied to polar): SC/SCL is serial over bit indices by
+    construction — ``2N-1`` tiny sequential node evaluations, each a
+    dispatch-floor-bound step on this backend, plus a ``top_k`` per
+    information leaf for the list variant — whereas BP floods the whole
+    ``(log2 N + 1) x N`` message trellis with ``2 log2 N`` full-plane
+    min-sum updates per iteration, every one batched over codewords.
+    Exactly the LDPC min-sum shape that measured 48x over its own serial
+    alternatives (DEVNOTES round 3).
+
+    Graph: column 0 = the u (information) side, column ``n = log2 N`` =
+    the x (channel) side, matching :func:`polar_encode`'s natural-order
+    butterflies (stage ``s`` pairs offsets ``(j, j + 2^s)`` within
+    ``2^{s+1}``-wide blocks). Each butterfly is the degree-3 kernel
+    ``x1 = u1 ^ u2, x2 = u2`` with the standard message updates
+
+    - ``L(u1) = f(L(x1), L(x2) + R(u2))``
+    - ``L(u2) = f(L(x1), R(u1)) + L(x2)``
+    - ``R(x1) = f(R(u1), R(u2) + L(x2))``
+    - ``R(x2) = f(R(u1), L(x1)) + R(u2)``
+
+    with ``f`` = min-sum (:func:`_f_minsum`). Frozen priors enter as a
+    large positive R at column 0; one iteration = a full right-to-left L
+    sweep then a left-to-right R sweep (flooding schedule), iterated a
+    STATIC ``iters`` times under ``lax.scan`` — no data-dependent
+    control flow.
+
+    ``ok`` is the re-encode check: the u-side hard decision re-encoded
+    must equal the x-side hard decision (the polar analog of the LDPC
+    syndrome check — necessary, not sufficient, like any parity check).
+
+    Accuracy trade-off: plain BP on the polar graph gives up ~0.5-1 dB
+    vs CA-SCL at short block lengths (no CRC aid, no list) — this is the
+    documented price of the ~two-orders-of-magnitude throughput gap;
+    use :func:`polar_decode_list` when the link budget needs every dB
+    and :func:`polar_decode_bp` when the decoder must keep up with a
+    wideband stream.
+    """
+    mask = _check_mask(info_mask)
+    n = mask.shape[0]
+    stages = int(np.log2(n))
+    llr = jnp.asarray(llrs, jnp.float32)
+    if llr.shape[-1] != n:
+        raise ValueError(f"expected {n} LLRs, got {llr.shape[-1]}")
+    lead = llr.shape[:-1]
+    flat = llr.reshape((-1, n))
+    batch = flat.shape[0]
+    big = jnp.float32(1e9)
+
+    # frozen prior at the u column: huge positive LLR (bit 0), 0 for info
+    r0 = jnp.broadcast_to(
+        jnp.asarray(np.where(mask, 0.0, 1e9), jnp.float32), (batch, n)
+    )
+
+    def pairs(v, s):
+        """[batch, n] -> (a, b) halves of stage-s butterflies (+ inverse)."""
+        step = 1 << s
+        blk = v.reshape(batch, n // (2 * step), 2, step)
+        return blk[:, :, 0, :], blk[:, :, 1, :]
+
+    def unpairs(a, b):
+        step = a.shape[-1]
+        out = jnp.stack([a, b], axis=2)
+        return out.reshape(batch, -1)
+
+    def bp_iter(carry, _):
+        l_cols, r_cols = carry  # each [stages+1, batch, n]
+        # right-to-left: update L at column s from (L at s+1, R at s)
+        for s in range(stages - 1, -1, -1):
+            lx1, lx2 = pairs(l_cols[s + 1], s)
+            ru1, ru2 = pairs(r_cols[s], s)
+            lu1 = _f_minsum(lx1, lx2 + ru2)
+            lu2 = _f_minsum(lx1, ru1) + lx2
+            l_cols = l_cols.at[s].set(unpairs(lu1, lu2))
+        # left-to-right: update R at column s+1 from (R at s, L at s+1)
+        for s in range(stages):
+            lx1, lx2 = pairs(l_cols[s + 1], s)
+            ru1, ru2 = pairs(r_cols[s], s)
+            rx1 = _f_minsum(ru1, ru2 + lx2)
+            rx2 = _f_minsum(ru1, lx1) + ru2
+            r_cols = r_cols.at[s + 1].set(unpairs(rx1, rx2))
+        return (l_cols, r_cols), None
+
+    l_cols = jnp.zeros((stages + 1, batch, n), jnp.float32)
+    l_cols = l_cols.at[stages].set(flat)
+    r_cols = jnp.zeros((stages + 1, batch, n), jnp.float32)
+    r_cols = r_cols.at[0].set(r0)
+    (l_cols, r_cols), _ = jax.lax.scan(
+        bp_iter, (l_cols, r_cols), None, length=int(iters)
+    )
+
+    u_post = l_cols[0] + r_cols[0]
+    u_hard = (u_post < 0).astype(jnp.uint8)
+    # info positions only; frozen are pinned to 0 for the re-encode check
+    u_check = jnp.where(jnp.asarray(mask), u_hard, jnp.uint8(0))
+    x_post = l_cols[stages] + r_cols[stages]
+    x_hard = (x_post < 0).astype(jnp.uint8)
+    info_idx = np.where(mask)[0]
+    bits = jnp.take(u_hard, jnp.asarray(info_idx), axis=-1)
+    reenc = polar_encode(bits, mask)
+    ok = jnp.all(reenc == x_hard, axis=-1)
+    del u_check
+    return (
+        bits.reshape(lead + (int(mask.sum()),)),
+        ok.reshape(lead),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRC-aided successive-cancellation list decoding (CA-SCL)
 # ---------------------------------------------------------------------------
 
@@ -344,3 +463,18 @@ class PolarCode:
             cand, pick[..., None, None].astype(jnp.int32), axis=-2
         )[..., 0, :]
         return bits[..., : self.payload_bits], any_ok
+
+    def decode_bp(self, llrs, iters: int = 40):
+        """Belief-propagation decode (:func:`polar_decode_bp`) — the
+        batch-throughput alternative to :meth:`decode`'s serial SC/SCL
+        path (~0.5-1 dB weaker at short N, orders of magnitude faster on
+        scan-latency-bound backends). Same return contract; when ``crc``
+        is set, ``ok`` additionally requires the inner CRC to pass."""
+        bits, ok = polar_decode_bp(llrs, self.info_mask, iters)
+        if self.crc:
+            from . import fec as _fec
+
+            flat = bits.reshape((-1, self.k))
+            cok = jax.vmap(lambda r: _fec.crc_check(r, self.crc))(flat)
+            ok = ok & cok.reshape(bits.shape[:-1])
+        return bits[..., : self.payload_bits], ok

@@ -140,3 +140,69 @@ def test_encode_rejects_wrong_width():
         polar.polar_encode(np.zeros((2, 7), np.uint8), mask)
     with pytest.raises(ValueError):
         polar.polar_decode(np.zeros((2, 8), np.float32), mask)
+
+
+# --------------------------------------------------- belief propagation
+
+
+def test_bp_noiseless_roundtrip(rng):
+    n, k = 128, 64
+    mask = polar.polar_construct(n, k, 1.0)
+    bits = rng.integers(0, 2, (8, k)).astype(np.uint8)
+    cw = np.asarray(polar.polar_encode(bits, mask))
+    llr = (1.0 - 2.0 * cw).astype(np.float32) * 8.0
+    dec, ok = polar.polar_decode_bp(llr, mask, iters=30)
+    assert (np.asarray(dec) == bits).all()
+    assert np.asarray(ok).all()
+
+
+def test_bp_matches_sc_bler_at_moderate_snr(rng):
+    # published result: flooding BP on the polar graph sits at ~SC BLER
+    # (CA-SCL is the stronger decoder); check BP is within 2x of SC's
+    # block-error count on the same noise realization
+    n, k = 256, 128
+    mask = polar.polar_construct(n, k, 1.0)
+    bits = rng.integers(0, 2, (200, k)).astype(np.uint8)
+    cw = np.asarray(polar.polar_encode(bits, mask)).astype(np.float64)
+    esn0_db = 3.0 + 10 * np.log10(k / n)
+    sigma = np.sqrt(1.0 / (2 * 10 ** (esn0_db / 10)))
+    y = (1.0 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = (2.0 * y / sigma**2).astype(np.float32)
+    err_sc = int((np.asarray(polar.polar_decode(llr, mask)) != bits).any(1).sum())
+    dec_bp, ok = polar.polar_decode_bp(llr, mask, iters=40)
+    dec_bp = np.asarray(dec_bp)
+    err_bp = int((dec_bp != bits).any(1).sum())
+    assert err_bp <= max(2 * err_sc, 8), (err_bp, err_sc)
+    # the re-encode ok flag must track correctness on >= 95% of frames
+    correct = ~(dec_bp != bits).any(axis=1)
+    assert (np.asarray(ok) == correct).mean() >= 0.95
+
+
+def test_bp_flags_garbage():
+    # pure noise: the re-encode check must reject (nearly) everything
+    rng2 = np.random.default_rng(99)
+    n, k = 128, 64
+    mask = polar.polar_construct(n, k, 1.0)
+    llr = rng2.normal(size=(32, n)).astype(np.float32)
+    _dec, ok = polar.polar_decode_bp(llr, mask, iters=20)
+    assert np.asarray(ok).mean() <= 0.1
+
+
+def test_polarcode_decode_bp_with_crc(rng):
+    code = polar.PolarCode(n=256, k=128, crc="crc8", list_size=8)
+    bits = rng.integers(0, 2, (4, code.payload_bits)).astype(np.uint8)
+    cw = np.asarray(code.encode(bits))
+    llr = (1.0 - 2.0 * cw).astype(np.float32) * 6.0
+    dec, ok = code.decode_bp(llr)
+    assert (np.asarray(dec) == bits).all()
+    assert np.asarray(ok).all()
+
+
+def test_packet_polar_bp_loopback(rng):
+    from aether_primitives_tpu.models.packet import PacketConfig, PacketModem
+
+    pm = PacketModem(PacketConfig(payload_bits=480, fec="polar",
+                                  polar_n=256, polar_decoder="bp"))
+    payload = rng.integers(0, 2, 480).astype(np.uint8)
+    bits, ok, _ = pm.loopback(payload)
+    assert bool(ok) and (np.asarray(bits) == payload).all()
