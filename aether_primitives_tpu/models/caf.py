@@ -37,7 +37,10 @@ import numpy as np
 
 from ..ops import fft as _fft
 from ..ops.fft import Scale
+from ..parallel.mesh import TIME_AXIS
 from ..types import cf32
+
+P = jax.sharding.PartitionSpec
 
 
 def ambiguity(
@@ -122,6 +125,91 @@ def estimate_delay_doppler(
     step = nu[1] - nu[0] if n_dopplers > 1 else jnp.float32(0.0)
     delay = (ti.astype(jnp.float32) + tau_off) % n
     doppler = nu[di] + nu_off * step
+    e_x = jnp.sum(jnp.abs(x) ** 2)
+    e_r = jnp.sum(jnp.abs(jnp.asarray(ref, dtype=cf32)) ** 2)
+    metric = (mag[di, ti] ** 2) / (e_x * e_r)
+    return delay, doppler, metric
+
+
+# --------------------------------------------------------------- sharded
+
+
+def sharded_ambiguity(
+    x,
+    ref,
+    dopplers,
+    mesh,
+    axis_name: str = TIME_AXIS,
+    fft_backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """:func:`ambiguity` with the DOPPLER axis sharded over ``mesh``.
+
+    Acquisition is embarrassingly parallel over hypotheses (each Doppler
+    row is an independent derotate + circular correlation — the GNSS
+    PRN x Doppler search grid), so the mesh splits the rotator bank: the
+    block ``x`` and signature ``ref`` are replicated to every device
+    over ICI once, each device correlates its ``n_dop / n_dev``
+    hypotheses, and the surface comes back sharded row-wise — no
+    collectives inside the hot loop at all. Identical (bit-for-bit: the
+    per-row math never crosses shards) to the single-device surface
+    (tests/test_caf.py). ``len(dopplers)`` must divide by the mesh axis
+    size.
+    """
+    x = jnp.asarray(x, dtype=cf32)
+    nu = jnp.asarray(dopplers, jnp.float32).reshape(-1)
+    n_dev = mesh.shape[axis_name]
+    if nu.shape[0] % n_dev:
+        raise ValueError(
+            f"{nu.shape[0]} Doppler hypotheses do not divide over "
+            f"{n_dev} devices"
+        )
+
+    def shard_fn(xs, nus):
+        return ambiguity(xs, ref, nus, fft_backend)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name, None),
+    )
+    return fn(x, nu)
+
+
+def sharded_estimate_delay_doppler(
+    x,
+    ref,
+    max_doppler: float,
+    mesh,
+    n_dopplers: int = 64,
+    axis_name: str = TIME_AXIS,
+    fft_backend: Optional[str] = None,
+):
+    """:func:`estimate_delay_doppler` computing its CAF surface via
+    :func:`sharded_ambiguity`; the peak search + parabolic refinement run
+    on the (tiny) gathered surface. Same return contract."""
+    x = jnp.asarray(x, dtype=cf32)
+    n = x.shape[-1]
+    nu = jnp.linspace(
+        -max_doppler, max_doppler, int(n_dopplers)
+    ).astype(np.float32)
+    surf = sharded_ambiguity(x, ref, nu, mesh, axis_name, fft_backend)
+    mag = jnp.abs(surf)
+    flat = jnp.argmax(mag)
+    di, ti = flat // n, flat % n
+    row = mag[di]
+    tau_off = _parabolic(row[(ti - 1) % n], row[ti], row[(ti + 1) % n])
+    col = mag[:, ti]
+    nd = col.shape[0]
+    dm1 = col[jnp.maximum(di - 1, 0)]
+    dp1 = col[jnp.minimum(di + 1, nd - 1)]
+    nu_off = jnp.where(
+        (di > 0) & (di < nd - 1), _parabolic(dm1, col[di], dp1), 0.0
+    )
+    nu_j = jnp.asarray(nu)
+    step = nu_j[1] - nu_j[0] if n_dopplers > 1 else jnp.float32(0.0)
+    delay = (ti.astype(jnp.float32) + tau_off) % n
+    doppler = nu_j[di] + nu_off * step
     e_x = jnp.sum(jnp.abs(x) ** 2)
     e_r = jnp.sum(jnp.abs(jnp.asarray(ref, dtype=cf32)) ** 2)
     metric = (mag[di, ti] ** 2) / (e_x * e_r)

@@ -88,3 +88,44 @@ def test_ambiguity_rejects_bad_shapes(rng):
         ambiguity(x, x[0], [0.0])
     with pytest.raises(ValueError, match="longer"):
         ambiguity(np.zeros(32, np.complex64), np.zeros(64, np.complex64), [0.0])
+
+
+def test_sharded_ambiguity_matches_single(rng, eight_devices):
+    from aether_primitives_tpu.models.caf import (
+        ambiguity,
+        estimate_delay_doppler,
+        sharded_ambiguity,
+        sharded_estimate_delay_doppler,
+    )
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"time": 8})
+    n = 2048
+    ref = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(
+        np.complex64
+    )
+    x = 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(
+        np.complex64
+    )
+    delay, nu_true = 700, 3.3e-3
+    t = np.arange(256)
+    x[delay : delay + 256] += ref * np.exp(2j * np.pi * nu_true * (t + delay))
+    dops = np.linspace(-5e-3, 5e-3, 64).astype(np.float32)
+    surf_s = np.asarray(sharded_ambiguity(x, ref, dops, mesh))
+    surf_1 = np.asarray(ambiguity(x, ref, dops))
+    assert surf_s.shape == surf_1.shape
+    # per-row math never crosses shards; only FFT batch-size-dependent
+    # rounding may differ -> relative RMS at f32 noise level
+    err = np.sqrt(np.mean(np.abs(surf_s - surf_1) ** 2)
+                  / np.mean(np.abs(surf_1) ** 2))
+    assert err < 1e-5, err
+    # and the sharded full estimator agrees with the single-device one
+    d_s, nu_s, m_s = (np.asarray(v) for v in
+                      sharded_estimate_delay_doppler(x, ref, 5e-3, mesh))
+    d_1, nu_1, m_1 = (np.asarray(v) for v in
+                      estimate_delay_doppler(x, ref, 5e-3))
+    assert abs(d_s - d_1) < 1e-3 and abs(nu_s - nu_1) < 1e-9
+    assert abs(m_s - m_1) < 1e-6
+    assert abs(d_s - delay) < 1.0 and abs(nu_s - nu_true) < 2e-4
+    with pytest.raises(ValueError, match="divide"):
+        sharded_ambiguity(x, ref, dops[:63], mesh)

@@ -134,3 +134,37 @@ def test_2d_music_l_array(rng):
     )
     want = np.rad2deg(np.asarray(sorted(true_src)))
     assert np.allclose(est, want, atol=2.5), (est, want)
+
+
+def test_batched_scan_mode_matches_per_window(rng):
+    # VERDICT r3 item 7: estimate_doa over [W, M, T] in one graph must
+    # reproduce the per-window calls (every stage broadcasts)
+    wins = np.stack([
+        _two_source_snapshots(rng, deg=(-30.0 + 3 * w, 10.0 + 2 * w))
+        for w in range(8)
+    ])
+    import jax as _jax
+
+    batched = np.asarray(_jax.jit(
+        lambda v: doa.estimate_doa(v, 2)
+    )(wins))
+    for w in range(8):
+        single = np.asarray(doa.estimate_doa(wins[w], 2))
+        assert np.allclose(batched[w], single, atol=1e-6), w
+
+
+def test_sharded_estimate_doa_matches_single(rng, eight_devices):
+    import jax as _jax
+
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"channel": 8})
+    wins = np.stack([
+        _two_source_snapshots(rng, deg=(-40.0 + 5 * w, 5.0 + 4 * w))
+        for w in range(16)
+    ])
+    sharded = np.asarray(doa.sharded_estimate_doa(wins, 2, mesh))
+    single = np.asarray(doa.estimate_doa(wins, 2))
+    assert np.allclose(sharded, single, atol=1e-5)
+    with pytest.raises(ValueError, match="divide"):
+        doa.sharded_estimate_doa(wins[:3], 2, mesh)
