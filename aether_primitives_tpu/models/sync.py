@@ -512,3 +512,114 @@ def code_tracking_loop(
     tau0 = jnp.float32(sps - half)
     _, (prompt, tau_trace) = jax.lax.scan(step, (tau0, jnp.float32(0.0)), ks)
     return prompt, tau_trace
+
+
+def carrier_tracking_loop(
+    prompts,
+    pll_bw: float = 0.03,
+    fll_bw: float = 0.3,
+    damping: float = 0.7071,
+):
+    """FLL-assisted Costas PLL on a despread prompt stream — the carrier
+    layer of a GNSS/DSSS tracking channel, joined to
+    :func:`code_tracking_loop`'s output (VERDICT r3 item 9).
+
+    The DLL's prompt correlations still rotate at the residual carrier
+    (CFO x dwell cycles per prompt) and carry the BPSK nav data in their
+    sign; this loop wipes the carrier so the data lands on the real axis:
+
+    - **FLL** (pull-in): the data-invariant cross/dot discriminator
+      between consecutive derotated prompts,
+      ``f_err = atan2(I0*Q1 - Q0*I1, I0*I1 + Q0*Q1) / 2pi`` cycles/dwell
+      — immune to 180 deg data flips, pull range +-1/4 cycle/dwell (vs
+      the PLL's +-1/8), so large initial CFOs converge;
+    - **PLL** (precision): the Costas ``atan(Q/I) / 2pi`` phase
+      discriminator (also data-flip invariant) through a second-order
+      proportional-integral loop (same gain derivation as
+      :func:`costas_loop` / :func:`gardner_loop`).
+
+    Returns ``(wiped, phase_trace, freq_trace)``: derotated prompts
+    (data on the real axis, up to the Costas 180 deg ambiguity — resolve
+    with :func:`nav_bit_sync` + the frame preamble, as GPS does),
+    accumulated phase (cycles), and per-dwell frequency (cycles/dwell).
+    1-D input; vmap for batches. ``pll_bw``/``fll_bw`` in cycles/dwell.
+    """
+    p = jnp.asarray(prompts, dtype=cf32)
+    if p.ndim != 1:
+        raise ValueError("carrier_tracking_loop takes one stream; vmap batches")
+    zeta = float(damping)
+    theta = float(pll_bw) / (zeta + 1.0 / (4.0 * zeta))
+    d = 1.0 + 2.0 * zeta * theta + theta * theta
+    kp = jnp.float32(4.0 * zeta * theta / d)
+    ki = jnp.float32(4.0 * theta * theta / d)
+    kf = jnp.float32(fll_bw)
+    pr, pi = jnp.real(p), jnp.imag(p)
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    def step(carry, xy):
+        phi, freq, i_prev, q_prev = carry
+        r, i = xy
+        c = jnp.cos(-two_pi * phi)
+        s = jnp.sin(-two_pi * phi)
+        iw = r * c - i * s
+        qw = r * s + i * c
+        # FLL cross/dot between consecutive wiped prompts, folded by
+        # sign(dot): the plain atan2(cross, dot) is invariant to a COMMON
+        # data flip but reads ~+-1/2 cycle across a nav-bit EDGE (the two
+        # prompts differ by pi), biasing the loop once per bit; folding
+        # halves the range to +-1/4 cycle/dwell and makes edges read ~0
+        cross = i_prev * qw - q_prev * iw
+        dot = i_prev * iw + q_prev * qw
+        f_err = jnp.arctan2(
+            cross * jnp.sign(dot), jnp.abs(dot) + 1e-12
+        ) / two_pi
+        # Costas atan discriminator (data-invariant), cycles
+        p_err = jnp.arctan2(qw, jnp.abs(iw) + 1e-12) * jnp.sign(iw) / two_pi
+        freq_new = freq + ki * p_err + kf * f_err
+        phi_new = phi + freq_new + kp * p_err
+        out = (jax.lax.complex(iw, qw), phi, freq_new)
+        return (phi_new, freq_new, iw, qw), out
+
+    init = (jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(1.0), jnp.float32(0.0))
+    _, (wiped, phase_trace, freq_trace) = jax.lax.scan(
+        step, init, (pr, pi)
+    )
+    return wiped, phase_trace, freq_trace
+
+
+def nav_bit_sync(symbols, period: int = 20):
+    """Bit synchronization + decision for a carrier-wiped prompt stream
+    whose BPSK data lasts ``period`` prompts per bit (GPS L1 C/A: 50 bps
+    over 1 ms code periods -> 20).
+
+    Tries all ``period`` edge offsets, scores each by the summed
+    magnitude of its coherent per-bit integrations (a misaligned edge
+    splits energy across sign flips), and returns ``(bits, offset,
+    quality)`` for the argmax — ``bits [n_bits]`` uint8 (0 = +I; the
+    Costas 180 deg ambiguity means a frame preamble must resolve global
+    polarity, as in a real receiver), ``offset`` the winning edge phase,
+    ``quality`` the winner's mean per-bit |integration| normalized by
+    the stream's mean |symbol| x period (1.0 = fully coherent). Static
+    shapes throughout: one ``[period, n_bits]`` reduction per offset.
+    """
+    s = jnp.asarray(symbols, dtype=cf32)
+    if s.ndim != 1:
+        raise ValueError("nav_bit_sync takes one stream; vmap batches")
+    n = s.shape[-1]
+    per = int(period)
+    n_bits = (n - per + 1) // per  # complete bits at the worst offset
+    if n_bits < 1:
+        raise ValueError(f"need >= {2 * per - 1} symbols, got {n}")
+    sums = []
+    for off in range(per):
+        seg = jax.lax.dynamic_slice_in_dim(s, off, n_bits * per, axis=0)
+        sums.append(seg.reshape(n_bits, per).sum(axis=-1))
+    sums = jnp.stack(sums)  # [period, n_bits]
+    score = jnp.sum(jnp.abs(sums), axis=-1)
+    best = jnp.argmax(score)
+    win = sums[best]
+    bits = (jnp.real(win) < 0).astype(jnp.uint8)
+    denom = jnp.mean(jnp.abs(s)) * per * n_bits + 1e-12
+    quality = score[best] / denom
+    return bits, best, quality

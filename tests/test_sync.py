@@ -569,3 +569,59 @@ def test_code_tracking_loop_holds_lock_under_drift(rng):
         seg = np.asarray(x[lo : lo + 1023 * sps])
         mags_open.append(abs(np.dot(rep, seg)) / (1023 * sps))
     assert mags_open[0] > 0.7 and mags_open[-1] < 0.35, mags_open
+
+
+def test_gnss_nav_bit_recovery_through_stress_channel(rng):
+    """VERDICT r3 item 9: the full GNSS tracking channel — early-late DLL
+    (code) -> FLL-assisted Costas PLL (carrier) -> bit sync — recovers
+    50 bps nav data through the round-3 stress channel (5 ppm chip-clock
+    drift + 4e-5 cyc/sample residual CFO + noise), where the despread
+    prompts alone rotate ~0.082 cycles/dwell and are sign-useless."""
+    from aether_primitives_tpu.models.sync import (
+        carrier_tracking_loop,
+        code_tracking_loop,
+        nav_bit_sync,
+    )
+    from aether_primitives_tpu.ops.sequence import gps_ca_code
+
+    chips01 = gps_ca_code(7)
+    code = 1.0 - 2.0 * chips01.astype(np.float64)
+    sps, n_dwells, ppm = 2, 620, 5e-6
+    dwell = 1023 * sps
+    n = (n_dwells + 3) * dwell
+    s = np.arange(n, dtype=np.float64)
+    chip_pos = (s - sps) * (1 + ppm) / sps
+    idx = np.floor(chip_pos).astype(np.int64) % 1023
+    # 50 bps BPSK nav data: one bit per 20 code periods, edges aligned
+    # to code periods (the GPS framing), edge offset 7 dwells in
+    nav_bits = rng.integers(0, 2, n_dwells // 20 + 3).astype(np.uint8)
+    bit_of_dwell = ((np.floor((s - sps) / dwell).astype(np.int64) + 7)
+                    // 20) % nav_bits.size
+    data = 1.0 - 2.0 * nav_bits[bit_of_dwell]
+    x = code[idx] * data * np.exp(2j * np.pi * 4e-5 * s)
+    x += 0.5 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    x = x.astype(np.complex64)
+
+    prompt, _tau = code_tracking_loop(
+        x, chips01, sps=sps, loop_bw=0.05, n_dwells=n_dwells
+    )
+    # raw prompts rotate through full circles -> sign of I is useless
+    raw_i_bits = (np.real(np.asarray(prompt)) < 0).astype(np.uint8)
+    wiped, _phi, freq = carrier_tracking_loop(prompt)
+    # the FLL/PLL must find the 0.082 cyc/dwell carrier
+    assert abs(float(np.mean(np.asarray(freq)[-100:])) - 4e-5 * dwell) < 5e-3
+    # drop the pull-in transient, then recover the bit stream
+    settle = 60  # dwells (3 bits)
+    bits, off, quality = nav_bit_sync(np.asarray(wiped)[settle:], 20)
+    bits = np.asarray(bits)
+    assert float(quality) > 0.8, float(quality)
+    # expected bits at the recovered alignment (Costas 180-deg ambiguity:
+    # accept either polarity — a frame preamble resolves it in a receiver)
+    first_dwell = settle + int(off)
+    expect = nav_bits[(np.arange(bits.size) * 20 + first_dwell + 7) // 20
+                      % nav_bits.size]
+    agree = (bits == expect).mean()
+    assert max(agree, 1 - agree) == 1.0, agree
+    # and the no-carrier-loop strawman really is useless
+    raw_agree = (raw_i_bits[settle:settle + 20 * bits.size:20] == expect).mean()
+    assert 0.2 < raw_agree < 0.8, raw_agree
