@@ -840,6 +840,14 @@ def pfb_channelize_os(
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
 
     use_pallas = pallas
+    # VMEM budget for the resident-tile kernel: two (tile_t + P - 1) x M
+    # f32 input slabs + two [tile_t, M] output tiles = 8*M*(2*tile_t+P-1)
+    # bytes; blocks past ~12 MB fail the remote Mosaic compile (DEVNOTES),
+    # so clamp tile_t and fall back to XLA when even tile_t = 8 won't fit
+    # (advisor finding r3: the auto path must not turn a working XLA graph
+    # into a compile failure at large M * P).
+    _VMEM_BUDGET = 12 << 20
+    tile_t_max = int((_VMEM_BUDGET // (8 * m) - (p - 1)) // 2)
     if use_pallas is None:
         try:
             platform = jax.devices()[0].platform
@@ -849,12 +857,14 @@ def pfb_channelize_os(
             platform == "tpu"
             and x.ndim == 1
             and m % 128 == 0
-            and not np.iscomplexobj(np.asarray(taps) if taps is not None else h.real)
+            and tile_t_max >= 8
         )
     if use_pallas and x.ndim == 1 and not (np.abs(h.imag) > 0).any():
         from ..ops.pallas.pfb_fold import pfb_fold_os
 
-        tile_t = max(8, min(64, t_cls))
+        tile_t = max(
+            8, min(64, t_cls, tile_t_max if tile_t_max >= 8 else 64)
+        )
         n_t = -(-t_cls // tile_t)
         need_k = (os - 1) * hop + (n_t * tile_t - 1 + p) * m
         xk = jnp.pad(x, (0, max(0, need_k - x.shape[-1])))

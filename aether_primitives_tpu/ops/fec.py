@@ -200,10 +200,12 @@ def viterbi_decode(
 def _viterbi_windowed(llr, polys, k, terminated, window, guard):
     """Windowed parallel ACS + truncated traceback (see viterbi_decode).
 
-    Each window's metrics start uniform and its traceback starts at the
+    Interior windows start with uniform metrics and trace back from the
     argmin state ``guard`` steps past the core — both converge onto the
     maximum-likelihood path within the guard (survivor-merge depth
-    ~5-7 K). Outside-the-block steps use zero (uninformative) LLRs.
+    ~5-7 K). The stream HEAD and (terminated) TAIL are exact, not
+    probabilistic: the pads carry the known state-0 boundary constraints
+    as forced LLRs (see below).
     """
     n = len(polys)
     t_steps = llr.shape[-1] // n
@@ -216,7 +218,20 @@ def _viterbi_windowed(llr, polys, k, terminated, window, guard):
     n_win = -(-t_steps // window)
     t_pad = n_win * window
     lw = window + 2 * guard
-    symp = jnp.pad(sym, [(guard, guard + (t_pad - t_steps)), (0, 0)])
+    # Boundary-state constraints ride in the pad LLRs (advisor finding r3:
+    # uniform initial metrics + argmin traceback made the head/tail bits
+    # only probabilistically ML). The encoder ALWAYS starts at state 0, and
+    # a terminated stream ends flushed to state 0; a huge positive pad LLR
+    # (positive = bit 0) makes every pre-stream/post-stream survivor the
+    # all-zeros state-0 path — window 0 then starts exactly like the
+    # full-block decoder's e0 init, and the last window's argmin traceback
+    # lands on the state-0-terminated path. Interior windows never see the
+    # pad (their guards are real symbols), so nothing else changes.
+    big = jnp.float32(1e6)
+    head = jnp.full((guard, n), big)
+    tail_len = guard + (t_pad - t_steps)
+    tail = jnp.full((tail_len, n), big if terminated else jnp.float32(0.0))
+    symp = jnp.concatenate([head, sym, tail], axis=0)
     wins = jnp.stack(
         [
             jax.lax.dynamic_slice_in_dim(symp, w * window, lw, axis=0)

@@ -108,10 +108,21 @@ def worker(pid: int, nproc: int, port: str, samples_per_dev: int) -> None:
         }), flush=True)
 
 
+def _free_port() -> str:
+    """Bind an ephemeral port and release it — avoids hanging the
+    1200 s jax.distributed communicate timeout on a collision with a
+    stale listener (advisor finding r3: the port was hardcoded)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def launch(samples_per_dev: int, json_path: str | None) -> None:
     here = os.path.abspath(__file__)
     results = {}
-    for nproc, port in ((1, None), (2, "12923")):
+    for nproc, port in ((1, None), (2, _free_port())):
         procs = []
         for pid in range(nproc):
             cmd = [sys.executable, here, "--worker", str(pid), str(nproc),

@@ -218,3 +218,19 @@ def test_viterbi_windowed_matches_full_block(rng):
         win = np.asarray(fec.viterbi_decode(llr, window=128, guard=48))
         assert (full == bits).all()
         assert (win == full).all()
+
+
+def test_viterbi_windowed_exact_head_tail_small_guard(rng):
+    # advisor finding r3: head/tail bits must honor the known state-0
+    # start/termination. With the boundary constraints in the pads, the
+    # first and last bits match the full-block ML decode even at a guard
+    # too short for survivor merge to do the job probabilistically.
+    bits = rng.integers(0, 2, 4000).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits))
+    llr = np.asarray(fec.hard_to_llr(coded)).astype(np.float32)
+    flip = rng.random(llr.shape) < 0.03
+    llr = np.where(flip, -llr, llr)
+    full = np.asarray(fec.viterbi_decode(llr))
+    win = np.asarray(fec.viterbi_decode(llr, window=128, guard=8))
+    assert (full[:16] == win[:16]).all()
+    assert (full[-16:] == win[-16:]).all()
