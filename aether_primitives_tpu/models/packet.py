@@ -422,6 +422,38 @@ class PacketModem:
             )
         return jax.vmap(self.rx)(x)
 
+    def rx_batch_sharded(self, captures, mesh, axis_name: str = "channel"):
+        """:meth:`rx_batch` with the BURST axis sharded over ``mesh`` —
+        the multi-chip burst link: each device decodes its ``B / n_dev``
+        captures (pure data parallel; bursts are independent), scaling
+        the batched-throughput numbers linearly over the pod. ``B`` must
+        divide by the mesh axis size. Identical results to
+        :meth:`rx_batch` (tested)."""
+        x = jnp.asarray(captures, dtype=cf32)
+        if x.ndim != 2:
+            raise ValueError(
+                f"rx_batch_sharded takes [B, window] captures, got {x.shape}"
+            )
+        n_dev = mesh.shape[axis_name]
+        if x.shape[0] % n_dev:
+            raise ValueError(
+                f"{x.shape[0]} bursts do not divide over {n_dev} devices"
+            )
+        p = jax.sharding.PartitionSpec
+        # check_vma=False: the decoders' scan carries initialize from
+        # trace constants (unvarying) and become device-varying through
+        # the body — fine for a pure data-parallel region (no collectives
+        # anywhere in the burst graph), but the varying-axis checker
+        # would demand pcasts at every scan in every decoder
+        fn = jax.shard_map(
+            self.rx_batch,
+            mesh=mesh,
+            in_specs=p(axis_name, None),
+            out_specs=(p(axis_name), p(axis_name), p(axis_name)),
+            check_vma=False,
+        )
+        return fn(x)
+
     def loopback(self, payload):
         """tx -> rx with no channel (sanity path)."""
         return self.rx(self.tx(payload))

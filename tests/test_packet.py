@@ -244,3 +244,26 @@ def test_ccsds_rejects_erasure_mode():
     # identical, so erasure flagging could never engage — reject the combo
     with pytest.raises(ValueError, match="rs_erasures"):
         PacketModem(PacketConfig(fec="ccsds", rs_erasures=True))
+
+
+def test_rx_batch_sharded_matches_unsharded(rng, eight_devices):
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"channel": 8})
+    pm = PacketModem(PacketConfig(payload_bits=480, fec="viterbi"))
+    b = 8
+    payloads = rng.integers(0, 2, (b, 480)).astype(np.uint8)
+    caps = np.stack([
+        _channel(np.asarray(pm.tx(payloads[i])), rng,
+                 delay=150 + 31 * i, cfo=(i - 3.5) * 3e-4, snr_sigma=0.08,
+                 capture_len=8192)
+        for i in range(b)
+    ])
+    bits_s, ok_s, diag_s = pm.rx_batch_sharded(caps, mesh)
+    bits_u, ok_u, diag_u = pm.rx_batch(caps)
+    assert (np.asarray(bits_s) == np.asarray(bits_u)).all()
+    assert (np.asarray(ok_s) == np.asarray(ok_u)).all()
+    assert (np.asarray(diag_s["offset"]) == np.asarray(diag_u["offset"])).all()
+    assert np.asarray(ok_s).all() and (np.asarray(bits_s) == payloads).all()
+    with pytest.raises(ValueError, match="divide"):
+        pm.rx_batch_sharded(caps[:6], mesh)
