@@ -373,6 +373,10 @@ CRC_PARAMS = {
     "crc16-ccitt": (0x1021, 16, 0xFFFF, False, False, 0x0),  # CCITT-FALSE
     "crc16-usb": (0x8005, 16, 0xFFFF, True, True, 0xFFFF),
     "crc8": (0x07, 8, 0x00, False, False, 0x00),  # SMBus
+    # 3GPP TS 38.212 §5.1: gCRC24A (transport-block CRC) and gCRC24B
+    # (code-block CRC) — zero init, no reflection, zero xorout
+    "crc24a": (0x864CFB, 24, 0x000000, False, False, 0x000000),
+    "crc24b": (0x800063, 24, 0x000000, False, False, 0x000000),
 }
 
 

@@ -376,3 +376,114 @@ class NrLdpc:
     def parity_check(self) -> np.ndarray:
         """Full binary ``[mb*z, nb*z]`` parity-check matrix."""
         return _ldpc.qc_expand(self._base, self.z)
+
+
+# -------------------------------------------------- transport-block chain
+
+#: TS 38.212 §5.2.2: maximum code-block size per base graph
+_KCB = {1: 8448, 2: 3840}
+
+
+@dataclass(frozen=True)
+class NrTransportBlock:
+    """The full TS 38.212 §5.2.2/§5.3.2 transport-block chain: TB CRC24A
+    -> segmentation into C code blocks with per-block CRC24B -> one
+    :class:`NrLdpc` codec per (equal-sized) block, batched.
+
+    ``tb_bits``: payload size. The chain computes, per the spec's
+    procedure: ``B = tb_bits + 24`` (CRC24A); if ``B <= Kcb`` one block
+    with no CRC24B, else ``C = ceil(B / (Kcb - 24))`` blocks each
+    carrying CRC24B; ``K' = ceil(B' / C)``; lifting size = smallest
+    ``Zc`` with ``kb * Zc >= K'``; fillers absorb ``kb * Zc - K'``.
+
+    ``encode(payload, e, rv)`` -> ``[..., C * e]`` channel bits (equal
+    ``e`` per block — the per-block E-distribution rule collapses for
+    equal blocks); ``decode(llrs, rv)`` -> ``(payload, ok)`` with ``ok``
+    = TB CRC24A verdict (per-block CRC24B + LDPC syndromes are the inner
+    checks). The base-graph provenance note on :class:`NrLdpc` applies.
+    """
+
+    tb_bits: int
+    bg: int = 2
+    base_graph: Optional[tuple] = None
+    seed: int = 1
+
+    def __post_init__(self):
+        from . import fec as _fec
+
+        kcb = _KCB[self.bg]
+        b = self.tb_bits + 24  # TB CRC24A
+        if b <= kcb:
+            c, b_prime = 1, b
+            k_per = b
+        else:
+            c = -(-b // (kcb - 24))
+            b_prime = b + 24 * c  # CRC24B per block
+            k_per = -(-b_prime // c)
+        object.__setattr__(self, "n_blocks", c)
+        object.__setattr__(self, "k_per_block", k_per)
+        code = NrLdpc(
+            z=min(s for s in LIFTING_SIZES
+                  if _BG_DIMS[self.bg][2] * s >= k_per),
+            bg=self.bg, k=k_per, base_graph=self.base_graph, seed=self.seed,
+        )
+        object.__setattr__(self, "code", code)
+        # leading block carries any shortfall as leading zero pad
+        object.__setattr__(self, "pad", c * k_per - b_prime if c > 1
+                           else 0)
+        del _fec
+
+    def _segments(self, payload) -> jnp.ndarray:
+        from . import fec as _fec
+
+        p = jnp.asarray(payload, jnp.uint8)
+        if p.shape[-1] != self.tb_bits:
+            raise ValueError(
+                f"payload must be {self.tb_bits} bits, got {p.shape[-1]}"
+            )
+        lead = p.shape[:-1]
+        flat = p.reshape((-1, self.tb_bits))
+        tb = jax.vmap(lambda r: _fec.crc_append(r, "crc24a"))(flat)
+        if self.n_blocks == 1:
+            return tb.reshape(lead + (1, self.k_per_block))
+        if self.pad:
+            tb = jnp.concatenate(
+                [jnp.zeros(tb.shape[:-1] + (self.pad,), jnp.uint8), tb],
+                axis=-1,
+            )
+        segs = tb.reshape((-1, self.n_blocks, self.k_per_block - 24))
+        segs = jax.vmap(jax.vmap(lambda r: _fec.crc_append(r, "crc24b")))(
+            segs
+        )
+        return segs.reshape(lead + (self.n_blocks, self.k_per_block))
+
+    def encode(self, payload, e: int, rv: int = 0) -> jnp.ndarray:
+        """``[..., tb_bits]`` -> ``[..., n_blocks * e]`` channel bits."""
+        segs = self._segments(payload)
+        coded = self.code.encode(segs, e, rv)  # [..., C, e]
+        return coded.reshape(coded.shape[:-2] + (self.n_blocks * int(e),))
+
+    def decode(self, llrs, rv: int = 0, iters: int = 25):
+        """``[..., n_blocks * e]`` LLRs -> ``(payload [..., tb_bits],
+        ok [...])`` — ``ok`` is the transport-block CRC24A verdict."""
+        from . import fec as _fec
+
+        lam = jnp.asarray(llrs, jnp.float32)
+        if lam.shape[-1] % self.n_blocks:
+            raise ValueError(
+                f"LLR count {lam.shape[-1]} not divisible by "
+                f"{self.n_blocks} blocks"
+            )
+        e = lam.shape[-1] // self.n_blocks
+        lead = lam.shape[:-1]
+        segs, _syn_ok = self.code.decode(
+            lam.reshape(lead + (self.n_blocks, e)), rv=rv, iters=iters
+        )  # [..., C, k_per]
+        if self.n_blocks > 1:
+            segs = segs[..., : self.k_per_block - 24]  # strip CRC24B
+        tb = segs.reshape(lead + (-1,))
+        if self.pad:
+            tb = tb[..., self.pad :]
+        flat = tb.reshape((-1, self.tb_bits + 24))
+        ok = jax.vmap(lambda r: _fec.crc_check(r, "crc24a"))(flat)
+        return tb[..., : self.tb_bits], ok.reshape(lead)

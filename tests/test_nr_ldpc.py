@@ -167,3 +167,61 @@ def test_packet_modem_nr_ldpc_through_channel(rng):
     assert bool(ok)
     assert (np.asarray(bits) == payload).all()
     assert int(diag["offset"]) == 350
+
+
+# ------------------------------------------------ transport-block chain
+
+
+def test_crc24_catalog_check_values():
+    # "123456789" catalog checks: CRC-24/LTE-A = 0xCDE703 (gCRC24A),
+    # CRC-24/LTE-B = 0x23EF52 (gCRC24B)
+    from aether_primitives_tpu.ops import fec
+
+    msg = np.unpackbits(np.frombuffer(b"123456789", np.uint8))
+    for kind, expect in (("crc24a", 0xCDE703), ("crc24b", 0x23EF52)):
+        got = np.asarray(fec.crc_bits(msg, kind))
+        assert int("".join(map(str, got)), 2) == expect, kind
+
+
+@pytest.mark.parametrize("tb_bits,exp_blocks", [(1000, 1), (9000, 3)])
+def test_transport_block_roundtrip(rng, tb_bits, exp_blocks):
+    from aether_primitives_tpu.ops.nr_ldpc import NrTransportBlock
+
+    tbc = NrTransportBlock(tb_bits=tb_bits, bg=2)
+    assert tbc.n_blocks == exp_blocks
+    payload = rng.integers(0, 2, (2, tb_bits)).astype(np.uint8)
+    e = int(tbc.k_per_block * 2)  # ~rate 1/2 per block
+    tx = np.asarray(tbc.encode(payload, e))
+    assert tx.shape == (2, exp_blocks * e)
+    llr = (1.0 - 2.0 * tx.astype(np.float32)) * 4.0
+    dec, ok = tbc.decode(llr)
+    assert (np.asarray(dec) == payload).all()
+    assert np.asarray(ok).all()
+
+
+def test_transport_block_flags_corruption(rng):
+    from aether_primitives_tpu.ops.nr_ldpc import NrTransportBlock
+
+    tbc = NrTransportBlock(tb_bits=9000, bg=2)
+    payload = rng.integers(0, 2, 9000).astype(np.uint8)
+    e = int(tbc.k_per_block * 2)
+    tx = np.asarray(tbc.encode(payload, e)).astype(np.float32)
+    llr = (1.0 - 2.0 * tx) * 4.0
+    # overwhelm one code block with noise beyond any decoder's budget
+    llr[e // 4 : 3 * e // 4] = -llr[e // 4 : 3 * e // 4]
+    dec, ok = tbc.decode(llr)
+    assert not bool(np.asarray(ok))
+
+
+def test_transport_block_with_awgn(rng):
+    from aether_primitives_tpu.ops.nr_ldpc import NrTransportBlock
+
+    tbc = NrTransportBlock(tb_bits=6000, bg=2)
+    payload = rng.integers(0, 2, (4, 6000)).astype(np.uint8)
+    e = int(tbc.k_per_block * 2)
+    tx = np.asarray(tbc.encode(payload, e)).astype(np.float64)
+    sigma = 0.6  # comfortably inside the rate-1/2 waterfall
+    y = (1.0 - 2.0 * tx) + sigma * rng.normal(size=tx.shape)
+    dec, ok = tbc.decode((2.0 * y / sigma**2).astype(np.float32))
+    assert (np.asarray(dec) == payload).all()
+    assert np.asarray(ok).all()
