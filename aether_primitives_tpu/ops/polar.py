@@ -215,6 +215,15 @@ def polar_decode_bp(
     use :func:`polar_decode_list` when the link budget needs every dB
     and :func:`polar_decode_bp` when the decoder must keep up with a
     wideband stream.
+
+    Carry layout (round-4 A/B, ``benches/polar_layout_ab.py``): the
+    columns ride the scan carry as a TUPLE of ``stages+1`` separate
+    ``[batch, N]`` planes, not one stacked ``[stages+1, batch, N]``
+    tensor. The stacked form turns every column write into a
+    ``dynamic_update_slice`` over the whole trellis; on chip the tuple
+    layout measured 1.79x faster at batch 64 (51.9 -> 93.0 info
+    Mbit/s) and 1.42x at batch 1024 (56.8 -> 80.4), bit-identical
+    (``results_polar_layout_r4.json``).
     """
     mask = _check_mask(info_mask)
     n = mask.shape[0]
@@ -244,27 +253,31 @@ def polar_decode_bp(
         return out.reshape(batch, -1)
 
     def bp_iter(carry, _):
-        l_cols, r_cols = carry  # each [stages+1, batch, n]
+        # tuples of [batch, n] planes (len stages+1): rebinding a slot is
+        # free; a stacked [stages+1, batch, n] carry would pay a full
+        # dynamic_update_slice per column write (see docstring A/B).
+        l_cols, r_cols = carry
+        l_cols = list(l_cols)
+        r_cols = list(r_cols)
         # right-to-left: update L at column s from (L at s+1, R at s)
         for s in range(stages - 1, -1, -1):
             lx1, lx2 = pairs(l_cols[s + 1], s)
             ru1, ru2 = pairs(r_cols[s], s)
             lu1 = _f_minsum(lx1, lx2 + ru2)
             lu2 = _f_minsum(lx1, ru1) + lx2
-            l_cols = l_cols.at[s].set(unpairs(lu1, lu2))
+            l_cols[s] = unpairs(lu1, lu2)
         # left-to-right: update R at column s+1 from (R at s, L at s+1)
         for s in range(stages):
             lx1, lx2 = pairs(l_cols[s + 1], s)
             ru1, ru2 = pairs(r_cols[s], s)
             rx1 = _f_minsum(ru1, ru2 + lx2)
             rx2 = _f_minsum(ru1, lx1) + ru2
-            r_cols = r_cols.at[s + 1].set(unpairs(rx1, rx2))
-        return (l_cols, r_cols), None
+            r_cols[s + 1] = unpairs(rx1, rx2)
+        return (tuple(l_cols), tuple(r_cols)), None
 
-    l_cols = jnp.zeros((stages + 1, batch, n), jnp.float32)
-    l_cols = l_cols.at[stages].set(flat)
-    r_cols = jnp.zeros((stages + 1, batch, n), jnp.float32)
-    r_cols = r_cols.at[0].set(r0)
+    zeros = jnp.zeros((batch, n), jnp.float32)
+    l_cols = tuple(flat if s == stages else zeros for s in range(stages + 1))
+    r_cols = tuple(r0 if s == 0 else zeros for s in range(stages + 1))
     (l_cols, r_cols), _ = jax.lax.scan(
         bp_iter, (l_cols, r_cols), None, length=int(iters)
     )
