@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import bch as _bch
 from ..ops import fec as _fec
 from ..ops import ldpc as _ldpc
 from ..ops import polar as _polar
@@ -62,7 +63,7 @@ def _modulation_by_name(name: str):
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "nr_ldpc" | "rs" | "ccsds" | "turbo" | "polar" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "nr_ldpc" | "rs" | "bch" | "ccsds" | "turbo" | "polar" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
@@ -77,6 +78,14 @@ class PacketConfig:
     # correctable fade depth (2*errors + erasures <= n - k)
     rs_erasures: bool = False
     rs_erasure_threshold: float = 0.25
+    # binary BCH (fec="bch", ops/bch.py): length-bch_n codewords, t
+    # correctable bit errors each; the message length k falls out of
+    # the generator construction (255/8 -> BCH(255, 191)). bch_chase > 0
+    # switches hard decoding to Chase-2 soft decoding over 2^bch_chase
+    # test patterns (~1.5-2 dB gain, one wider batched decode)
+    bch_n: int = 255
+    bch_t: int = 8
+    bch_chase: int = 0
     # concatenated CCSDS-style telemetry coding (fec="ccsds"): RS(rs_n,
     # rs_k) outer + K=7 (171, 133) convolutional inner, with a bit
     # block-interleaver between them so the Viterbi decoder's
@@ -173,6 +182,12 @@ class PacketModem:
                 )
             else:
                 self.coded_bits = rs_bits
+        elif c.fec == "bch":
+            self._bch = _bch.BCH(c.bch_n, c.bch_t)
+            kb = self._bch.k
+            self.bch_frames = -(-self.frame_bits // kb)
+            self.bch_pad = self.bch_frames * kb - self.frame_bits
+            self.coded_bits = self.bch_frames * c.bch_n
         elif c.fec == "nr_ldpc":
             from ..ops.nr_ldpc import LIFTING_SIZES, NrLdpc, _BG_DIMS
 
@@ -256,6 +271,11 @@ class PacketModem:
                 )
                 inner = _fec.interleave(inner, c.ccsds_interleave_rows)
                 coded = _fec.conv_encode(inner)
+        elif c.fec == "bch":
+            padded = jnp.concatenate(
+                [line, jnp.zeros(self.bch_pad, jnp.uint8)]
+            ).reshape(self.bch_frames, -1)
+            coded = self._bch.encode(padded).reshape(-1)
         elif c.fec == "nr_ldpc":
             coded = self._nr.encode(line, self.coded_bits, rv=c.nr_rv)
         elif c.fec == "turbo":
@@ -362,6 +382,14 @@ class PacketModem:
             else:
                 dec, _rs_ok, _ = self._rs.decode(syms)
             line = _rs.symbols_to_bits(dec).reshape(-1)[: self.frame_bits]
+        elif c.fec == "bch":
+            frames = llr.reshape(self.bch_frames, -1)
+            if c.bch_chase > 0:
+                dec, _bok = self._bch.decode_soft(frames, p=c.bch_chase)
+            else:  # binary BCH decodes hard bits
+                hard = (frames < 0).astype(jnp.uint8)
+                dec, _bok, _ = self._bch.decode(hard)
+            line = dec.reshape(-1)[: self.frame_bits]
         elif c.fec == "nr_ldpc":
             dec, _nok = self._nr.decode(llr, rv=c.nr_rv, iters=30)
             line = dec[: self.frame_bits]

@@ -15,6 +15,7 @@ from . import fec
 from . import ldpc
 from . import nr_ldpc
 from . import rs
+from . import bch
 from . import turbo
 from . import firdes
 from . import iir
@@ -24,5 +25,5 @@ __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "nr_ldpc", "rs", "turbo", "polar", "firdes", "iir",
+    "fec", "ldpc", "nr_ldpc", "rs", "bch", "turbo", "polar", "firdes", "iir",
 ]

@@ -37,7 +37,9 @@ MODULES = [
     "aether_primitives_tpu.ops.analog",
     "aether_primitives_tpu.ops.fec",
     "aether_primitives_tpu.ops.ldpc",
+    "aether_primitives_tpu.ops.nr_ldpc",
     "aether_primitives_tpu.ops.rs",
+    "aether_primitives_tpu.ops.bch",
     "aether_primitives_tpu.ops.turbo",
     "aether_primitives_tpu.ops.polar",
     "aether_primitives_tpu.ops.iir",

@@ -17,7 +17,7 @@ def _channel(burst, rng, delay=300, cfo=1e-3, gain=0.4 * np.exp(1j * 1.1),
     return x.astype(np.complex64)
 
 
-@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "turbo", "polar", "none"])
+@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "bch", "turbo", "polar", "none"])
 def test_loopback_all_fecs(rng, fec):
     cfg = PacketConfig(payload_bits=960, fec=fec)
     pm = PacketModem(cfg)
@@ -71,6 +71,33 @@ def test_packet_through_channel_rs_burst_fade(rng):
     assert bool(ok)
     assert (np.asarray(bits) == payload).all()
     assert int(diag["offset"]) == 400
+
+
+def test_packet_through_channel_bch(rng):
+    # scattered random bit errors: binary BCH's regime. Each of the
+    # BCH(255,191,t=8) codewords corrects its share of the sparse hits.
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="bch", bch_t=8))
+    assert pm._bch.k == 191
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(pm.tx(payload))
+    cap = _channel(burst, rng, delay=300, cfo=5e-4, snr_sigma=0.12)
+    bits, ok, diag = pm.rx(cap)
+    assert bool(ok)
+    assert (np.asarray(bits) == payload).all()
+    assert int(diag["offset"]) == 300
+
+
+def test_packet_through_channel_bch_chase(rng):
+    # same burst at heavier noise than the hard-BCH test survives:
+    # Chase-2 soft decoding buys the margin
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="bch", bch_t=8,
+                                  bch_chase=4))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(pm.tx(payload))
+    cap = _channel(burst, rng, delay=250, cfo=5e-4, snr_sigma=0.17)
+    bits, ok, _ = pm.rx(cap)
+    assert bool(ok)
+    assert (np.asarray(bits) == payload).all()
 
 
 def test_packet_through_channel_turbo(rng):
