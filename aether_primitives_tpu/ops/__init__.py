@@ -16,6 +16,7 @@ from . import ldpc
 from . import nr_ldpc
 from . import rs
 from . import bch
+from . import tpc
 from . import turbo
 from . import firdes
 from . import iir
@@ -25,5 +26,6 @@ __all__ = [
     "vecops", "fft", "sampling", "modulation", "sequence", "noise", "fir",
     "frontend",
     "analog",
-    "fec", "ldpc", "nr_ldpc", "rs", "bch", "turbo", "polar", "firdes", "iir",
+    "fec", "ldpc", "nr_ldpc", "rs", "bch", "tpc", "turbo", "polar",
+    "firdes", "iir",
 ]

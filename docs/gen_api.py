@@ -40,6 +40,7 @@ MODULES = [
     "aether_primitives_tpu.ops.nr_ldpc",
     "aether_primitives_tpu.ops.rs",
     "aether_primitives_tpu.ops.bch",
+    "aether_primitives_tpu.ops.tpc",
     "aether_primitives_tpu.ops.turbo",
     "aether_primitives_tpu.ops.polar",
     "aether_primitives_tpu.ops.iir",
