@@ -84,6 +84,18 @@ class TPC:
         self.p = int(p)
         self.iters = int(iters)
         self.rate = (self.k / self.n) ** 2
+        # fast t=1 correction tables: for a perfect Hamming code the S1
+        # syndrome IS the error locator (S1 = alpha^{degree of the hit
+        # bit}), so correction needs no BM scan and no Chien search —
+        # just match S1 against the n position vectors. base._synd's
+        # first m columns are the S1 map; row j is also exactly the
+        # pattern S1 takes when bit j is in error.
+        s1 = self.base._synd[:, :m].astype(np.float32)  # [nb, m]
+        self._s1 = s1
+        # GF(2) Hamming distance via one matmul: dist(s, row_j) =
+        # s · (1 - 2 row_j) + sum(row_j); == 0 iff s == row_j
+        self._match_w = (1.0 - 2.0 * s1.T).astype(np.float32)  # [m, nb]
+        self._match_b = s1.sum(axis=1).astype(np.float32)      # [nb]
 
     # ------------------------------------------------------------------ encode
 
@@ -128,10 +140,14 @@ class TPC:
         trial = jnp.mod(hard[:, None, :] + flips, 2.0)  # [Q, 2^p, n]
 
         # Hamming-correct the first n-1 bits (perfect code: always lands
-        # on a codeword), then recompute the extension parity bit
-        body, _ok, _ = self.base._decode_full(
-            trial[..., :nb].reshape((-1, nb))
-        )
+        # on a codeword), then recompute the extension parity bit.
+        # t=1 fast path: S1 IS the locator, so correction is
+        # syndrome-matmul -> distance-match-matmul -> XOR (no BM scan,
+        # no Chien; bit-identical to base._decode_full, tested).
+        tb = trial[..., :nb]
+        s1 = jnp.mod(tb @ jnp.asarray(self._s1), 2.0)  # [Q, 2^p, m]
+        dist = s1 @ jnp.asarray(self._match_w) + jnp.asarray(self._match_b)
+        body = jnp.mod(tb + (dist == 0.0).astype(jnp.float32), 2.0)
         body = body.reshape((q, 1 << p, nb))
         par = jnp.mod(jnp.sum(body, axis=-1, keepdims=True), 2.0)
         cand = jnp.concatenate([body, par], axis=-1)  # [Q, 2^p, n]

@@ -113,6 +113,23 @@ def test_m6_code():
     assert np.asarray(ok).all()
 
 
+def test_fast_hamming_path_matches_general_decoder():
+    # the SISO's t=1 correction shortcut (S1 IS the locator: syndrome
+    # matmul -> distance match -> XOR) must be bit-identical to the
+    # general BM+Chien pipeline on arbitrary received words
+    import jax.numpy as jnp
+
+    t = TPC(m=5)
+    rng = np.random.default_rng(6)
+    words = rng.integers(0, 2, (500, 31)).astype(np.float32)
+    s1 = np.mod(words @ t._s1, 2.0)
+    dist = s1 @ t._match_w + t._match_b
+    fast = np.mod(words + (dist == 0.0), 2.0)
+    gen, ok, _ = t.base._decode_full(jnp.asarray(words))
+    assert np.array_equal(fast, np.asarray(gen))
+    assert np.asarray(ok).all()  # perfect code: every word decodes
+
+
 def test_bad_shapes_rejected():
     t = TPC(m=5)
     with pytest.raises(ValueError):
