@@ -43,6 +43,7 @@ from ..ops import polar as _polar
 from ..ops import modulation as _mod
 from ..ops import rs as _rs
 from ..ops import sequence as _seq
+from ..ops import tpc as _tpc
 from ..ops import turbo as _turbo
 from ..types import cf32
 from . import sync as _sync
@@ -63,7 +64,7 @@ def _modulation_by_name(name: str):
 class PacketConfig:
     payload_bits: int = 960
     modulation: str = "qpsk"
-    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "nr_ldpc" | "rs" | "bch" | "ccsds" | "turbo" | "polar" | "none"
+    fec: str = "viterbi"  # "viterbi" | "ldpc" | "ldpc11n" | "nr_ldpc" | "rs" | "bch" | "tpc" | "ccsds" | "turbo" | "polar" | "none"
     crc: str = "crc32"
     scrambler: Tuple[int, ...] = (14, 15)
     interleave_rows: int = 0  # 0 = none; coded bits padded to a multiple
@@ -86,6 +87,11 @@ class PacketConfig:
     bch_n: int = 255
     bch_t: int = 8
     bch_chase: int = 0
+    # turbo product code (fec="tpc", ops/tpc.py): (2^tpc_m, k)^2
+    # extended-Hamming squares, Chase-Pyndiah iterative soft decoding
+    tpc_m: int = 5
+    tpc_p: int = 4
+    tpc_iters: int = 4
     # concatenated CCSDS-style telemetry coding (fec="ccsds"): RS(rs_n,
     # rs_k) outer + K=7 (171, 133) convolutional inner, with a bit
     # block-interleaver between them so the Viterbi decoder's
@@ -127,21 +133,13 @@ class PacketModem:
 
     def __init__(self, config: PacketConfig = PacketConfig()):
         self.config = c = config
-        if c.fec == "ccsds" and c.rs_erasures:
-            # With the concatenated chain the outer RS sees HARD bits from
-            # the inner Viterbi decoder (hard_to_llr gives every symbol the
-            # same |LLR|), so the reliability-threshold erasure heuristic
-            # can never fire — it would silently degrade to plain RS
-            # decoding (advisor finding r3). Reject rather than no-op;
-            # erasure-flagging the inner decoder's burst errors would need
-            # a soft-output Viterbi (SOVA), which this decoder is not.
-            raise ValueError(
-                "rs_erasures requires soft symbol reliabilities; the ccsds "
-                "chain's outer RS sees hard Viterbi bits (uniform "
-                "reliability), so erasure decoding cannot engage. Use "
-                "fec='rs' for erasure-mode RS, or fec='ccsds' with "
-                "rs_erasures=False."
-            )
+        # fec="ccsds" + rs_erasures engages the SOFT-OUTPUT inner decoder
+        # (ops/fec.conv_decode_soft max-log BCJR): the outer RS then sees
+        # genuine per-bit reliabilities, so the erasure heuristic can flag
+        # the inner decoder's characteristic burst errors. (The r3 advisor
+        # finding — hard Viterbi bits give every symbol identical |LLR|,
+        # silently disabling erasures — was first fixed by rejecting the
+        # combination; round 4 made it functional instead.)
         self.modulation = _modulation_by_name(c.modulation)
         bps = self.modulation.bits_per_symbol
         # ---- static frame arithmetic
@@ -188,6 +186,12 @@ class PacketModem:
             self.bch_frames = -(-self.frame_bits // kb)
             self.bch_pad = self.bch_frames * kb - self.frame_bits
             self.coded_bits = self.bch_frames * c.bch_n
+        elif c.fec == "tpc":
+            self._tpc = _tpc.TPC(m=c.tpc_m, p=c.tpc_p, iters=c.tpc_iters)
+            kb = self._tpc.k * self._tpc.k
+            self.tpc_frames = -(-self.frame_bits // kb)
+            self.tpc_pad = self.tpc_frames * kb - self.frame_bits
+            self.coded_bits = self.tpc_frames * self._tpc.n * self._tpc.n
         elif c.fec == "nr_ldpc":
             from ..ops.nr_ldpc import LIFTING_SIZES, NrLdpc, _BG_DIMS
 
@@ -276,6 +280,12 @@ class PacketModem:
                 [line, jnp.zeros(self.bch_pad, jnp.uint8)]
             ).reshape(self.bch_frames, -1)
             coded = self._bch.encode(padded).reshape(-1)
+        elif c.fec == "tpc":
+            kk = self._tpc.k
+            padded = jnp.concatenate(
+                [line, jnp.zeros(self.tpc_pad, jnp.uint8)]
+            ).reshape(self.tpc_frames, kk, kk)
+            coded = self._tpc.encode(padded).reshape(-1)
         elif c.fec == "nr_ldpc":
             coded = self._nr.encode(line, self.coded_bits, rv=c.nr_rv)
         elif c.fec == "turbo":
@@ -359,16 +369,27 @@ class PacketModem:
             line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
         elif c.fec in ("rs", "ccsds"):
             if c.fec == "ccsds":
-                # inner Viterbi (soft) -> deinterleave -> outer RS (hard):
-                # the deinterleaver scatters the Viterbi decoder's burst
+                # inner decode (soft in) -> deinterleave -> outer RS:
+                # the deinterleaver scatters the inner decoder's burst
                 # errors across RS codeword symbols
-                inner_bits = _fec.viterbi_decode(llr)
-                inner_bits = _fec.deinterleave(
-                    inner_bits, c.ccsds_interleave_rows
-                )
                 rs_len = self.rs_frames * c.rs_n * 8
-                hard = inner_bits[:rs_len]
-                llr = _fec.hard_to_llr(hard)  # for the erasure heuristic
+                if c.rs_erasures:
+                    # max-log BCJR: per-bit a-posteriori LLRs survive to
+                    # the RS stage, so low-|LLR| symbols (the fade/burst
+                    # footprint) can be flagged as erasures below
+                    inner_llr = _fec.conv_decode_soft(llr)
+                    inner_llr = _fec.deinterleave(
+                        inner_llr, c.ccsds_interleave_rows
+                    )
+                    llr = inner_llr[:rs_len]
+                    hard = (llr < 0).astype(jnp.uint8)
+                else:
+                    inner_bits = _fec.viterbi_decode(llr)
+                    inner_bits = _fec.deinterleave(
+                        inner_bits, c.ccsds_interleave_rows
+                    )
+                    hard = inner_bits[:rs_len]
+                    llr = _fec.hard_to_llr(hard)
             else:
                 hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols
             syms = _rs.bits_to_symbols(hard).reshape(self.rs_frames, c.rs_n)
@@ -389,6 +410,12 @@ class PacketModem:
             else:  # binary BCH decodes hard bits
                 hard = (frames < 0).astype(jnp.uint8)
                 dec, _bok, _ = self._bch.decode(hard)
+            line = dec.reshape(-1)[: self.frame_bits]
+        elif c.fec == "tpc":
+            nn = self._tpc.n
+            dec, _tok = self._tpc.decode(
+                llr.reshape(self.tpc_frames, nn, nn)
+            )
             line = dec.reshape(-1)[: self.frame_bits]
         elif c.fec == "nr_ldpc":
             dec, _nok = self._nr.decode(llr, rv=c.nr_rv, iters=30)

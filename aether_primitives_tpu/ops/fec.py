@@ -269,6 +269,108 @@ def _viterbi_windowed(llr, polys, k, terminated, window, guard):
     return bits
 
 
+def _trellis_fwd(polys: Tuple[int, ...], k: int):
+    """Forward-indexed trellis tables for the BCJR recursions: for each
+    CURRENT state ``s`` and input ``u``, the next state ``nxt[s, u]``
+    and encoder output signs ``sgn[s, u, n] = 1 - 2*out`` (so the
+    branch log-likelihood is ``0.5 * sgn · llr``)."""
+    s_count = 1 << (k - 1)
+    n = len(polys)
+    taps = [_poly_taps(p, k) for p in polys]
+    nxt = np.zeros((s_count, 2), np.int32)
+    sgn = np.zeros((s_count, 2, n), np.float32)
+    for s in range(s_count):
+        for u in (0, 1):
+            nxt[s, u] = ((s << 1) | u) & (s_count - 1)
+            reg = np.array(
+                [u if j == 0 else (s >> (j - 1)) & 1 for j in range(k)],
+                np.uint8,
+            )
+            for gi in range(n):
+                sgn[s, u, gi] = 1.0 - 2.0 * float(
+                    int(np.sum(taps[gi] * reg)) % 2
+                )
+    return nxt, sgn
+
+
+def conv_decode_soft(
+    llrs,
+    polys: Sequence[int] = DEFAULT_POLYS,
+    constraint: int = DEFAULT_K,
+    terminated: bool = True,
+) -> jnp.ndarray:
+    """Soft-OUTPUT decode of a rate-``1/n`` convolutional code: per-bit
+    a-posteriori LLRs via max-log BCJR over the feedforward trellis.
+
+    Same input contract as :func:`viterbi_decode` (flat ``[n_sym * n]``
+    channel LLRs, positive = bit 0); returns ``[n_sym - (K-1)]`` (when
+    ``terminated``, flush positions stripped) a-posteriori LLRs whose
+    SIGNS are the decoded bits and whose MAGNITUDES are genuine per-bit
+    reliabilities — the thing hard Viterbi cannot produce, and exactly
+    what an outer errors-and-erasures Reed-Solomon stage needs to flag
+    the inner decoder's characteristic burst errors (the concatenated
+    chain this enables lives in ``models/packet.py``
+    ``fec="ccsds", rs_erasures=True``; the r3 advisor finding recorded
+    why hard bits could never drive that heuristic).
+
+    Same scan structure as the RSC BCJR in :mod:`.turbo` (alpha/beta
+    ``[S]`` max-log recursions under ``lax.scan``, normalized each
+    step) but over the general nonrecursive trellis of
+    :func:`conv_encode`'s ``polys``/``constraint``: the branch metric
+    is ``0.5 Σ_j sgn_j llr_j`` with no systematic/parity split, and the
+    completion maxes ``alpha + gamma + beta(next)`` over the input-0
+    vs input-1 transition families.
+    """
+    llr = jnp.asarray(llrs, jnp.float32)
+    if llr.ndim != 1:
+        raise ValueError("conv_decode_soft takes a flat LLR stream")
+    n = len(polys)
+    k = int(constraint)
+    if llr.shape[-1] % n:
+        raise ValueError(f"LLR count must be a multiple of n = {n}")
+    t_steps = llr.shape[-1] // n
+    nxt, sgn = _trellis_fwd(tuple(int(p) for p in polys), k)
+    s_count = nxt.shape[0]
+    nxt_j = jnp.asarray(nxt)  # [S, 2]
+    sgn_j = jnp.asarray(sgn)  # [S, 2, n]
+    sym = llr.reshape(t_steps, n)
+
+    # gamma[t, s, u] = 0.5 * sum_j sgn[s, u, j] * llr[t, j]
+    gamma = 0.5 * jnp.einsum("sun,tn->tsu", sgn_j, sym)
+
+    neg = jnp.float32(-1e9)
+    pinned = jnp.full((s_count,), neg).at[0].set(0.0)
+
+    def fwd(alpha, g_t):
+        # alpha'[s'] = max over incoming (s, u) with nxt[s,u] == s'.
+        # scatter-max via the dense [S, 2] candidate table: candidates
+        # cand[s, u] = alpha[s] + g_t[s, u] land at row nxt[s, u].
+        cand = (alpha[:, None] + g_t).reshape(-1)  # [S*2]
+        a_new = jnp.full((s_count,), neg).at[nxt_j.reshape(-1)].max(cand)
+        a_new = a_new - jnp.max(a_new)
+        return a_new, alpha
+
+    _, alphas = jax.lax.scan(fwd, pinned, gamma)  # alphas[t] = before step t
+
+    b_end = pinned if terminated else jnp.zeros((s_count,), jnp.float32)
+
+    def bwd(beta, g_t):
+        cand = g_t + beta[nxt_j]  # [S, 2]
+        b_new = jnp.max(cand, axis=-1)
+        b_new = b_new - jnp.max(b_new)
+        return b_new, beta
+
+    _, betas_rev = jax.lax.scan(bwd, b_end, gamma[::-1])
+    betas = betas_rev[::-1]  # betas[t] = beta over the step-t NEXT state
+
+    m0 = jnp.max(alphas + gamma[:, :, 0] + betas[:, nxt_j[:, 0]], axis=-1)
+    m1 = jnp.max(alphas + gamma[:, :, 1] + betas[:, nxt_j[:, 1]], axis=-1)
+    out = m0 - m1  # positive = bit 0
+    if terminated:
+        out = out[: t_steps - (k - 1)]
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _crc_matrices(poly: int, width: int, block: int):
     """GF(2) block matrices for the CRC register recurrence.

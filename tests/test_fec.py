@@ -234,3 +234,42 @@ def test_viterbi_windowed_exact_head_tail_small_guard(rng):
     win = np.asarray(fec.viterbi_decode(llr, window=128, guard=8))
     assert (full[:16] == win[:16]).all()
     assert (full[-16:] == win[-16:]).all()
+
+
+def test_conv_decode_soft_matches_viterbi(rng):
+    """Max-log BCJR soft-output decode: hard decisions equal the Viterbi
+    ML decode on clean and moderately noisy streams (bitwise-MAP and
+    sequence-ML agree away from the failure region)."""
+    bits = rng.integers(0, 2, 600).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits))
+    llr = 4.0 * (1.0 - 2.0 * coded.astype(np.float32))
+    soft = np.asarray(fec.conv_decode_soft(llr))
+    assert soft.shape == (600,)
+    assert ((soft < 0).astype(np.uint8) == bits).all()
+
+    sigma = 0.8
+    y = (1 - 2.0 * coded.astype(np.float64)) + sigma * rng.normal(
+        size=coded.shape
+    )
+    nllr = (2 * y / sigma**2).astype(np.float32)
+    soft = np.asarray(fec.conv_decode_soft(nllr))
+    hard_v = np.asarray(fec.viterbi_decode(nllr))
+    assert ((soft < 0).astype(np.uint8) == hard_v).mean() > 0.995
+
+
+def test_conv_decode_soft_reliability_marks_fades(rng):
+    """The point of soft output: bits the decoder gets WRONG must carry
+    much lower |LLR| than bits it gets right — a fade's footprint is
+    flaggable downstream (this is what enables ccsds+rs_erasures)."""
+    bits = rng.integers(0, 2, 2000).astype(np.uint8)
+    coded = np.asarray(fec.conv_encode(bits))
+    sigma = 0.5
+    y = (1 - 2.0 * coded.astype(np.float64)) + sigma * rng.normal(
+        size=coded.shape
+    )
+    y[800:1100] = 0.05 * rng.normal(size=300)  # deep fade
+    llr = (2 * y / sigma**2).astype(np.float32)
+    soft = np.asarray(fec.conv_decode_soft(llr))
+    err = (soft < 0).astype(np.uint8) != bits
+    assert err.any()  # the fade genuinely defeats the code
+    assert np.abs(soft[err]).mean() < 0.1 * np.abs(soft[~err]).mean()

@@ -17,7 +17,7 @@ def _channel(burst, rng, delay=300, cfo=1e-3, gain=0.4 * np.exp(1j * 1.1),
     return x.astype(np.complex64)
 
 
-@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "bch", "turbo", "polar", "none"])
+@pytest.mark.parametrize("fec", ["viterbi", "ldpc", "rs", "bch", "tpc", "turbo", "polar", "none"])
 def test_loopback_all_fecs(rng, fec):
     cfg = PacketConfig(payload_bits=960, fec=fec)
     pm = PacketModem(cfg)
@@ -98,6 +98,20 @@ def test_packet_through_channel_bch_chase(rng):
     bits, ok, _ = pm.rx(cap)
     assert bool(ok)
     assert (np.asarray(bits) == payload).all()
+
+
+def test_packet_through_channel_tpc(rng):
+    # (32,26)^2 block-turbo link: two TPC blocks carry the 992-bit
+    # frame; soft demod LLRs feed Chase-Pyndiah directly
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="tpc"))
+    assert pm.tpc_frames == 2 and pm.coded_bits == 2048
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    burst = np.asarray(pm.tx(payload))
+    cap = _channel(burst, rng, delay=180, cfo=5e-4, snr_sigma=0.22)
+    bits, ok, diag = pm.rx(cap)
+    assert bool(ok)
+    assert (np.asarray(bits) == payload).all()
+    assert int(diag["offset"]) == 180
 
 
 def test_packet_through_channel_turbo(rng):
@@ -266,11 +280,39 @@ def test_rx_batch_shape_check():
         pm.rx_batch(np.zeros(4096, np.complex64))
 
 
-def test_ccsds_rejects_erasure_mode():
-    # advisor finding r3: with hard inner-decoder bits every reliability is
-    # identical, so erasure flagging could never engage — reject the combo
-    with pytest.raises(ValueError, match="rs_erasures"):
-        PacketModem(PacketConfig(fec="ccsds", rs_erasures=True))
+def test_ccsds_soft_erasures_extend_fade_budget():
+    """fec="ccsds" + rs_erasures runs the max-log BCJR inner decoder
+    (ops/fec.conv_decode_soft) so the outer RS sees genuine per-bit
+    reliabilities and can erase the fade footprint. The r3 advisor
+    finding (hard Viterbi bits -> uniform |LLR| -> erasures silently
+    inert) was first fixed by rejecting the combination; this is the
+    functional fix. Measured: plain ccsds dies at ~100-120 faded
+    symbols, erasure mode survives 200 (2e + rho <= n - k roughly
+    doubles the budget when errors become erasures)."""
+    plain = PacketModem(PacketConfig(payload_bits=960, fec="ccsds"))
+    eras = PacketModem(
+        PacketConfig(payload_bits=960, fec="ccsds", rs_erasures=True)
+    )
+    seeded = np.random.default_rng(4242)
+    payload = seeded.integers(0, 2, 960).astype(np.uint8)
+
+    def faded(modem, fade_syms, seed):
+        r = np.random.default_rng(seed)
+        x = np.asarray(modem.tx(payload), dtype=np.complex64).copy()
+        lo = modem.preamble.size + 40
+        x[lo : lo + fade_syms] *= 0.05
+        x += (
+            0.25 * (r.normal(size=x.shape) + 1j * r.normal(size=x.shape))
+        ).astype(np.complex64)
+        return x.astype(np.complex64)
+
+    for seed in (1, 2):
+        cap = faded(plain, 140, seed)
+        _, ok_plain, _ = plain.rx(cap)
+        assert not bool(ok_plain)  # beyond the hard-decision chain
+        bits, ok_eras, _ = eras.rx(cap)
+        assert bool(ok_eras)
+        assert (np.asarray(bits) == payload).all()
 
 
 def test_rx_batch_sharded_matches_unsharded(rng, eight_devices):
