@@ -236,7 +236,9 @@ class TPC:
             w_col, lam_c = half_step(w_row, ab_pair[1], axis=0)
             return (w_row, w_col, lam_c), None
 
-        zeros = jnp.zeros((b, n, n), jnp.float32)
+        # derive the zero carry from r (not jnp.zeros) so its sharding
+        # "varying" axes match the body outputs under shard_map
+        zeros = r * 0.0
         (_, _, final), _ = jax.lax.scan(
             body, (zeros, zeros, zeros), sched.reshape((self.iters, 2, 2))
         )
@@ -258,3 +260,27 @@ class TPC:
         )
         data = hard[..., : self.k, : self.k].astype(jnp.uint8)
         return data.reshape(lead + (self.k, self.k)), ok.reshape(lead)
+
+    def sharded_decode(self, llr, mesh, axis_name: str = "channel"):
+        """:meth:`decode` with the block batch sharded over ``mesh`` —
+        pure data parallel (blocks are independent; no collectives), the
+        same scan-mode form as ``doa.sharded_estimate_doa`` /
+        ``PacketModem.rx_batch_sharded``. ``llr [B, n, n]`` with ``B``
+        divisible by the mesh axis; returns the same ``(data, ok)`` as
+        the unsharded call (identical bits, tested)."""
+        llr = jnp.asarray(llr, jnp.float32)
+        if llr.ndim != 3:
+            raise ValueError(f"expected [B, n, n] LLRs, got {llr.shape}")
+        n_dev = mesh.shape[axis_name]
+        if llr.shape[0] % n_dev:
+            raise ValueError(
+                f"{llr.shape[0]} blocks do not divide over {n_dev} devices"
+            )
+        p = jax.sharding.PartitionSpec
+        fn = jax.shard_map(
+            self.decode,
+            mesh=mesh,
+            in_specs=p(axis_name, None, None),
+            out_specs=(p(axis_name, None, None), p(axis_name)),
+        )
+        return fn(llr)

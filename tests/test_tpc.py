@@ -130,6 +130,23 @@ def test_fast_hamming_path_matches_general_decoder():
     assert np.asarray(ok).all()  # perfect code: every word decodes
 
 
+def test_sharded_decode_matches_unsharded(eight_devices):
+    import jax
+
+    from aether_primitives_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh({"channel": 8})
+    t = TPC(m=4, p=3, iters=2)
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 2, (16, t.k, t.k)).astype(np.uint8)
+    cw = np.asarray(t.encode(data)).astype(np.float64)
+    llr = _awgn_llr(cw, 4.0, t.rate, rng)
+    dec_s, ok_s = jax.jit(lambda v: t.sharded_decode(v, mesh))(llr)
+    dec_u, ok_u = t.decode(llr)
+    assert np.array_equal(np.asarray(dec_s), np.asarray(dec_u))
+    assert np.array_equal(np.asarray(ok_s), np.asarray(ok_u))
+
+
 def test_bad_shapes_rejected():
     t = TPC(m=5)
     with pytest.raises(ValueError):
