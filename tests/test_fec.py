@@ -273,3 +273,48 @@ def test_conv_decode_soft_reliability_marks_fades(rng):
     err = (soft < 0).astype(np.uint8) != bits
     assert err.any()  # the fade genuinely defeats the code
     assert np.abs(soft[err]).mean() < 0.1 * np.abs(soft[~err]).mean()
+
+
+def test_conv_interleaver_cascade_is_pure_delay(rng):
+    """Forney interleaver -> deinterleaver = identity delayed by
+    (I-1)*cell*I samples (zeros ahead of the stream head)."""
+    i_br, m = 4, 3
+    depth = (i_br - 1) * m * i_br
+    x = rng.integers(0, 256, 400).astype(np.float32)
+    y, _ = fec.conv_interleave(x, i_br, m)
+    z, _ = fec.conv_deinterleave(np.asarray(y), i_br, m)
+    z = np.asarray(z)
+    assert (z[:depth] == 0).all()
+    assert np.array_equal(z[depth:], x[: 400 - depth])
+
+
+def test_conv_interleaver_streaming_matches_contiguous(rng):
+    """Chunked interleaving with threaded state is bit-identical to one
+    contiguous call — the FIR history= contract for interleavers."""
+    i_br, m = 12, 17
+    x = rng.integers(0, 2, 1200).astype(np.float32)
+    y_all, _ = fec.conv_interleave(x, i_br, m)
+    state = None
+    chunks = []
+    for lo in range(0, 1200, 240):
+        yc, state = fec.conv_interleave(x[lo: lo + 240], i_br, m, state)
+        chunks.append(np.asarray(yc))
+    assert np.array_equal(np.concatenate(chunks), np.asarray(y_all))
+
+
+def test_conv_interleaver_block_permutation_and_spreading(rng):
+    """The circular (framed) form is a true permutation, roundtrips
+    exactly, and spreads an I-length channel burst to >= cell*I - 1
+    spacing after deinterleaving."""
+    i_br, m, n = 4, 3, 240
+    x = np.arange(n).astype(np.int32)
+    y = np.asarray(fec.conv_interleave_block(x, i_br, m))
+    assert len(set(y.tolist())) == n
+    assert np.array_equal(
+        np.asarray(fec.conv_deinterleave_block(y, i_br, m)), x
+    )
+    err = np.zeros(n, np.int32)
+    err[100: 100 + i_br] = 1
+    d = np.asarray(fec.conv_deinterleave_block(err, i_br, m))
+    pos = np.sort(np.where(d)[0])
+    assert np.diff(pos).min() >= m * i_br - 1
