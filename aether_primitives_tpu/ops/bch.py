@@ -174,6 +174,51 @@ def _gf2_poly_mod(a: int, b: int) -> int:
     return a
 
 
+def _gf2_rank(a: np.ndarray) -> int:
+    """Rank of a 0/1 matrix over GF(2) (host, exact)."""
+    a = a.copy() % 2
+    rank = 0
+    rows, cols = a.shape
+    for c in range(cols):
+        piv = None
+        for r in range(rank, rows):
+            if a[r, c]:
+                piv = r
+                break
+        if piv is None:
+            continue
+        a[[rank, piv]] = a[[piv, rank]]
+        for r in range(rows):
+            if r != rank and a[r, c]:
+                a[r] = (a[r] + a[rank]) % 2
+        rank += 1
+    return rank
+
+
+def _gf2_left_inverse(c: np.ndarray) -> np.ndarray:
+    """For full-column-rank ``c [m, r]`` over GF(2), a ``[r, m]`` matrix
+    P with ``P c = I_r`` (host Gaussian elimination on [c | I])."""
+    m, r = c.shape
+    aug = np.concatenate([c.copy() % 2, np.eye(m, dtype=np.int64)], axis=1)
+    row = 0
+    for col in range(r):
+        piv = None
+        for rr in range(row, m):
+            if aug[rr, col]:
+                piv = rr
+                break
+        if piv is None:
+            raise AssertionError("column-rank deficiency in GF(2) inverse")
+        aug[[row, piv]] = aug[[piv, row]]
+        for rr in range(m):
+            if rr != row and aug[rr, col]:
+                aug[rr] = (aug[rr] + aug[row]) % 2
+        row += 1
+    # after reduction the first r rows have C-part I_r; their E-part is P
+    assert np.array_equal(aug[:r, :r] % 2, np.eye(r, dtype=np.int64))
+    return aug[:r, c.shape[1]:] % 2
+
+
 class BCH:
     """Narrow-sense binary BCH over GF(2^m): ``t`` correctable bit errors.
 
@@ -267,6 +312,56 @@ class BCH:
                 ).T
         self._ev_lam = el.astype(np.float32)
 
+        # ---- closed-form decode tables (t <= 2): no BM scan, no Chien ------
+        # t=1: the S1 syndrome IS the locator (match it against the n
+        # position vectors — the TPC SISO trick, 25x there). t=2: the
+        # locator pair solves x^2 + S1 x + (S3 + S1^3)/S1 = 0, which the
+        # substitution x = S1 y turns into y^2 + y = c with
+        # c = (S3 + S1^3) / S1^3 — and y -> y^2 + y is GF(2)-LINEAR, so
+        # the quadratic solver is ONE precomputed matmul (the half-trace
+        # map), gated by the trace solvability bit. Everything stays
+        # matmuls + the tiny bilinear einsum.
+        if t <= 2:
+            pos = np.zeros((n, m), np.float32)
+            for j in range(n):
+                v = int(exp[(n - 1 - j) % q])
+                pos[j] = [(v >> bit) & 1 for bit in range(m)]
+            # GF(2) distance match via one matmul: dist(x, pos_j) =
+            # x . (1 - 2 pos_j) + sum(pos_j); == 0 iff x == pos_j
+            self._loc_w = (1.0 - 2.0 * pos.T).astype(np.float32)  # [m, n]
+            self._loc_b = pos.sum(axis=1).astype(np.float32)      # [n]
+            sq = np.zeros((m, m), np.uint8)
+            for i2 in range(m):
+                v = int(exp[(2 * i2) % q])
+                sq[:, i2] = [(v >> bit) & 1 for bit in range(m)]
+            self._sqm = sq.astype(np.float32)
+            if t == 2:
+                # trace functional: Tr(c) = tvec . c (bit 0 of sum SQ^i c)
+                tmat = np.zeros((m, m), np.int64)
+                p2 = np.eye(m, dtype=np.int64)
+                for _ in range(m):
+                    tmat = (tmat + p2) % 2
+                    p2 = (sq.astype(np.int64) @ p2) % 2
+                self._trv = tmat[0].astype(np.float32)  # [m]
+                # half-trace-style solver H with (SQ+I) H c = c on the
+                # image of y -> y^2 + y: columns of L = SQ + I span the
+                # image with known preimages (the basis vectors); pick an
+                # independent subset C (rank m-1), left-invert over GF(2),
+                # H = Y P. For Tr(c) = 0, y0 = H c solves y^2 + y = c.
+                lmap = (sq.astype(np.int64) + np.eye(m, dtype=np.int64)) % 2
+                cols, pre = [], []
+                rank_rows = np.zeros((0, m), np.int64)
+                for b2 in range(m):
+                    cand = np.vstack([rank_rows, lmap[:, b2][None]])
+                    if _gf2_rank(cand) > rank_rows.shape[0]:
+                        rank_rows = cand
+                        cols.append(lmap[:, b2])
+                        pre.append(np.eye(m, dtype=np.int64)[b2])
+                cmat = np.stack(cols, axis=1)   # [m, m-1]
+                ymat = np.stack(pre, axis=1)    # [m, m-1]
+                pmat = _gf2_left_inverse(cmat)  # [m-1, m]
+                self._ht = ((ymat @ pmat) % 2).astype(np.float32)  # [m, m]
+
     # ------------------------------------------------------------------ encode
 
     def encode(self, msg) -> jnp.ndarray:
@@ -301,11 +396,86 @@ class BCH:
 
     def _decode_full(self, rbits: jnp.ndarray):
         """Core decode on f32 bit rows ``[B, n]`` -> (corrected ``[B, n]``
-        f32, ok ``[B]``, n_errors ``[B]``)."""
+        f32, ok ``[B]``, n_errors ``[B]``). t <= 2 dispatches to the
+        scan-free closed form (bit-identical for correctable words; the
+        exact ``ok`` re-syndrome semantics hold on both paths)."""
+        if self.t <= 2:
+            return self._decode_closed(rbits)
         synd = jnp.mod(rbits @ jnp.asarray(self._synd), 2.0)
         synd = synd.reshape((-1, 2 * self.t, self.m))
         lam, ell = jax.vmap(self._berlekamp_massey)(synd)
         return jax.vmap(self._chien_flip)(lam, ell, rbits)
+
+    def _decode_bm(self, rbits: jnp.ndarray):
+        """The general BM+Chien pipeline regardless of t (kept callable
+        for the closed-form equivalence regression tests)."""
+        synd = jnp.mod(rbits @ jnp.asarray(self._synd), 2.0)
+        synd = synd.reshape((-1, 2 * self.t, self.m))
+        lam, ell = jax.vmap(self._berlekamp_massey)(synd)
+        return jax.vmap(self._chien_flip)(lam, ell, rbits)
+
+    # ------------------------------------------------------ closed-form t<=2
+
+    def _gmul(self, a, b):
+        """Element-wise GF(2^m) product on bit-plane rows [..., m]."""
+        return jnp.mod(
+            jnp.einsum("...i,ijk,...k->...j", a, jnp.asarray(self._mul3), b),
+            2.0,
+        )
+
+    def _gsq(self, a):
+        return jnp.mod(a @ jnp.asarray(self._sqm).T, 2.0)
+
+    def _ginv(self, a):
+        """Fermat inverse a^(2^m - 2); 0 -> 0 (masked by callers)."""
+        p = self._gsq(a)
+        acc = p
+        for _ in range(self.m - 2):
+            p = self._gsq(p)
+            acc = self._gmul(acc, p)
+        return acc
+
+    def _loc_match(self, x):
+        """Locator bits [B, m] -> one-hot [B, n] over code positions
+        (all-zero row when the locator is outside the code — shortened
+        virtual positions land here and fail the re-syndrome check)."""
+        dist = x @ jnp.asarray(self._loc_w) + jnp.asarray(self._loc_b)
+        return (dist == 0.0).astype(jnp.float32)
+
+    def _decode_closed(self, rbits: jnp.ndarray):
+        """Scan-free decode for t <= 2 (see __init__ notes): syndromes,
+        locators, and the quadratic solver are all matmuls."""
+        m = self.m
+        synd = jnp.mod(rbits @ jnp.asarray(self._synd), 2.0)
+        s1 = synd[:, :m]
+        s1z = jnp.all(s1 == 0.0, axis=-1, keepdims=True)
+        if self.t == 1:
+            flips = self._loc_match(s1) * (1.0 - s1z)
+        else:
+            s3 = synd[:, 2 * m: 3 * m]
+            s1cu = self._gmul(self._gsq(s1), s1)  # S1^3
+            delta = jnp.mod(s3 + s1cu, 2.0)
+            dz = jnp.all(delta == 0.0, axis=-1, keepdims=True)
+            # c = (S3 + S1^3) / S1^3; y^2 + y = c; x = S1 y
+            c = self._gmul(delta, self._ginv(s1cu))
+            solvable = (
+                jnp.mod(c @ jnp.asarray(self._trv), 2.0) == 0.0
+            )[:, None]
+            y0 = jnp.mod(c @ jnp.asarray(self._ht).T, 2.0)
+            x1 = self._gmul(s1, y0)
+            x2 = jnp.mod(x1 + s1, 2.0)
+            single = (1.0 - s1z) * dz
+            double = (1.0 - s1z) * (1.0 - dz) * solvable
+            flips = (
+                single * self._loc_match(s1)
+                + double
+                * jnp.mod(self._loc_match(x1) + self._loc_match(x2), 2.0)
+            )
+        corrected = jnp.mod(rbits + flips, 2.0)
+        resyn = jnp.mod(corrected @ jnp.asarray(self._synd), 2.0)
+        ok = jnp.all(resyn == 0.0, axis=-1)
+        nerr = jnp.sum(flips, axis=-1).astype(jnp.int32)
+        return corrected, ok, jnp.where(ok, nerr, jnp.int32(-1))
 
     def _berlekamp_massey(self, synd: jnp.ndarray):
         """Inversionless BM over one codeword's syndromes ``[2t, m]`` ->

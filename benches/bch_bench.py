@@ -85,6 +85,60 @@ def main():
             print(f"BCH({n},{c.k}) dec b{batch}: {dt*1e3:.3f} ms, "
                   f"{info/dt/1e6:.1f} Mbit/s info", flush=True)
 
+    # t=2 closed form (half-trace quadratic solver) vs general BM+Chien:
+    # interleaved same-session A/B on identical inputs, outputs asserted
+    # identical before timing
+    import jax.numpy as jnp2  # noqa: F401
+
+    c = BCH(255, 2)
+    batch = 1024
+    msg = rng.integers(0, 2, (batch, c.k)).astype(np.uint8)
+    cw = np.asarray(jax.jit(c.encode)(msg))
+    rx = cw.copy()
+    for b in range(batch):
+        rx[b, rng.choice(255, size=2, replace=False)] ^= 1
+    rxf = jax.device_put(rx.astype(np.float32), dev)
+    closed = jax.jit(c._decode_closed)
+    bm = jax.jit(c._decode_bm)
+    oc = closed(rxf)
+    ob = bm(rxf)
+    for a, b2 in zip(oc, ob):
+        assert (np.asarray(a) == np.asarray(b2)).all()
+    assert (np.asarray(oc[0])[:, : c.k] == msg).all()
+    dts = {}
+    for _ in range(3):  # interleaved rounds
+        for name, fn in (("closed", closed), ("bm", bm)):
+            d = _time(fn, (rxf,), digest, rounds=1)
+            if d is not None:
+                dts[name] = min(dts.get(name, d), d)
+    for name in ("closed", "bm"):
+        dt = dts[name]
+        results.append({
+            "op": f"BCH(255,{c.k},t=2) decode [{name}]", "batch": batch,
+            "ms_per_call": dt * 1e3,
+            "info_mbit_s": batch * c.k / dt / 1e6,
+            "coded_mbit_s": batch * 255 / dt / 1e6,
+        })
+        print(f"BCH(255,{c.k}) t2-{name} b{batch}: {dt*1e3:.3f} ms, "
+              f"{batch*c.k/dt/1e6:.1f} Mbit/s info", flush=True)
+
+    # Chase-2 on the t=2 closed form: 16 scan-free decodes per word
+    chase2 = jax.jit(lambda v: c.decode_soft(v, p=4))
+    llr = ((1.0 - 2.0 * cw.astype(np.float64)) * 4.0
+           + 0.4 * rng.normal(size=cw.shape)).astype(np.float32)
+    llr_dev = jax.device_put(llr, dev)
+    dec, ok = chase2(llr_dev)
+    assert (np.asarray(dec) == msg).all()
+    dt = _time(chase2, (llr_dev,), digest)
+    results.append({
+        "op": f"BCH(255,{c.k},t=2) Chase-2 p=4 soft decode", "batch": batch,
+        "ms_per_call": dt * 1e3,
+        "info_mbit_s": batch * c.k / dt / 1e6,
+        "coded_mbit_s": batch * 255 / dt / 1e6,
+    })
+    print(f"BCH(255,{c.k}) t2-chase4 b{batch}: {dt*1e3:.3f} ms, "
+          f"{batch*c.k/dt/1e6:.1f} Mbit/s info", flush=True)
+
     # Chase-2 soft decode: 2^4 test patterns as one wider batch
     c = BCH(63, 3)
     chase = jax.jit(lambda v: c.decode_soft(v, p=4))

@@ -200,6 +200,58 @@ def test_chase_leading_axes_and_jit():
     assert np.asarray(ok).all()
 
 
+@pytest.mark.parametrize("n,t", [(15, 1), (31, 2), (255, 2), (100, 2)])
+def test_closed_form_matches_bm(n, t):
+    """The t<=2 scan-free path (S1 locator match / half-trace quadratic
+    solver) must be bit-identical to the general BM+Chien pipeline on
+    correctable words, and agree on the exact ok verdict for arbitrary
+    junk words (bounded-distance spheres are disjoint, so any ok=True
+    decode is THE unique <=t-flip codeword on both paths)."""
+    import jax.numpy as jnp
+
+    c = BCH(n, t)
+    rng = np.random.default_rng(n + t)
+    msg = rng.integers(0, 2, (32, c.k)).astype(np.uint8)
+    cw = np.asarray(c.encode(msg)).astype(np.float32)
+    rx = cw.copy()
+    for b in range(32):
+        ne = rng.integers(0, t + 1)
+        if ne:
+            rx[b, rng.choice(n, size=ne, replace=False)] += 1
+    rx %= 2
+    for a, b2 in zip(c._decode_closed(jnp.asarray(rx)),
+                     c._decode_bm(jnp.asarray(rx))):
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
+    junk = rng.integers(0, 2, (64, n)).astype(np.float32)
+    _, ok_c, _ = c._decode_closed(jnp.asarray(junk))
+    _, ok_g, _ = c._decode_bm(jnp.asarray(junk))
+    assert np.array_equal(np.asarray(ok_c), np.asarray(ok_g))
+
+
+def test_t2_roundtrip_and_chase():
+    # the closed-form path through the public API, incl. Chase soft
+    c = BCH(255, 2)
+    assert c.k == 239
+    rng = np.random.default_rng(9)
+    msg = rng.integers(0, 2, (16, c.k)).astype(np.uint8)
+    cw = np.asarray(c.encode(msg))
+    rx = cw.copy()
+    for b in range(16):
+        rx[b, rng.choice(255, size=2, replace=False)] ^= 1
+    dec, ok, nerr = c.decode(rx)
+    assert np.array_equal(np.asarray(dec), msg)
+    assert np.asarray(ok).all() and (np.asarray(nerr) == 2).all()
+    llr = ((1 - 2.0 * cw) * 4.0).astype(np.float32)
+    for b in range(16):
+        pos = rng.choice(255, size=3, replace=False)
+        llr[b, pos] *= -1
+        llr[b, pos[0]] *= 0.02
+        llr[b, pos[1]] *= 0.03
+    sdec, sok = c.decode_soft(llr, p=4)
+    assert np.array_equal(np.asarray(sdec), msg)
+    assert np.asarray(sok).all()
+
+
 def test_helper_constructions():
     assert (bchmod.bch_15_7().n, bchmod.bch_15_7().k) == (15, 7)
     assert (bchmod.bch_63_45().n, bchmod.bch_63_45().k) == (63, 45)
