@@ -88,10 +88,13 @@ class PacketConfig:
     bch_t: int = 8
     bch_chase: int = 0
     # turbo product code (fec="tpc", ops/tpc.py): (2^tpc_m, k)^2
-    # extended-Hamming squares, Chase-Pyndiah iterative soft decoding
+    # extended-BCH squares, Chase-Pyndiah iterative soft decoding;
+    # tpc_t=1 -> extended Hamming components, 2 -> the stronger
+    # 802.16-class extended BCH-2 squares
     tpc_m: int = 5
     tpc_p: int = 4
     tpc_iters: int = 4
+    tpc_t: int = 1
     # concatenated CCSDS-style telemetry coding (fec="ccsds"): RS(rs_n,
     # rs_k) outer + K=7 (171, 133) convolutional inner, with a bit
     # block-interleaver between them so the Viterbi decoder's
@@ -187,7 +190,8 @@ class PacketModem:
             self.bch_pad = self.bch_frames * kb - self.frame_bits
             self.coded_bits = self.bch_frames * c.bch_n
         elif c.fec == "tpc":
-            self._tpc = _tpc.TPC(m=c.tpc_m, p=c.tpc_p, iters=c.tpc_iters)
+            self._tpc = _tpc.TPC(m=c.tpc_m, p=c.tpc_p, iters=c.tpc_iters,
+                                 t_component=c.tpc_t)
             kb = self._tpc.k * self._tpc.k
             self.tpc_frames = -(-self.frame_bits // kb)
             self.tpc_pad = self.tpc_frames * kb - self.frame_bits

@@ -77,8 +77,15 @@ class TPC:
     over leading axes, jittable throughout.
     """
 
-    def __init__(self, m: int = 5, p: int = 4, iters: int = 4):
-        self.base = BCH((1 << m) - 1, 1)  # perfect Hamming code
+    def __init__(self, m: int = 5, p: int = 4, iters: int = 4,
+                 t_component: int = 1):
+        if t_component not in (1, 2):
+            raise ValueError(
+                "t_component must be 1 (extended Hamming) or 2 "
+                "(extended BCH-2, the 802.16-class stronger squares)"
+            )
+        self.t_component = int(t_component)
+        self.base = BCH((1 << m) - 1, t_component)
         self.n = 1 << m
         self.k = self.base.k
         self.p = int(p)
@@ -139,21 +146,32 @@ class TPC:
         flips = jnp.einsum("cp,bpn->bcn", jnp.asarray(combos), onehot)
         trial = jnp.mod(hard[:, None, :] + flips, 2.0)  # [Q, 2^p, n]
 
-        # Hamming-correct the first n-1 bits (perfect code: always lands
-        # on a codeword), then recompute the extension parity bit.
-        # t=1 fast path: S1 IS the locator, so correction is
-        # syndrome-matmul -> distance-match-matmul -> XOR (no BM scan,
-        # no Chien; bit-identical to base._decode_full, tested).
+        # Correct the first n-1 bits (t=1 fast path: S1 IS the locator —
+        # syndrome-matmul -> distance-match-matmul -> XOR, no BM scan,
+        # no Chien, and a perfect code always lands on a codeword; t=2:
+        # the half-trace closed form in ops/bch.py, with its exact ok
+        # verdict masking the trials that decode to no codeword), then
+        # recompute the extension parity bit.
         tb = trial[..., :nb]
-        s1 = jnp.mod(tb @ jnp.asarray(self._s1), 2.0)  # [Q, 2^p, m]
-        dist = s1 @ jnp.asarray(self._match_w) + jnp.asarray(self._match_b)
-        body = jnp.mod(tb + (dist == 0.0).astype(jnp.float32), 2.0)
-        body = body.reshape((q, 1 << p, nb))
+        if self.t_component == 1:
+            s1 = jnp.mod(tb @ jnp.asarray(self._s1), 2.0)  # [Q, 2^p, m]
+            dist = (s1 @ jnp.asarray(self._match_w)
+                    + jnp.asarray(self._match_b))
+            body = jnp.mod(tb + (dist == 0.0).astype(jnp.float32), 2.0)
+            body = body.reshape((q, 1 << p, nb))
+            cand_ok = jnp.ones((q, 1 << p), bool)
+        else:
+            body, okf, _ = self.base._decode_full(tb.reshape((-1, nb)))
+            body = body.reshape((q, 1 << p, nb))
+            cand_ok = okf.reshape((q, 1 << p))
         par = jnp.mod(jnp.sum(body, axis=-1, keepdims=True), 2.0)
         cand = jnp.concatenate([body, par], axis=-1)  # [Q, 2^p, n]
 
         diff = jnp.mod(cand + hard[:, None, :], 2.0)
         metric = jnp.sum(diff * rel[:, None, :], axis=-1)  # [Q, 2^p]
+        # failed trials (t=2 only) leave the candidate pool via a big
+        # finite penalty — inf would poison comp - bm below with nans
+        metric = jnp.where(cand_ok, metric, jnp.float32(1e9))
         best = jnp.argmin(metric, axis=-1)
         bm = jnp.take_along_axis(metric, best[:, None], axis=-1)  # [Q, 1]
         d = jnp.take_along_axis(
@@ -166,7 +184,9 @@ class TPC:
         comp = jnp.min(
             jnp.where(differs, metric[:, :, None], jnp.inf), axis=1
         )  # [Q, n]
-        has = jnp.isfinite(comp)
+        # a competitor must be a genuine codeword candidate: the 1e9
+        # failed-trial penalty (and inf = none at all) both disqualify
+        has = comp < jnp.float32(1e8)
         d_sign = 1.0 - 2.0 * d
         # max-log APP on the LLR scale: with the analog-weight metric
         # M = sum |r| over mismatches, lambda_j = (M_comp - M_best) *

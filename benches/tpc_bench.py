@@ -59,8 +59,12 @@ def main():
         jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(o)
     ))
 
-    for (m, p, ebn0, batches) in [(5, 4, 3.0, (16, 64)), (6, 5, 3.5, (16,))]:
-        t = TPC(m=m, p=p, iters=4)
+    for (m, p, tc, ebn0, batches) in [
+        (5, 4, 1, 3.0, (16, 64)),
+        (6, 5, 1, 3.5, (16,)),
+        (6, 4, 2, 3.0, (16,)),  # the 802.16-class BCH-2 square
+    ]:
+        t = TPC(m=m, p=p, iters=4, t_component=tc)
         enc = jax.jit(t.encode)
         dec_fn = jax.jit(t.decode)
         for batch in batches:
@@ -74,7 +78,7 @@ def main():
             dt = _time(dec_fn, (llr,), digest)
             info = batch * t.k * t.k
             results.append({
-                "op": f"TPC({t.n},{t.k})^2 p={p} 4it decode",
+                "op": f"TPC({t.n},{t.k})^2 t{tc} p={p} 4it decode",
                 "batch": batch, "ebn0_db": ebn0,
                 "ms_per_call": dt * 1e3,
                 "info_mbit_s": info / dt / 1e6,
