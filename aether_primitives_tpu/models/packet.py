@@ -100,6 +100,13 @@ class PacketConfig:
     # block-interleaver between them so the Viterbi decoder's
     # characteristic burst errors scatter across RS codeword symbols
     ccsds_interleave_rows: int = 8
+    # inner interleaver realization: "block" (rows x cols matrix) or
+    # "conv" (circular Forney permutation, ops/fec.conv_interleave_block
+    # with branches = ccsds_interleave_rows and the cell size below —
+    # the deployed-telemetry delay-line structure, zero added latency in
+    # its circular framed form)
+    ccsds_interleaver: str = "block"
+    ccsds_interleave_cell: int = 17
     # polar (fec="polar"): rate-1/2 codewords of length polar_n; list > 1
     # switches SC -> CA-SCL with a per-codeword inner CRC-8 (the 5G
     # decoder; the outer packet CRC stays the end-to-end verdict)
@@ -134,8 +141,39 @@ class PacketModem:
     the burst at any offset the preamble search can cover.
     """
 
+    def _ccsds_ilv(self, bits):
+        """Inner interleaver. "conv" permutes GF(2^8) SYMBOLS (8-bit
+        groups), the deployed-telemetry convention: a bit-level Forney
+        permutation would scatter an L-bit burst into ~L distinct RS
+        symbols (1 hit each — the WORST case for a symbol-correcting
+        outer code; measured: a 96-bit burst touched 96 symbols at bit
+        level vs ~12 at symbol level), while symbol-level spreading
+        keeps each burst hit inside the symbol it already corrupted."""
+        c = self.config
+        if c.ccsds_interleaver == "conv":
+            syms = bits.reshape(-1, 8).T  # [8, n_sym]
+            out = _fec.conv_interleave_block(
+                syms, c.ccsds_interleave_rows, c.ccsds_interleave_cell
+            )
+            return out.T.reshape(-1)
+        return _fec.interleave(bits, c.ccsds_interleave_rows)
+
+    def _ccsds_dilv(self, x):
+        c = self.config
+        if c.ccsds_interleaver == "conv":
+            syms = x.reshape(-1, 8).T
+            out = _fec.conv_deinterleave_block(
+                syms, c.ccsds_interleave_rows, c.ccsds_interleave_cell
+            )
+            return out.T.reshape(-1)
+        return _fec.deinterleave(x, c.ccsds_interleave_rows)
+
     def __init__(self, config: PacketConfig = PacketConfig()):
         self.config = c = config
+        if config.ccsds_interleaver not in ("block", "conv"):
+            raise ValueError(
+                f"unknown ccsds_interleaver {config.ccsds_interleaver!r}"
+            )
         # fec="ccsds" + rs_erasures engages the SOFT-OUTPUT inner decoder
         # (ops/fec.conv_decode_soft max-log BCJR): the outer RS then sees
         # genuine per-bit reliabilities, so the erasure heuristic can flag
@@ -177,7 +215,12 @@ class PacketModem:
             if c.fec == "ccsds":
                 # inner interleave (pad to whole rows) + conv rate 1/2
                 rows = max(1, c.ccsds_interleave_rows)
-                self.ccsds_pad = (-rs_bits) % rows
+                if c.ccsds_interleaver == "conv":
+                    # symbol-level Forney: whole 8-bit symbols, count
+                    # divisible by the branch count
+                    self.ccsds_pad = (-rs_bits) % (8 * rows)
+                else:
+                    self.ccsds_pad = (-rs_bits) % rows
                 self.coded_bits = 2 * (
                     rs_bits + self.ccsds_pad + _fec.DEFAULT_K - 1
                 )
@@ -277,7 +320,7 @@ class PacketModem:
                 inner = jnp.concatenate(
                     [coded, jnp.zeros(self.ccsds_pad, jnp.uint8)]
                 )
-                inner = _fec.interleave(inner, c.ccsds_interleave_rows)
+                inner = self._ccsds_ilv(inner)
                 coded = _fec.conv_encode(inner)
         elif c.fec == "bch":
             padded = jnp.concatenate(
@@ -382,16 +425,12 @@ class PacketModem:
                     # the RS stage, so low-|LLR| symbols (the fade/burst
                     # footprint) can be flagged as erasures below
                     inner_llr = _fec.conv_decode_soft(llr)
-                    inner_llr = _fec.deinterleave(
-                        inner_llr, c.ccsds_interleave_rows
-                    )
+                    inner_llr = self._ccsds_dilv(inner_llr)
                     llr = inner_llr[:rs_len]
                     hard = (llr < 0).astype(jnp.uint8)
                 else:
                     inner_bits = _fec.viterbi_decode(llr)
-                    inner_bits = _fec.deinterleave(
-                        inner_bits, c.ccsds_interleave_rows
-                    )
+                    inner_bits = self._ccsds_dilv(inner_bits)
                     hard = inner_bits[:rs_len]
                     llr = _fec.hard_to_llr(hard)
             else:

@@ -99,6 +99,14 @@ def main():
     dec, _ok = c.decode_soft(llr, p=4)
     report("BCH(255,191) Chase-2", c.k / 255, data, dec)
 
+    # ---- closed-form t=2 BCH (255,239): scan-free hard + Chase soft
+    c2 = bch.BCH(255, 2)
+    data = rng.integers(0, 2, (B, c2.k)).astype(np.uint8)
+    cw = np.asarray(c2.encode(data))
+    llr, _ = _awgn_llr(cw, ebn0, c2.k / 255, rng)
+    dec, _ok = c2.decode_soft(llr, p=4)
+    report("BCH(255,239) Chase-2", c2.k / 255, data, dec)
+
     # ---- turbo product code (32,26)^2
     t = tpc.TPC(m=5, p=4, iters=4)
     B = 32
@@ -107,6 +115,15 @@ def main():
     llr, _ = _awgn_llr(cw, ebn0, t.rate, rng)
     dec, _ok = t.decode(llr)
     report("TPC(32,26)^2", t.rate, data, dec)
+
+    # ---- the stronger 802.16-class t=2 BCH square
+    t2 = tpc.TPC(m=6, p=4, iters=4, t_component=2)
+    B = 16
+    data = rng.integers(0, 2, (B, t2.k, t2.k)).astype(np.uint8)
+    cw = np.asarray(t2.encode(data))
+    llr, _ = _awgn_llr(cw, ebn0, t2.rate, rng)
+    dec, _ok = t2.decode(llr)
+    report("TPC(64,51)^2 t=2", t2.rate, data, dec)
 
     # ---- convolutional turbo (rate 1/3, 8 iterations)
     B, n_info = 24, 400
@@ -153,8 +170,8 @@ def main():
         print(f"{name:<24}{rate:>6.3f}{ber:>12.2e}{bler:>9.3f}{extra}")
 
     # the families built for this operating point must be clean here
-    strong = {"802.11n QC-LDPC 648", "TPC(32,26)^2", "turbo 1/3 8it",
-              "polar CA-SCL L=8"}
+    strong = {"802.11n QC-LDPC 648", "TPC(32,26)^2", "TPC(64,51)^2 t=2",
+              "turbo 1/3 8it", "polar CA-SCL L=8"}
     for name, rate, ber, bler, _ in rows:
         if name in strong:
             assert bler < 0.1, f"{name} BLER {bler} out of family"

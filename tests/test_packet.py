@@ -280,6 +280,23 @@ def test_rx_batch_shape_check():
         pm.rx_batch(np.zeros(4096, np.complex64))
 
 
+def test_ccsds_conv_interleaver(rng):
+    # the circular Forney permutation as the inner interleaver: same
+    # fade-burst recovery contract as the block form
+    pm = PacketModem(PacketConfig(payload_bits=960, fec="ccsds",
+                                  ccsds_interleaver="conv"))
+    payload = rng.integers(0, 2, 960).astype(np.uint8)
+    bits, ok, _ = pm.loopback(payload)
+    assert bool(ok) and (np.asarray(bits) == payload).all()
+    x = np.asarray(pm.tx(payload), dtype=np.complex64).copy()
+    lo = pm.preamble.size + 40
+    x[lo : lo + 60] *= 0.05
+    x += (0.25 * (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape))
+          ).astype(np.complex64)
+    bits2, ok2, _ = pm.rx(x.astype(np.complex64))
+    assert bool(ok2) and (np.asarray(bits2) == payload).all()
+
+
 def test_ccsds_soft_erasures_extend_fade_budget():
     """fec="ccsds" + rs_erasures runs the max-log BCJR inner decoder
     (ops/fec.conv_decode_soft) so the outer RS sees genuine per-bit
