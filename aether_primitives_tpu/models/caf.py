@@ -105,9 +105,16 @@ def estimate_delay_doppler(
     Everything (argmax included) runs on device — one jittable graph.
     """
     x = jnp.asarray(x, dtype=cf32)
-    n = x.shape[-1]
     nu = jnp.linspace(-max_doppler, max_doppler, int(n_dopplers)).astype(jnp.float32)
     surf = ambiguity(x, ref, nu, fft_backend)
+    return _refine_peak(surf, nu, x, ref)
+
+
+def _refine_peak(surf, nu, x, ref):
+    """Shared peak search + parabolic refinement over a CAF surface
+    ``[n_dopplers, n]`` (used by the single-device and sharded
+    estimators — one copy so the edge handling cannot diverge)."""
+    n = surf.shape[-1]
     mag = jnp.abs(surf)
     flat = jnp.argmax(mag)
     di, ti = flat // n, flat % n
@@ -122,7 +129,7 @@ def estimate_delay_doppler(
     nu_off = jnp.where(
         (di > 0) & (di < nd - 1), _parabolic(dm1, col[di], dp1), 0.0
     )
-    step = nu[1] - nu[0] if n_dopplers > 1 else jnp.float32(0.0)
+    step = nu[1] - nu[0] if nd > 1 else jnp.float32(0.0)
     delay = (ti.astype(jnp.float32) + tau_off) % n
     doppler = nu[di] + nu_off * step
     e_x = jnp.sum(jnp.abs(x) ** 2)
@@ -189,28 +196,8 @@ def sharded_estimate_delay_doppler(
     :func:`sharded_ambiguity`; the peak search + parabolic refinement run
     on the (tiny) gathered surface. Same return contract."""
     x = jnp.asarray(x, dtype=cf32)
-    n = x.shape[-1]
     nu = jnp.linspace(
         -max_doppler, max_doppler, int(n_dopplers)
     ).astype(np.float32)
     surf = sharded_ambiguity(x, ref, nu, mesh, axis_name, fft_backend)
-    mag = jnp.abs(surf)
-    flat = jnp.argmax(mag)
-    di, ti = flat // n, flat % n
-    row = mag[di]
-    tau_off = _parabolic(row[(ti - 1) % n], row[ti], row[(ti + 1) % n])
-    col = mag[:, ti]
-    nd = col.shape[0]
-    dm1 = col[jnp.maximum(di - 1, 0)]
-    dp1 = col[jnp.minimum(di + 1, nd - 1)]
-    nu_off = jnp.where(
-        (di > 0) & (di < nd - 1), _parabolic(dm1, col[di], dp1), 0.0
-    )
-    nu_j = jnp.asarray(nu)
-    step = nu_j[1] - nu_j[0] if n_dopplers > 1 else jnp.float32(0.0)
-    delay = (ti.astype(jnp.float32) + tau_off) % n
-    doppler = nu_j[di] + nu_off * step
-    e_x = jnp.sum(jnp.abs(x) ** 2)
-    e_r = jnp.sum(jnp.abs(jnp.asarray(ref, dtype=cf32)) ** 2)
-    metric = (mag[di, ti] ** 2) / (e_x * e_r)
-    return delay, doppler, metric
+    return _refine_peak(surf, jnp.asarray(nu), x, ref)

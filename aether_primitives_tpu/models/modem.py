@@ -357,7 +357,15 @@ class RxChain:
         else:
             bits = self._demod_frames(self._frames_spectra(x, history=h))
         if k > 1:
-            new_state = x[..., x.shape[-1] - (k - 1):]
+            if x.shape[-1] >= k - 1:
+                new_state = x[..., x.shape[-1] - (k - 1):]
+            else:
+                # block shorter than the filter memory: the carried
+                # history must keep the tail of the PREVIOUS state too —
+                # a bare slice of x would silently shrink the state and
+                # break the jitted shape contract / drop history
+                # (review finding r4)
+                new_state = jnp.concatenate([h, x], axis=-1)[..., -(k - 1):]
         else:
             new_state = jnp.asarray(state, dtype=cf32)
         return bits, new_state

@@ -174,6 +174,13 @@ class PacketModem:
             raise ValueError(
                 f"unknown ccsds_interleaver {config.ccsds_interleaver!r}"
             )
+        if config.polar_decoder not in ("scl", "bp"):
+            # a typo ("BP", "scl ") would otherwise silently select SCL
+            # and invalidate any throughput comparison (review finding r4)
+            raise ValueError(
+                f"unknown polar_decoder {config.polar_decoder!r} "
+                "(expected 'scl' or 'bp')"
+            )
         # fec="ccsds" + rs_erasures engages the SOFT-OUTPUT inner decoder
         # (ops/fec.conv_decode_soft max-log BCJR): the outer RS then sees
         # genuine per-bit reliabilities, so the erasure heuristic can flag

@@ -401,10 +401,7 @@ class BCH:
         exact ``ok`` re-syndrome semantics hold on both paths)."""
         if self.t <= 2:
             return self._decode_closed(rbits)
-        synd = jnp.mod(rbits @ jnp.asarray(self._synd), 2.0)
-        synd = synd.reshape((-1, 2 * self.t, self.m))
-        lam, ell = jax.vmap(self._berlekamp_massey)(synd)
-        return jax.vmap(self._chien_flip)(lam, ell, rbits)
+        return self._decode_bm(rbits)
 
     def _decode_bm(self, rbits: jnp.ndarray):
         """The general BM+Chien pipeline regardless of t (kept callable

@@ -185,7 +185,7 @@ def make_nr_base_graph(bg: int = 2, z: int = 128, seed: int = 1) -> np.ndarray:
     for i in range(4, mb):
         deg = 4 if i < 4 + (mb - 4) // 2 else 3
         # always protect the two punctured columns with regular coverage
-        cols = {(i - 4) % 2} if bg == 2 else {(i - 4) % 2}
+        cols = {(i - 4) % 2}
         while len(cols) < deg:
             cols.add(int(rng.integers(kb + 4)))
         for j in sorted(cols):
@@ -243,6 +243,14 @@ class NrLdpc:
                 )
             # shifts are defined mod z
             base = np.where(base >= 0, base % self.z, -1)
+            # normalize the FIELD to a hashable tuple-of-tuples: the
+            # frozen-dataclass hash backs the lru_cache on _selection,
+            # and an ndarray field would crash it at first encode/decode
+            # (review finding r4) — docstrings tell users to pass the
+            # TS 38.212 tables as ndarrays, so accept both
+            object.__setattr__(
+                self, "base_graph", tuple(map(tuple, base.tolist()))
+            )
         else:
             base = make_nr_base_graph(self.bg, self.z, self.seed)
         object.__setattr__(self, "_base", base)
@@ -409,8 +417,6 @@ class NrTransportBlock:
     seed: int = 1
 
     def __post_init__(self):
-        from . import fec as _fec
-
         kcb = _KCB[self.bg]
         b = self.tb_bits + 24  # TB CRC24A
         if b <= kcb:
@@ -431,7 +437,6 @@ class NrTransportBlock:
         # leading block carries any shortfall as leading zero pad
         object.__setattr__(self, "pad", c * k_per - b_prime if c > 1
                            else 0)
-        del _fec
 
     def _segments(self, payload) -> jnp.ndarray:
         from . import fec as _fec

@@ -284,15 +284,14 @@ def polar_decode_bp(
 
     u_post = l_cols[0] + r_cols[0]
     u_hard = (u_post < 0).astype(jnp.uint8)
-    # info positions only; frozen are pinned to 0 for the re-encode check
-    u_check = jnp.where(jnp.asarray(mask), u_hard, jnp.uint8(0))
     x_post = l_cols[stages] + r_cols[stages]
     x_hard = (x_post < 0).astype(jnp.uint8)
+    # re-encode check: polar_encode pins the frozen positions to 0
+    # itself, so the info bits alone carry the whole u-side decision
     info_idx = np.where(mask)[0]
     bits = jnp.take(u_hard, jnp.asarray(info_idx), axis=-1)
     reenc = polar_encode(bits, mask)
     ok = jnp.all(reenc == x_hard, axis=-1)
-    del u_check
     return (
         bits.reshape(lead + (int(mask.sum()),)),
         ok.reshape(lead),

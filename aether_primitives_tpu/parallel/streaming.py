@@ -348,8 +348,16 @@ class StatefulExecutor:
 
     @property
     def state(self):
-        """Current carry state (e.g. to checkpoint / resume a stream)."""
-        return self._state
+        """Current carry state (e.g. to checkpoint / resume a stream).
+
+        Returns a COPY: with ``donate_state=True`` the live carry is
+        donated to XLA on the next ``send()``, so handing out the raw
+        buffers would leave any held checkpoint deleted (review finding
+        r4 — ``np.asarray`` on it raised "Array has been deleted")."""
+        return jax.tree.map(
+            lambda a: jnp.array(a) if isinstance(a, jax.Array) else a,
+            self._state,
+        )
 
     def close(self) -> None:
         self._closed = True

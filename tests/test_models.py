@@ -440,3 +440,60 @@ def test_stateful_executor_contiguous_capture():
     streamed = np.concatenate([np.asarray(o) for o in outs])
     assert (streamed == np.asarray(chain.step(x))).all()
     assert ex.chain_stats.total_n == nblocks
+
+
+def test_stateful_executor_checkpoint_survives_donation():
+    # the .state property must return a COPY: with donate_state=True the
+    # live carry buffers are donated to XLA on the next send(), and a
+    # held checkpoint used to come back as a deleted array (review
+    # finding r4)
+    from aether_primitives_tpu.parallel.streaming import StatefulExecutor
+
+    rng = np.random.default_rng(25)
+    nblk = 2 * 256 * 4
+    chain = RxChain(RxChainConfig(fft_len=256, decimation=4))
+    ex = StatefulExecutor(
+        chain.streaming_step, chain.init_state(), depth=2, printer=None
+    )
+    blocks = [
+        (rng.normal(size=nblk) + 1j * rng.normal(size=nblk)).astype(
+            np.complex64
+        )
+        for _ in range(3)
+    ]
+    ex.send(blocks[0])
+    ex.recv()
+    ckpt = ex.state  # checkpoint mid-stream
+    ex.send(blocks[1])
+    ex.recv()
+    ckpt_np = jax.tree.map(np.asarray, ckpt)  # must NOT be deleted
+    ex.close()
+    # resuming from the checkpoint replays block 1 bit-exactly
+    ex2 = StatefulExecutor(
+        chain.streaming_step, ckpt_np, depth=2, printer=None
+    )
+    replay = ex2.run([blocks[1]])
+    ex2.close()
+    direct, _ = chain.streaming_step(blocks[1], ckpt_np)
+    assert (np.asarray(replay[0]) == np.asarray(direct)).all()
+
+
+def test_streaming_step_short_block_state():
+    # a block shorter than the filter memory (possible only with taps
+    # longer than one block) must carry history over from the previous
+    # state, keeping the jitted state-shape contract (review finding r4:
+    # a bare slice silently shrank the state)
+    taps = np.hanning(1500).astype(np.float32)
+    chain = RxChain(RxChainConfig(fft_len=256, decimation=4,
+                                  fir_taps=taps))
+    state = chain.init_state()
+    assert np.shape(state)[-1] == 1499
+    rng = np.random.default_rng(26)
+    block = (rng.normal(size=1024) + 1j * rng.normal(size=1024)).astype(
+        np.complex64
+    )
+    _bits, new_state = chain.streaming_step(block, state)
+    assert np.shape(new_state) == np.shape(state)
+    # and the carried history is [old tail | block], not a bare slice
+    expect = np.concatenate([np.asarray(state), block])[-1499:]
+    assert np.allclose(np.asarray(new_state), expect)

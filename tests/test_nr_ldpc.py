@@ -146,6 +146,21 @@ def test_standard_table_slot_accepts_external_graph():
     assert (np.asarray(dec) == bits).all() and np.asarray(ok).all()
 
 
+def test_external_graph_as_ndarray():
+    # the docstring tells users to pass the TS 38.212 table "as [42, 52]
+    # ndarray" — an ndarray FIELD used to crash the frozen-dataclass hash
+    # behind the _selection lru_cache at first encode (review finding r4);
+    # __post_init__ now normalizes the field to tuples
+    base = NR.make_nr_base_graph(2, z=32)
+    code = NrLdpc(z=32, bg=2, base_graph=np.asarray(base))
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, (2, code.k)).astype(np.uint8)
+    tx = np.asarray(code.encode(bits, 640))  # exercises the cached path
+    llr = (1.0 - 2.0 * tx.astype(np.float32)) * 4.0
+    dec, ok = code.decode(llr)
+    assert (np.asarray(dec) == bits).all() and np.asarray(ok).all()
+
+
 def test_bad_params_raise():
     with pytest.raises(ValueError, match="lifting"):
         NrLdpc(z=100)
