@@ -449,6 +449,78 @@ class RxChain:
         fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
         return fn(block)
 
+    def _shard_streaming_bits(self, x, s, time_axis):
+        """Per-shard streaming body (inside ``shard_map``): the carried
+        block-to-block state enters the FIRST time shard's halo slot; all
+        other shards take their left neighbor's tail over ICI as usual.
+        Returns ``(bits, new_state)`` with ``new_state`` replicated over the
+        time axis (psum-broadcast of the LAST shard's full-rate tail)."""
+        k = self.taps.shape[-1]
+        if k <= 1:
+            if self._sign_fast_path_ok():
+                return self._bits_fast(x), s
+            return self._demod_frames(self._frames_spectra(x)), s
+        # left_tail already rejects per-shard spans < k-1 (halo would need
+        # to reach beyond one neighbor); the same bound makes the carried
+        # state a plain slice of the local block below.
+        halo = _halo.left_tail(x, k - 1, time_axis)
+        first = jax.lax.axis_index(time_axis) == 0
+        h = jnp.where(first, s, halo)
+        if self._sign_fast_path_ok():
+            bits = self._bits_fast(x, history=h)
+        else:
+            bits = self._demod_frames(self._frames_spectra(x, history=h))
+        last = jax.lax.axis_index(time_axis) == jax.lax.axis_size(time_axis) - 1
+        tail = x[..., x.shape[-1] - (k - 1):]
+        new_state = jax.lax.psum(
+            jnp.where(last, tail, jnp.zeros_like(tail)), time_axis
+        )
+        return bits, new_state
+
+    def sharded_streaming_step_2d(
+        self,
+        block,
+        state,
+        mesh,
+        channel_axis: str = "channel",
+        time_axis: str = TIME_AXIS,
+    ):
+        """:meth:`streaming_step` on the ``(channel, time)`` mesh — the
+        flagship composition: a CONTINUOUS capture processed block-by-block
+        (the reference's pipeline contract, reference src/pipeline.rs:70-79)
+        where each block is itself sharded into contiguous per-device time
+        spans (with ICI halo exchange) across independent channels.
+
+        ``(block, state) -> (bits, new_state)``: ``block`` is
+        ``[channels, n]`` sharded ``P(channel, time)``; ``state`` is the
+        carried FIR history ``[channels, K-1]`` sharded ``P(channel, None)``
+        (:meth:`init_state` with ``batch_shape=(channels,)`` before the first
+        block). The state hand-off and the intra-block halo compose: shard 0
+        of the time axis consumes the carried state where its halo would be,
+        and the new state (the block's last ``K-1`` full-rate samples, i.e.
+        the LAST time shard's tail) comes back replicated over time so the
+        next call can feed it straight in. N successive calls are bit-exact
+        to one contiguous :meth:`step` / :meth:`sharded_step_2d` of the
+        concatenated capture (tests/test_parallel.py; driver
+        ``dryrun_multichip``).
+        """
+        def shard_fn(x, s):
+            return self._shard_streaming_bits(x, s, time_axis)
+
+        nd = jnp.ndim(block)
+        mid = [None] * (nd - 2)
+        spec_blk = P(*([channel_axis] + mid + [time_axis]))
+        spec_state = P(*([channel_axis] + mid + [None]))
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec_blk, spec_state),
+            out_specs=(spec_blk, spec_state),
+        )
+        return fn(
+            jnp.asarray(block, dtype=cf32), jnp.asarray(state, dtype=cf32)
+        )
+
     def _bits_from_planes(self, zr, zi) -> jnp.ndarray:
         """Sign demod + natural-order bit pack of k1-leading (zr, zi) planes."""
         cfg = self.config

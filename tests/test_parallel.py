@@ -85,6 +85,75 @@ def test_sharded_waterfall_matches_single(mesh8):
     assert np.allclose(sharded, single, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "fir_mode,backend,modulation",
+    [
+        ("fused", None, "qpsk"),
+        ("fused", "matmul", "qpsk"),  # staged-layout sign fast path
+        ("fused", "matmul", "qam16"),  # amplitude-sensitive demod
+        ("os", None, "qpsk"),
+        ("shift_add", None, "qpsk"),
+    ],
+)
+def test_sharded_streaming_matches_contiguous(mesh8, fir_mode, backend, modulation):
+    """The flagship composition (VERDICT r4 item 1): carried FIR state x
+    time-axis halo x (channel, time) mesh. Four consecutive sharded
+    streaming blocks must be bit-identical to ONE contiguous single-device
+    step of the concatenated capture — the state hand-off at block
+    boundaries and the ppermute halo at shard boundaries must compose."""
+    from aether_primitives_tpu.models import RxChain, RxChainConfig
+
+    chain = RxChain(
+        RxChainConfig(
+            fft_len=128, decimation=4, fir_mode=fir_mode,
+            fft_backend=backend, modulation=modulation,
+        )
+    )
+    m = mesh_mod.make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(3)
+    C, B = 2, 4  # channels, consecutive blocks
+    n = 4 * 4 * 128  # per-block; per-device span 512 = dec*fft_len
+    cap = (rng.normal(size=(C, B * n))
+           + 1j * rng.normal(size=(C, B * n))).astype(np.complex64)
+    contiguous = np.asarray(chain.step(cap))
+
+    fn = jax.jit(lambda b, s: chain.sharded_streaming_step_2d(b, s, m))
+    state = chain.init_state((C,))
+    outs = []
+    for i in range(B):
+        bits, state = fn(cap[:, i * n:(i + 1) * n], state)
+        outs.append(np.asarray(bits))
+    got = np.concatenate(outs, axis=-1)
+    assert got.shape == contiguous.shape
+    agree = (got == contiguous).mean()
+    assert agree == 1.0, f"bit agreement {agree}"
+    # the carried state equals the capture's true full-rate tail
+    k = chain.taps.shape[-1]
+    assert np.array_equal(np.asarray(state), cap[:, -(k - 1):])
+
+
+def test_sharded_streaming_matches_single_device_streaming(mesh8):
+    """Sharded streaming and single-device streaming produce the SAME
+    per-block bits and carried state at every step (not just in the
+    concatenation) — the mesh is transparent to the stream contract."""
+    from aether_primitives_tpu.models import RxChain, RxChainConfig
+
+    chain = RxChain(RxChainConfig(fft_len=128, decimation=4, fir_mode="os"))
+    m = mesh_mod.make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(4)
+    C, n = 2, 4 * 4 * 128
+    state_s = chain.init_state((C,))
+    state_1 = chain.init_state((C,))
+    fn = jax.jit(lambda b, s: chain.sharded_streaming_step_2d(b, s, m))
+    for i in range(3):
+        blk = (rng.normal(size=(C, n))
+               + 1j * rng.normal(size=(C, n))).astype(np.complex64)
+        bits_s, state_s = fn(blk, state_s)
+        bits_1, state_1 = chain.streaming_step(blk, state_1)
+        assert np.array_equal(np.asarray(bits_s), np.asarray(bits_1)), i
+        assert np.array_equal(np.asarray(state_s), np.asarray(state_1)), i
+
+
 def test_sharded_rx_chain_matches_single(mesh8):
     from aether_primitives_tpu.models import RxChain, RxChainConfig
 
