@@ -174,6 +174,15 @@ class PacketModem:
             raise ValueError(
                 f"unknown ccsds_interleaver {config.ccsds_interleaver!r}"
             )
+        if config.ccsds_interleaver == "conv" and config.ccsds_interleave_rows < 1:
+            # the block path clamps rows with max(1, ...) but the Forney
+            # path uses the raw value as the branch count — 0 would surface
+            # as an n % 0 ZeroDivisionError deep in conv_interleave_block
+            # (advisor finding r4)
+            raise ValueError(
+                "ccsds_interleaver='conv' needs ccsds_interleave_rows >= 1, "
+                f"got {config.ccsds_interleave_rows}"
+            )
         if config.polar_decoder not in ("scl", "bp"):
             # a typo ("BP", "scl ") would otherwise silently select SCL
             # and invalidate any throughput comparison (review finding r4)

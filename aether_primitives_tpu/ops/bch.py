@@ -245,7 +245,16 @@ class BCH:
             m = max(2, n.bit_length())  # smallest m with 2^m - 1 >= n
         if not (3 <= n <= (1 << m) - 1):
             raise ValueError(f"need 3 <= n <= 2^{m}-1 = {(1 << m) - 1}, got n={n}")
-        poly = PRIMITIVE_POLYS[m] if primitive_poly is None else int(primitive_poly)
+        if primitive_poly is None:
+            if m not in PRIMITIVE_POLYS:
+                raise ValueError(
+                    f"no built-in primitive polynomial for GF(2^{m}) "
+                    f"(n={n} needs m={m}; built-ins cover m in "
+                    f"{sorted(PRIMITIVE_POLYS)}) — pass primitive_poly="
+                )
+            poly = PRIMITIVE_POLYS[m]
+        else:
+            poly = int(primitive_poly)
         exp, log = _field_tables(m, poly)
         q = (1 << m) - 1
         self.n, self.t, self.m = n, t, m

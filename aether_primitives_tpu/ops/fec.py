@@ -269,6 +269,7 @@ def _viterbi_windowed(llr, polys, k, terminated, window, guard):
     return bits
 
 
+@functools.lru_cache(maxsize=None)
 def _trellis_fwd(polys: Tuple[int, ...], k: int):
     """Forward-indexed trellis tables for the BCJR recursions: for each
     CURRENT state ``s`` and input ``u``, the next state ``nxt[s, u]``

@@ -62,6 +62,14 @@ def test_non_primitive_poly_rejected():
         BCH(15, 2, m=4, primitive_poly=0x1F)
 
 
+def test_unsupported_field_degree_names_the_builtins():
+    # n=8191 infers m=13, past the built-in table — must be a descriptive
+    # ValueError naming the supported degrees, not a bare KeyError
+    # (advisor finding r4)
+    with pytest.raises(ValueError, match="primitive_poly"):
+        BCH(8191, 2)
+
+
 def test_encode_is_a_cyclic_codeword():
     # every codeword polynomial must be divisible by g(x)
     c = BCH(31, 2)

@@ -297,6 +297,15 @@ def test_ccsds_conv_interleaver(rng):
     assert bool(ok2) and (np.asarray(bits2) == payload).all()
 
 
+def test_ccsds_conv_interleaver_rejects_zero_rows():
+    # rows=0 would reach conv_interleave_block as branches=0 and die with
+    # ZeroDivisionError instead of a config error (advisor finding r4)
+    with pytest.raises(ValueError, match="ccsds_interleave_rows"):
+        PacketModem(PacketConfig(payload_bits=960, fec="ccsds",
+                                 ccsds_interleaver="conv",
+                                 ccsds_interleave_rows=0))
+
+
 def test_ccsds_soft_erasures_extend_fade_budget():
     """fec="ccsds" + rs_erasures runs the max-log BCJR inner decoder
     (ops/fec.conv_decode_soft) so the outer RS sees genuine per-bit
