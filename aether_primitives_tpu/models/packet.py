@@ -71,6 +71,16 @@ class PacketConfig:
     preamble_half: int = 64  # symbols per identical half
     preamble_cinit: int = 0x1234
     ldpc_seed: int = 7
+    # fec="ldpc" with a FILE-loaded code table (ops/code_io.py): path to
+    # a MacKay .alist parity-check matrix or a QC .npz (base shifts + z,
+    # save_qc_npz convention). The table is validated (rank, degrees,
+    # girth report) and replaces the built-in Gallager ensemble; a QC
+    # .npz additionally engages the fast QC edge-message decoder. The
+    # drop-in slot for published standard tables (VERDICT r4 item 4).
+    ldpc_file: Optional[str] = None
+    # fec="nr_ldpc" with a file-loaded base graph (same .npz convention)
+    # — the TS 38.212 shift-table drop-in path for NrLdpc(base_graph=)
+    nr_base_graph_file: Optional[str] = None
     rs_n: int = 255  # Reed-Solomon codeword/message symbols (fec="rs")
     rs_k: int = 223
     # flag low-confidence GF(2^8) symbols as erasures before RS decoding:
@@ -212,6 +222,15 @@ class PacketModem:
                 # QC edge-message decoder: bit-identical to the dense
                 # plane, ~48x faster on chip (DEVNOTES round 3)
                 self._ldpc_qc = (_ldpc._WIFI_648_R12, 27)
+            elif c.ldpc_file is not None:
+                from ..ops import code_io as _cio
+
+                h, g, info = _cio.ldpc_from_file(c.ldpc_file)
+                if str(c.ldpc_file).endswith(".npz"):
+                    # QC tables keep the fast edge-message decoder
+                    self._ldpc_qc = _cio.load_qc_npz(c.ldpc_file)
+                else:
+                    self._ldpc_qc = None
             else:
                 h, g, info = _ldpc.make_regular_ldpc(seed=c.ldpc_seed)
                 self._ldpc_qc = None
@@ -266,7 +285,13 @@ class PacketModem:
                     f"{c.nr_bg} codeword (max {kb * max(LIFTING_SIZES)}); "
                     "segment the transport block first"
                 )
-            self._nr = NrLdpc(z=min(fits), bg=c.nr_bg, k=self.frame_bits)
+            nr_base = None
+            if c.nr_base_graph_file is not None:
+                from ..ops import code_io as _cio
+
+                nr_base = _cio.nr_base_graph_from_file(c.nr_base_graph_file)
+            self._nr = NrLdpc(z=min(fits), bg=c.nr_bg, k=self.frame_bits,
+                              base_graph=nr_base)
             self.coded_bits = int(round(self.frame_bits / c.nr_rate))
         elif c.fec == "turbo":
             # [sys n | par1 n | par2 n | tail_sys 3 | tail_par 3]
