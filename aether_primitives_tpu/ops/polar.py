@@ -32,17 +32,19 @@ TPU-first realizations:
   finding, DEVNOTES: scan/serial-latency-bound kernels amortize over
   the batch axis, not the block axis).
 - :func:`polar_decode_list` — CRC-aided successive-cancellation list
-  (CA-SCL) decoding, the production 5G decoder: the same unrolled
-  recursion over ``[batch, L, half]`` tensors where ``L`` is the list
-  axis; every information leaf forks both decisions (``2L`` paths),
-  scores them with the min-sum path-metric penalty ``|llr|`` on the
-  disagreeing fork, and prunes back to ``L`` by one ``top_k``. Pruning
-  permutes the *path state lazily*: instead of gathering every
-  intermediate tensor in enclosing recursion frames, each prune records
-  a parent-pointer row and decoded bits are reconstructed at the end by
-  composing the genealogy (one static backward pass) — intermediate
-  LLR/partial-sum tensors are gathered along the list axis only where a
-  later ``g``/XOR node actually consumes them.
+  (CA-SCL) decoding, the production 5G decoder, as a node-classified
+  fast-SSCL: Rate-0 / REP / Rate-1 / SPC subtrees resolve in closed form
+  at the subtree root (exactly SCL-equivalent under the min-sum path
+  metric — verified path-for-path against the kept leaf-wise reference
+  :func:`_decode_list_leafwise`), cutting (256,128) from 511 node visits
+  / 128 serial ``top_k`` forks to 49 / 82. Every list-axis move
+  (genealogy gathers, flip updates, reliability sorting) is expressed as
+  one-hot multiply-reduces and iterative min extraction — NO
+  ``take_along_axis``, no ``dynamic_update_slice``, no lane-axis
+  ``top_k``, each of which is a measured ~45 µs–3 ms fusion-breaker on
+  this backend (chip A/B: 16.8x at batch 64, 195x at batch 1024 over
+  leaf-wise; 427 Mbit/s info — faster than flooding BP at better BLER;
+  benches/results_scl_fast_r5.json).
 
 Sizes: power-of-two ``N``; tests cover N ≤ 512. The unrolled trace is
 O(N) nodes — for very large N prefer batching many codewords of
@@ -303,10 +305,10 @@ def polar_decode_bp(
 # ---------------------------------------------------------------------------
 
 
-def polar_decode_list(llrs, info_mask, list_size: int = 8):
-    """Successive-cancellation *list* decode: ``[..., N]`` LLRs →
-    (``[..., K]`` bits per list path sorted best-first:
-    ``[..., L, K]``, path metrics ``[..., L]``).
+def _decode_list_leafwise(llrs, info_mask, list_size: int = 8):
+    """Leaf-wise SCL — the REFERENCE implementation for
+    :func:`polar_decode_list` (kept for the equivalence tests; the
+    production path is the node-classified fast decoder below).
 
     Maintains ``L`` candidate decoding paths. At every information leaf
     each path forks into both bit decisions; the fork disagreeing with
@@ -318,10 +320,6 @@ def polar_decode_list(llrs, info_mask, list_size: int = 8):
     *composed* genealogy only at the nodes that consume them, and the
     final bit sequences are rebuilt by one static backward pass over
     the recorded (parent, bit) trail.
-
-    Pair with an outer CRC (:func:`~.fec.crc_append`) and pick the
-    first path whose CRC checks — CA-SCL, the 5G production decoder
-    (:func:`PolarCode.decode` does this when ``crc`` is set).
     """
     mask = _check_mask(info_mask)
     n = mask.shape[0]
@@ -409,6 +407,278 @@ def polar_decode_list(llrs, info_mask, list_size: int = 8):
     order = jnp.argsort(pm, axis=1)
     pm = jnp.take_along_axis(pm, order, axis=1)
     bits = jnp.take_along_axis(bits, order[..., None], axis=1)
+    return bits.reshape(lead + (L, k)), pm.reshape(lead + (L,))
+
+
+def _butterfly_last(x):
+    """Self-inverse Arikan transform over the LAST axis — the same
+    smallest-blocks-first XOR stages as :func:`polar_encode`, so it maps a
+    subtree's codeword bits ``x`` back to its decision bits ``u`` (and
+    vice versa). Operates on exact {0, 1} f32 planes with the arithmetic
+    XOR ``a + b − 2ab`` (the list decoder keeps bits as f32 so every
+    list-axis move is a fusable multiply-reduce, never an integer gather).
+    """
+    m = x.shape[-1]
+    lead = x.shape[:-1]
+    step = 1
+    while step < m:
+        blk = x.reshape(lead + (m // (2 * step), 2, step))
+        a, b = blk[..., 0, :], blk[..., 1, :]
+        left = a + b - 2.0 * a * b
+        x = jnp.concatenate(
+            [left[..., None, :], blk[..., 1:2, :]], axis=-2
+        ).reshape(lead + (m,))
+        step *= 2
+    return x
+
+
+def polar_decode_list(llrs, info_mask, list_size: int = 8):
+    """Successive-cancellation *list* decode: ``[..., N]`` LLRs →
+    (``[..., K]`` bits per list path sorted best-first:
+    ``[..., L, K]``, path metrics ``[..., L]``).
+
+    Node-classified fast SCL (the Fast-SSCL decomposition): instead of
+    descending to all ``N`` leaves (2N−1 node visits, K serial ``top_k``
+    forks — the round-4 1.3 Mbit/s floor), special subtrees resolve in
+    closed form at the subtree root, each EXACTLY equivalent to leaf-wise
+    SCL under the min-sum path metric (verified path-for-path against
+    :func:`_decode_list_leafwise` in tests/test_polar.py):
+
+    - **Rate-0** (all frozen): ``pm += Σ relu(−llr)``, x = 0. No fork.
+    - **REP** (single info bit, last): two hypotheses (all-zeros /
+      all-ones codeword) scored by the summed disagreeing magnitudes —
+      one fork for the whole subtree.
+    - **Rate-1** (all info): per-path hard decisions are the ML point;
+      ``min(L−1, m)`` sequential forks on the least-reliable positions
+      reproduce the full SCL list (Hashemi's exactness bound), each fork
+      flipping one sorted position with penalty ``|llr|``.
+    - **SPC** (single parity check, first bit frozen): parity repaired at
+      the least-reliable position (``pm += γ·|llr₀|``), then
+      ``min(L, m−1)`` forks each flipping a sorted position *and*
+      toggling the repair bit (penalty ``|llrᵢ| + (1−2s)·|llr₀|`` where
+      ``s`` is the per-path repair state).
+
+    For (256,128) this cuts 511 node visits / 128 forks to 49 / 82, and
+    every surviving op stays plane-shaped over ``[batch, L, m]`` (the
+    genealogy is composed lazily exactly as in the leaf-wise decoder).
+    Decision bits are recovered per node as ``u = butterfly(x)`` and the
+    final sequences rebuilt by one static backward pass.
+
+    Pair with an outer CRC (:func:`~.fec.crc_append`) and pick the
+    first path whose CRC checks — CA-SCL, the 5G production decoder
+    (:func:`PolarCode.decode` does this when ``crc`` is set).
+    """
+    mask = _check_mask(info_mask)
+    n = mask.shape[0]
+    L = int(list_size)
+    llr = jnp.asarray(llrs, jnp.float32)
+    if llr.shape[-1] != n:
+        raise ValueError(f"expected {n} LLRs, got {llr.shape[-1]}")
+    lead = llr.shape[:-1]
+    flat = llr.reshape((-1, n))
+    batch = flat.shape[0]
+
+    state = {
+        "pm": jnp.concatenate(
+            [jnp.zeros((batch, 1)), jnp.full((batch, L - 1), 1e30)], axis=1
+        )
+    }
+    # Trail: one entry per info-carrying node — (one-hot parent map
+    # ``P [batch, L, L]`` with ``P[b, l, k] = 1`` iff post-node path l
+    # descends from pre-node path k, u bits ``[batch, L, nb]`` as exact
+    # {0, 1} f32). EVERYTHING on the list axis is one-hot multiply-reduce:
+    # on this backend a take_along_axis lowers to a fusion-breaking
+    # ~45 µs custom gather regardless of size (the profiled cost of the
+    # whole decoder was ~550 such gathers + 150 dynamic-update-slices,
+    # DEVNOTES round 5), while these 8-term reduces fuse with their
+    # neighbors like any elementwise op.
+    trail: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    eyeL = jnp.broadcast_to(jnp.eye(L, dtype=jnp.float32), (batch, L, L))
+    iota_L = jnp.arange(L, dtype=jnp.int32)
+
+    def onehot_rows(parents):
+        return (parents[..., None] == iota_L).astype(jnp.float32)
+
+    def compose(p_old, p_new):
+        """``p_new ∘ p_old``: out[b,l,k] = Σ_j p_new[b,l,j] p_old[b,j,k]."""
+        return jnp.sum(
+            p_new[..., :, :, None] * p_old[..., None, :, :], axis=-2
+        )
+
+    def apply_sel(p, t):
+        """``t[b, parent(l), ...]`` — one-hot select along the list axis
+        (exact: weights are 1.0/0.0, so the sum reproduces the selected
+        value bit for bit)."""
+        pr = p.reshape(p.shape + (1,) * (t.ndim - 2))
+        return jnp.sum(pr * t[:, None, ...], axis=2)
+
+    def align(t, made_at):
+        ps = [p for p, _ in trail[made_at:]]
+        if not ps:
+            return t
+        comp = ps[0]
+        for p in ps[1:]:
+            comp = compose(comp, p)
+        return apply_sel(comp, t)
+
+    def fork(pen_alt, base_add=None):
+        """Prune 2L → L: keep-branch (optionally + base_add) vs
+        alternative (+ pen_alt). Returns (one-hot parents, took_alt f32).
+        The top_k runs on the tiny ``[batch, 2L]`` plane (lane-axis top_k
+        at that size is ~2 µs; the big lane-axis top_k this decoder once
+        used was ~3 ms per call)."""
+        pm = state["pm"]
+        keep = pm if base_add is None else pm + base_add
+        pm2 = jnp.concatenate([keep, pm + pen_alt], axis=1)
+        neg, sel = jax.lax.top_k(-pm2, L)
+        state["pm"] = -neg
+        return (
+            onehot_rows((sel % L).astype(jnp.int32)),
+            (sel >= L).astype(jnp.float32),
+        )
+
+    def node_rate0(v):
+        state["pm"] = state["pm"] + jnp.sum(jnp.maximum(-v, 0.0), axis=-1)
+        return jnp.zeros(v.shape, jnp.float32)
+
+    def node_rep(v):
+        pen0 = jnp.sum(jnp.maximum(-v, 0.0), axis=-1)  # all-zeros codeword
+        pen1 = jnp.sum(jnp.maximum(v, 0.0), axis=-1)   # all-ones codeword
+        p, took = fork(pen1, base_add=pen0)
+        trail.append((p, took[..., None]))
+        return jnp.broadcast_to(took[..., None], took.shape + (v.shape[-1],))
+
+    def smallest(mag, kk):
+        """The ``kk`` smallest entries of ``mag`` along the last axis, as
+        (ascending values ``[..., kk]``, float positions ``[..., kk]``).
+
+        Iterative min extraction with an iota tie-break instead of
+        ``lax.top_k``: TopK over the lane axis lowers to a full sort
+        (~3 ms per call at [1024, 8, 256] — measured to be ~ALL of the
+        decoder's runtime), and even argmin costs 30x a plain min there;
+        kk rounds of min / where-mask are ordinary fusable reductions."""
+        cur = mag
+        m = mag.shape[-1]
+        iota = jnp.arange(m, dtype=jnp.float32)
+        vals, poss = [], []
+        for _ in range(kk):
+            vmin = jnp.min(cur, axis=-1, keepdims=True)
+            pos = jnp.min(
+                jnp.where(cur == vmin, iota, jnp.float32(m)),
+                axis=-1, keepdims=True,
+            )
+            vals.append(vmin[..., 0])
+            poss.append(pos[..., 0])
+            cur = jnp.where(iota == pos, jnp.float32(1e30), cur)
+        return jnp.stack(vals, axis=-1), jnp.stack(poss, axis=-1)
+
+    def fxor(a, b):
+        # GF(2) XOR on exact {0,1} f32 planes
+        return a + b - 2.0 * a * b
+
+    def realign_forks(ps, tooks):
+        """Each fork's took flag, re-expressed in the node's FINAL path
+        basis by composing the suffix genealogy (replaces the per-fork
+        carry gather + dynamic-update-slice of the flip tensor)."""
+        suffix = eyeL
+        flips = [None] * len(ps)
+        for i in range(len(ps) - 1, -1, -1):
+            flips[i] = apply_sel(suffix, tooks[i])
+            suffix = compose(ps[i], suffix)
+        return flips
+
+    def node_rate1(v):
+        m = v.shape[-1]
+        t = min(L - 1, m)
+        h = (v < 0).astype(jnp.float32)
+        comp = eyeL
+        if t:
+            vals, pos = smallest(jnp.abs(v), t)
+            ps, tooks = [], []
+            for i in range(t):
+                p, took = fork(apply_sel(comp, vals[..., i]))
+                comp = compose(comp, p)
+                ps.append(p)
+                tooks.append(took)
+            flips = realign_forks(ps, tooks)
+            pos_al = apply_sel(comp, pos)
+            iota = jnp.arange(m, dtype=jnp.float32)
+            fx = jnp.zeros(h.shape, jnp.float32)
+            for i in range(t):
+                fx = fx + flips[i][..., None] * (
+                    pos_al[..., i, None] == iota
+                )
+            x = fxor(apply_sel(comp, h), fx)
+        else:
+            x = h
+        trail.append((comp, _butterfly_last(x)))
+        return x
+
+    def node_spc(v):
+        m = v.shape[-1]
+        t = min(L, m - 1)
+        h = (v < 0).astype(jnp.float32)
+        vals, pos = smallest(jnp.abs(v), t + 1)
+        gamma = jnp.mod(jnp.sum(h, axis=-1), 2.0)  # parity violated?
+        v0 = vals[..., 0]
+        state["pm"] = state["pm"] + gamma * v0
+        s = gamma  # per-path repair state: is position j0 flipped?
+        comp = eyeL
+        ps, tooks = [], []
+        for i in range(1, t + 1):
+            vi = apply_sel(comp, vals[..., i])
+            v0g = apply_sel(comp, v0)
+            p, took = fork(vi + (1.0 - 2.0 * s) * v0g)
+            s = fxor(apply_sel(p, s), took)
+            comp = compose(comp, p)
+            ps.append(p)
+            tooks.append(took)
+        flips = realign_forks(ps, tooks)
+        pos_al = apply_sel(comp, pos)  # [batch, L, t+1]
+        iota = jnp.arange(m, dtype=jnp.float32)
+        fx = s[..., None] * (pos_al[..., 0, None] == iota)
+        for i in range(t):
+            fx = fx + flips[i][..., None] * (pos_al[..., i + 1, None] == iota)
+        x = fxor(apply_sel(comp, h), fx)
+        u = _butterfly_last(x)
+        trail.append((comp, u[..., 1:]))
+        return x
+
+    def rec(v, m, made_at):
+        if not m.any():
+            return node_rate0(align(v, made_at))
+        if m.all():
+            return node_rate1(align(v, made_at))
+        if not m[:-1].any():  # only the last bit carries info
+            return node_rep(align(v, made_at))
+        if not m[0] and m[1:].all():
+            return node_spc(align(v, made_at))
+        half = m.shape[0] // 2
+        a, b = v[..., :half], v[..., half:]
+        x_left = rec(_f_minsum(a, b), m[:half], made_at)
+        epoch = len(trail)
+        a2, b2 = align(a, made_at), align(b, made_at)
+        g = b2 + (1.0 - 2.0 * x_left) * a2
+        x_right = rec(g, m[half:], epoch)
+        x_left = align(x_left, epoch)
+        return jnp.concatenate([fxor(x_left, x_right), x_right], axis=-1)
+
+    v0 = jnp.broadcast_to(flat[:, None, :], (batch, L, n))
+    rec(v0, mask, 0)
+
+    k = int(mask.sum())
+    assert sum(int(b.shape[-1]) for _, b in trail) == k
+    sel = eyeL
+    cols = []
+    for p_e, bits_e in reversed(trail):
+        cols.append(apply_sel(sel, bits_e))
+        sel = compose(p_e, sel)
+    bits_f = jnp.concatenate(cols[::-1], axis=-1)  # [batch, L, K]
+    pm = state["pm"]
+    order = jnp.argsort(pm, axis=1)
+    pm = jnp.take_along_axis(pm, order, axis=1)
+    bits_f = apply_sel(onehot_rows(order.astype(jnp.int32)), bits_f)
+    bits = (bits_f > 0.5).astype(jnp.uint8)
     return bits.reshape(lead + (L, k)), pm.reshape(lead + (L,))
 
 
