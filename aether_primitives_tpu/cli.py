@@ -326,8 +326,9 @@ def microbench_main(argv=None):
         nrs * 255,
     )
 
-    # turbo decode — BATCHED over codewords (the BCJR scans serialize per
-    # block; throughput comes from vmapping blocks, the TPU production form)
+    # turbo decode — BATCHED over codewords natively (turbo_decode takes
+    # [..., n]; its BCJR layout puts the batch on the lane axis, which a
+    # vmapped per-codeword call cannot — the r4 20 Mbit/s floor)
     from aether_primitives_tpu.ops.turbo import turbo_decode, turbo_encode
 
     ntb, nblk = 1024, max(B // 16, 1)
@@ -340,11 +341,9 @@ def microbench_main(argv=None):
         return (8.0 * (1.0 - 2.0 * b.astype(np.float32))).astype(np.float32)
 
     tb_args = tuple(_tb_llr(v) for v in enc)
-    tb_vmapped = jax.vmap(lambda a, b, c, d, e: turbo_decode(
-        a, b, c, d, e, iterations=8, window=64, guard=16)[0])
     timed(
         f"turbo decode 8 iters win64 [{nblk} x {ntb} bits]",
-        lambda t: tb_vmapped(*t),
+        lambda t: turbo_decode(*t, iterations=8, window=64, guard=16)[0],
         tb_args,
         nblk * ntb,
         iters=10,

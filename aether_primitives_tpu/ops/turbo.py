@@ -120,122 +120,165 @@ def turbo_encode(bits, seed: int = 0x5EED):
     return u, par1, par2, tail_sys, tail_par
 
 
-def _bcjr_maxlog(l_sys, l_par, l_apr, terminated: bool):
-    """Max-log-MAP for one RSC constituent: a-posteriori LLRs (positive =
-    bit 0) over the ``T`` info positions. ``l_*`` are channel/a-priori
-    LLRs; with ``terminated`` the recursions pin state 0 at both ends."""
+def _step_coeffs():
+    """Static per-transition branch-metric coefficients, so the scan body
+    is pure select + FMA on batch-minor planes: for the forward update of
+    state ``s'`` via predecessor slot ``j``, the branch metric is
+    ``cu[s',j]*(Ls+La) + cp[s',j]*Lp`` with the predecessor row
+    ``prev_s[s',j]``; for the backward update of state ``s`` via input
+    ``u`` it is ``du[u]*(Ls+La) + dp[s,u]*Lp`` with successor row
+    ``nxt[s,u]``. All four tables are Python floats at trace time —
+    nothing indexes a tensor by a tensor inside the scan."""
     nxt, par, _, prev_s, prev_u = _trellis()
-    t_len = l_sys.shape[-1]
-    # branch metric gamma[t, s, u] = 0.5*(1-2u)(Ls+La) + 0.5*(1-2p)Lp
-    u_sgn = jnp.asarray(1.0 - 2.0 * np.arange(2, dtype=np.float32))  # [2]
-    p_sgn = jnp.asarray((1.0 - 2.0 * par).astype(np.float32))  # [8, 2]
-    lsum = (l_sys + l_apr)[:, None, None]  # [T, 1, 1]
-    gamma = 0.5 * (u_sgn[None, None, :] * lsum + p_sgn[None] * l_par[:, None, None])
+    u_sgn = 1.0 - 2.0 * np.arange(2)
+    p_sgn = 1.0 - 2.0 * par  # [8, 2]
+    cu = 0.5 * u_sgn[prev_u]                       # [8, 2]
+    cp = 0.5 * p_sgn[prev_s, prev_u]               # [8, 2]
+    du = 0.5 * u_sgn                               # [2]
+    dp = 0.5 * p_sgn                               # [8, 2]
+    return nxt, prev_s, cu, cp, du, dp
+
+
+def _bcjr_maxlog(l_sys, l_par, l_apr, terminated: bool):
+    """Max-log-MAP for one RSC constituent, BATCHED: ``l_* [B, T]`` →
+    a-posteriori LLRs ``[B, T]`` (positive = bit 0). With ``terminated``
+    the recursions pin state 0 at both ends.
+
+    Layout: the scan carries ``(alpha, beta) [8, B]`` — states on the
+    SUBLANE axis, batch on lanes — and the step body is 8 static row
+    selects + FMAs per direction (coefficients are trace-time floats).
+    The old ``[B, 8]``-minor layout wasted 120 of 128 lanes on every one
+    of the ``2T`` serial steps and made batch scaling NEGATIVE (DEVNOTES
+    round-3/5 series); forward and time-reversed backward recursions
+    advance in ONE scan (half the serial steps, identical output)."""
+    nxt, prev_s, cu, cp, du, dp = _step_coeffs()
+    b_sz, t_len = l_sys.shape
+    ls = (l_sys + l_apr).T  # [T, B]
+    lp = l_par.T
 
     neg = jnp.float32(-1e9)
-    a0 = jnp.full((_N_STATES,), neg).at[0].set(0.0)
-    prev_s_j = jnp.asarray(prev_s)
-    prev_u_j = jnp.asarray(prev_u)
-    nxt_j = jnp.asarray(nxt)
+    a0 = jnp.full((_N_STATES, b_sz), neg).at[0].set(0.0)
+    b_end = a0 if terminated else jnp.zeros((_N_STATES, b_sz), jnp.float32)
 
-    def fwd(alpha, g_t):
-        # alpha'[s'] = max_j alpha[prev_s[s',j]] + g_t[prev_s[s',j], prev_u[s',j]]
-        cand = alpha[prev_s_j] + g_t[prev_s_j, prev_u_j]  # [8, 2]
-        a_new = jnp.max(cand, axis=-1)
-        a_new = a_new - jnp.max(a_new)  # normalize (max-log invariant)
-        return a_new, alpha
+    def step(carry, inp):
+        alpha, beta = carry
+        ls_t, lp_t, ls_r, lp_r = inp  # [B] each
+        a_new = jnp.stack([
+            jnp.maximum(
+                alpha[prev_s[sp, 0]] + (cu[sp, 0] * ls_t + cp[sp, 0] * lp_t),
+                alpha[prev_s[sp, 1]] + (cu[sp, 1] * ls_t + cp[sp, 1] * lp_t),
+            )
+            for sp in range(_N_STATES)
+        ])
+        a_new = a_new - jnp.max(a_new, axis=0, keepdims=True)
+        b_new = jnp.stack([
+            jnp.maximum(
+                beta[nxt[s, 0]] + (du[0] * ls_r + dp[s, 0] * lp_r),
+                beta[nxt[s, 1]] + (du[1] * ls_r + dp[s, 1] * lp_r),
+            )
+            for s in range(_N_STATES)
+        ])
+        b_new = b_new - jnp.max(b_new, axis=0, keepdims=True)
+        return (a_new, b_new), (alpha, beta)
 
-    _, alphas = jax.lax.scan(fwd, a0, gamma)  # alphas[t] = alpha BEFORE step t
-
-    b_end = a0 if terminated else jnp.zeros((_N_STATES,), jnp.float32)
-
-    def bwd(beta, g_t):
-        # beta'[s] = max_u g_t[s, u] + beta[nxt[s, u]]
-        cand = g_t + beta[nxt_j]  # [8, 2]
-        b_new = jnp.max(cand, axis=-1)
-        b_new = b_new - jnp.max(b_new)
-        return b_new, beta
-
-    _, betas_rev = jax.lax.scan(bwd, b_end, gamma[::-1])
+    _, (alphas, betas_rev) = jax.lax.scan(
+        step, (a0, b_end), (ls, lp, ls[::-1], lp[::-1])
+    )  # alphas[t] = alpha BEFORE step t; [T, 8, B]
     betas = betas_rev[::-1]  # betas[t] = beta AFTER step t (for next state)
 
-    # LLR[t] = max_{s} [alpha + gamma(u=0) + beta(next)] - same for u=1
-    nxt0 = nxt_j[:, 0]
-    nxt1 = nxt_j[:, 1]
-    m0 = jnp.max(alphas + gamma[:, :, 0] + betas[:, nxt0], axis=-1)
-    m1 = jnp.max(alphas + gamma[:, :, 1] + betas[:, nxt1], axis=-1)
-    return m0 - m1  # positive = bit 0
+    # LLR[t] = max_s [alpha + gamma(u=0) + beta(next)] - same for u=1
+    m0 = jnp.max(jnp.stack([
+        alphas[:, s] + (du[0] * ls + dp[s, 0] * lp) + betas[:, nxt[s, 0]]
+        for s in range(_N_STATES)
+    ]), axis=0)
+    m1 = jnp.max(jnp.stack([
+        alphas[:, s] + (du[1] * ls + dp[s, 1] * lp) + betas[:, nxt[s, 1]]
+        for s in range(_N_STATES)
+    ]), axis=0)
+    return (m0 - m1).T  # [B, T], positive = bit 0
 
 
 def _bcjr_maxlog_windowed(l_sys, l_par, l_apr, window: int, guard: int):
-    """Windowed parallel max-log-MAP — the hardware-decoder idiom: the
-    block splits into ``T/window`` windows, each extended by ``guard``
-    warmup steps on both sides; forward/backward recursions run over ALL
-    windows in parallel (scan length ``window + 2*guard`` instead of
-    ``T``), initialized uniform and converged by the warmup. Approximation
-    vs the exact recursion: window-edge metrics lose the propagated state
-    pinning (measured: no BER change at guard >= 16 on the test channels,
-    and the tail LLRs still bias decoder 1's end states through gamma).
-    """
-    nxt, par, _, prev_s, prev_u = _trellis()
-    t_len = int(l_sys.shape[-1])
-    u_sgn = jnp.asarray(1.0 - 2.0 * np.arange(2, dtype=np.float32))
-    p_sgn = jnp.asarray((1.0 - 2.0 * par).astype(np.float32))
-    lsum = (l_sys + l_apr)[:, None, None]
-    gamma = 0.5 * (u_sgn[None, None, :] * lsum + p_sgn[None] * l_par[:, None, None])
+    """Windowed parallel max-log-MAP, BATCHED: ``l_* [B, T]`` →
+    ``[B, T]`` — the hardware-decoder idiom: the block splits into
+    ``T/window`` windows, each extended by ``guard`` warmup steps on both
+    sides; forward/backward recursions run over ALL windows in parallel
+    (scan length ``window + 2*guard`` instead of ``T``), initialized
+    uniform and converged by the warmup. Approximation vs the exact
+    recursion: window-edge metrics lose the propagated state pinning
+    (measured: no BER change at guard >= 16 on the test channels, and the
+    tail LLRs still bias decoder 1's end states through gamma).
 
+    Layout: scan carry ``(alpha, beta) [8, W, B]`` — states on the
+    leading axis (static row selects), windows on sublanes, BATCH on
+    lanes. The old per-codeword ``[W, 8]``-minor form made batch scaling
+    negative (8/128 lanes, r3 record: 4x batch → 6x time); this one is
+    the same combined fwd+rev scan (half the serial steps — the single
+    reformulation that ever measured a win here; gather radix-4,
+    max-plus transition matmuls, slab framing all lost, DEVNOTES r3)
+    with every step op lane-full."""
+    nxt, prev_s, cu, cp, du, dp = _step_coeffs()
+    b_sz, t_len = l_sys.shape
     n_win = -(-t_len // window)
     t_pad = n_win * window
-    gp = jnp.pad(
-        gamma, [(guard, guard + (t_pad - t_len)), (0, 0), (0, 0)]
-    )  # neutral (uniform) branches outside the block
     lw = window + 2 * guard
-    wins = jnp.stack(
-        [
-            jax.lax.dynamic_slice_in_dim(gp, w * window, lw, axis=0)
-            for w in range(n_win)
-        ],
-        axis=1,
-    )  # [Lw, W, 8, 2]
+    lsum = l_sys + l_apr
 
-    prev_s_j = jnp.asarray(prev_s)
-    prev_u_j = jnp.asarray(prev_u)
-    nxt_j = jnp.asarray(nxt)
+    def windows(x):  # [B, T] -> [Lw, W, B] overlapped spans
+        xp = jnp.pad(x, [(0, 0), (guard, guard + (t_pad - t_len))])
+        s = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(xp, w * window, lw, axis=1)
+                for w in range(n_win)
+            ],
+            axis=1,
+        )  # [B, W, Lw]
+        return jnp.transpose(s, (2, 1, 0))
 
-    # ONE combined scan advances the forward recursion and the
-    # time-reversed backward recursion together — half the serial scan
-    # steps of two separate scans for identical output. This is the only
-    # reformulation of this kernel that measured >= the two-scan baseline
-    # on chip: gather radix-4, max-plus [8, 8] transition matrices, a
-    # sublane-state/lane-batch radix-2^k kernel, slab framing, and
-    # skipping the per-step normalization ALL measured slower
-    # (DEVNOTES.md round-3 negative results).
-    def step(carry, inp):  # alpha/beta [W, 8]; g [W, 8, 2]
-        alpha, beta = carry
-        g_t, g_rev_t = inp
-        cand = alpha[:, prev_s_j] + g_t[:, prev_s_j, prev_u_j]
-        a_new = jnp.max(cand, axis=-1)
-        a_new = a_new - jnp.max(a_new, axis=-1, keepdims=True)
-        bc = g_rev_t + beta[:, nxt_j]
-        b_new = jnp.max(bc, axis=-1)
-        b_new = b_new - jnp.max(b_new, axis=-1, keepdims=True)
+    ls = windows(lsum)
+    lp = windows(l_par)
+
+    def step(carry, inp):
+        alpha, beta = carry  # [8, W, B]
+        ls_t, lp_t, ls_r, lp_r = inp  # [W, B]
+        a_new = jnp.stack([
+            jnp.maximum(
+                alpha[prev_s[sp, 0]] + (cu[sp, 0] * ls_t + cp[sp, 0] * lp_t),
+                alpha[prev_s[sp, 1]] + (cu[sp, 1] * ls_t + cp[sp, 1] * lp_t),
+            )
+            for sp in range(_N_STATES)
+        ])
+        a_new = a_new - jnp.max(a_new, axis=0, keepdims=True)
+        b_new = jnp.stack([
+            jnp.maximum(
+                beta[nxt[s, 0]] + (du[0] * ls_r + dp[s, 0] * lp_r),
+                beta[nxt[s, 1]] + (du[1] * ls_r + dp[s, 1] * lp_r),
+            )
+            for s in range(_N_STATES)
+        ])
+        b_new = b_new - jnp.max(b_new, axis=0, keepdims=True)
         return (a_new, b_new), (alpha, beta)
 
-    a0 = jnp.zeros((n_win, _N_STATES), jnp.float32)
+    a0 = jnp.zeros((_N_STATES, n_win, b_sz), jnp.float32)
     _, (alphas, betas_rev) = jax.lax.scan(
-        step, (a0, a0), (wins, wins[::-1])
-    )  # [Lw, W, 8] each
+        step, (a0, a0), (ls, lp, ls[::-1], lp[::-1])
+    )  # [Lw, 8, W, B] each
     betas = betas_rev[::-1]
 
     core = slice(guard, guard + window)
-    g_core = wins[core]  # [window, W, 8, 2]
-    a_core = alphas[core]
-    b_core = betas[core]
-    nxt0, nxt1 = nxt_j[:, 0], nxt_j[:, 1]
-    m0 = jnp.max(a_core + g_core[..., 0] + b_core[:, :, nxt0], axis=-1)
-    m1 = jnp.max(a_core + g_core[..., 1] + b_core[:, :, nxt1], axis=-1)
-    llr = (m0 - m1).T.reshape(t_pad)  # [W, window] -> time order
-    return llr[:t_len]
+    ls_c, lp_c = ls[core], lp[core]  # [window, W, B]
+    a_c, b_c = alphas[core], betas[core]
+    m0 = jnp.max(jnp.stack([
+        a_c[:, s] + (du[0] * ls_c + dp[s, 0] * lp_c) + b_c[:, nxt[s, 0]]
+        for s in range(_N_STATES)
+    ]), axis=0)
+    m1 = jnp.max(jnp.stack([
+        a_c[:, s] + (du[1] * ls_c + dp[s, 1] * lp_c) + b_c[:, nxt[s, 1]]
+        for s in range(_N_STATES)
+    ]), axis=0)
+    llr = m0 - m1  # [window, W, B]
+    llr = jnp.transpose(llr, (2, 1, 0)).reshape(b_sz, t_pad)  # time order
+    return llr[:, :t_len]
 
 
 def turbo_decode(
@@ -249,33 +292,42 @@ def turbo_decode(
     window: int = 0,
     guard: int = 24,
 ):
-    """Iterative turbo decode. Inputs are channel LLRs (positive = bit 0)
-    for the streams :func:`turbo_encode` emits; tail LLRs terminate
-    decoder 1 exactly (pass None to decode open-ended). Returns
-    ``(bits, llr)`` — hard decisions and final a-posteriori LLRs for the
-    ``n`` info bits.
+    """Iterative turbo decode, batched over arbitrary leading axes.
+    Inputs are channel LLRs (positive = bit 0) for the streams
+    :func:`turbo_encode` emits — ``[..., n]`` / tails ``[..., 3]`` —
+    tail LLRs terminate decoder 1 exactly (pass None to decode
+    open-ended). Returns ``(bits, llr)`` — hard decisions and final
+    a-posteriori LLRs for the ``n`` info bits, same leading shape.
 
     ``window > 0`` switches both constituents to the WINDOWED parallel
     BCJR (:func:`_bcjr_maxlog_windowed`): scan length drops from ``T`` to
     ``window + 2*guard`` with the windows batched — the throughput mode
-    on accelerators (measured ~15x on chip at window=128 with unchanged
-    BER on the test channels); ``window = 0`` is the exact recursion."""
+    on accelerators; ``window = 0`` is the exact recursion. Pass the
+    batch HERE rather than vmapping: the BCJR layouts put the batch on
+    the lane axis, which vmap (batch axis 0) cannot (the r4 20 Mbit/s
+    floor was the vmapped form; chip A/B in
+    benches/results_turbo_r5.json)."""
     ls = jnp.asarray(llr_sys, jnp.float32)
     lp1 = jnp.asarray(llr_par1, jnp.float32)
     lp2 = jnp.asarray(llr_par2, jnp.float32)
+    lead = ls.shape[:-1]
     n = int(ls.shape[-1])
+    ls = ls.reshape(-1, n)
+    lp1 = lp1.reshape(-1, n)
+    lp2 = lp2.reshape(-1, n)
+    b_sz = ls.shape[0]
     perm = jnp.asarray(turbo_interleaver(n, seed))
     inv = jnp.asarray(np.argsort(turbo_interleaver(n, seed)))
     if llr_tail_sys is not None:
-        lts = jnp.asarray(llr_tail_sys, jnp.float32)
-        ltp = jnp.asarray(llr_tail_par, jnp.float32)
-        ls1 = jnp.concatenate([ls, lts])
-        lp1e = jnp.concatenate([lp1, ltp])
+        lts = jnp.asarray(llr_tail_sys, jnp.float32).reshape(b_sz, -1)
+        ltp = jnp.asarray(llr_tail_par, jnp.float32).reshape(b_sz, -1)
+        ls1 = jnp.concatenate([ls, lts], axis=-1)
+        lp1e = jnp.concatenate([lp1, ltp], axis=-1)
         terminated = True
     else:
         ls1, lp1e = ls, lp1
         terminated = False
-    ls2 = jnp.take(ls, perm)
+    ls2 = jnp.take(ls, perm, axis=-1)
 
     if window:
         def _bcjr(ls_, lp_, la_, term_):
@@ -285,20 +337,23 @@ def turbo_decode(
 
     def one_iter(la1, _):
         la1_full = (
-            jnp.concatenate([la1, jnp.zeros(ls1.shape[-1] - n, jnp.float32)])
+            jnp.concatenate(
+                [la1, jnp.zeros((b_sz, ls1.shape[-1] - n), jnp.float32)],
+                axis=-1,
+            )
             if ls1.shape[-1] != n
             else la1
         )
-        l1 = _bcjr(ls1, lp1e, la1_full, terminated)[:n]
+        l1 = _bcjr(ls1, lp1e, la1_full, terminated)[:, :n]
         ext1 = l1 - ls - la1
-        la2 = jnp.take(ext1, perm)
+        la2 = jnp.take(ext1, perm, axis=-1)
         l2 = _bcjr(ls2, lp2, la2, False)
         ext2 = l2 - ls2 - la2
-        la1_new = jnp.take(ext2, inv)
-        llr_final = jnp.take(l2, inv)
+        la1_new = jnp.take(ext2, inv, axis=-1)
+        llr_final = jnp.take(l2, inv, axis=-1)
         return la1_new, llr_final
 
-    la0 = jnp.zeros(n, jnp.float32)
+    la0 = jnp.zeros((b_sz, n), jnp.float32)
     _, llrs = jax.lax.scan(one_iter, la0, None, length=int(iterations))
-    llr = llrs[-1]
+    llr = llrs[-1].reshape(lead + (n,))
     return (llr < 0).astype(jnp.uint8), llr

@@ -143,6 +143,29 @@ def test_turbo_beats_viterbi_rate_half_equivalent(rng):
     assert errs_turbo < max(errs_vit, 1), (errs_turbo, errs_vit)
 
 
+def test_batched_decode_matches_per_codeword(rng):
+    """Native batching ([..., n] inputs, batch on the BCJR lane axis)
+    must be bit-identical to decoding each codeword alone — windowed and
+    exact recursions both."""
+    n, B = 512, 5
+    bits = rng.integers(0, 2, (B, n)).astype(np.uint8)
+    encs = [[np.asarray(v) for v in turbo_encode(bits[i])] for i in range(B)]
+    sigma = 0.8
+    llrs = [
+        [_bpsk_llr(v, sigma, rng) for v in e] for e in encs
+    ]
+    batched_args = tuple(
+        np.stack([llrs[i][j] for i in range(B)]) for j in range(5)
+    )
+    for kw in ({}, {"window": 64, "guard": 16}):
+        dec_b, llr_b = turbo_decode(*batched_args, iterations=4, **kw)
+        for i in range(B):
+            dec_1, llr_1 = turbo_decode(*llrs[i], iterations=4, **kw)
+            assert np.array_equal(np.asarray(dec_b[i]), np.asarray(dec_1)), kw
+            assert np.allclose(np.asarray(llr_b[i]), np.asarray(llr_1),
+                               atol=1e-4), kw
+
+
 def test_windowed_bcjr_matches_exact(rng):
     # windowed parallel BCJR: same corrections as the exact recursion on
     # the heavy-AWGN channel (guard warmup replaces state propagation)
