@@ -198,7 +198,8 @@ def _bcjr_maxlog(l_sys, l_par, l_apr, terminated: bool):
     return (m0 - m1).T  # [B, T], positive = bit 0
 
 
-def _bcjr_maxlog_windowed(l_sys, l_par, l_apr, window: int, guard: int):
+def _bcjr_maxlog_windowed(l_sys, l_par, l_apr, window: int, guard: int,
+                          backend: str = "xla"):
     """Windowed parallel max-log-MAP, BATCHED: ``l_* [B, T]`` →
     ``[B, T]`` — the hardware-decoder idiom: the block splits into
     ``T/window`` windows, each extended by ``guard`` warmup steps on both
@@ -237,6 +238,27 @@ def _bcjr_maxlog_windowed(l_sys, l_par, l_apr, window: int, guard: int):
 
     ls = windows(lsum)
     lp = windows(l_par)
+
+    if backend.startswith("pallas"):  # "pallas" | "pallas_interpret"
+        # resident-metric kernel (ops/pallas/bcjr.py): beta planes live in
+        # VMEM scratch, LLRs stream out of the forward pass — one HBM
+        # read of the spans, one write of the LLRs. Same expression tree
+        # as the scan below, so outputs are bit-identical (tested).
+        from .pallas.bcjr import bcjr_windowed_llr
+
+        lsf = ls.reshape(lw, -1)
+        n_cols = lsf.shape[1]
+        tile_n = 512 if n_cols >= 512 else 128
+        pad_cols = -(-n_cols // tile_n) * tile_n - n_cols
+        lsf = jnp.pad(lsf, [(0, 0), (0, pad_cols)])
+        lpf = jnp.pad(lp.reshape(lw, -1), [(0, 0), (0, pad_cols)])
+        llr_all = bcjr_windowed_llr(lsf, lpf, lw, tile_n=tile_n,
+                                    interpret=backend == "pallas_interpret")
+        llr_c = llr_all[:, :n_cols].reshape(lw, n_win, b_sz)[
+            guard:guard + window
+        ]
+        llr = jnp.transpose(llr_c, (2, 1, 0)).reshape(b_sz, t_pad)
+        return llr[:, :t_len]
 
     def step(carry, inp):
         alpha, beta = carry  # [8, W, B]
@@ -291,6 +313,7 @@ def turbo_decode(
     seed: int = 0x5EED,
     window: int = 0,
     guard: int = 24,
+    bcjr_backend: str = "auto",
 ):
     """Iterative turbo decode, batched over arbitrary leading axes.
     Inputs are channel LLRs (positive = bit 0) for the streams
@@ -330,8 +353,20 @@ def turbo_decode(
     ls2 = jnp.take(ls, perm, axis=-1)
 
     if window:
+        backend = bcjr_backend
+        if backend == "auto":
+            # the Pallas resident-metric kernel is bit-identical and 6-12x
+            # the XLA scan on chip (benches/results_turbo_r5.json); off-TPU
+            # the scan is the portable path (interpret mode is test-only)
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            backend = "pallas" if platform == "tpu" else "xla"
+
         def _bcjr(ls_, lp_, la_, term_):
-            return _bcjr_maxlog_windowed(ls_, lp_, la_, window, guard)
+            return _bcjr_maxlog_windowed(ls_, lp_, la_, window, guard,
+                                         backend=backend)
     else:
         _bcjr = _bcjr_maxlog
 

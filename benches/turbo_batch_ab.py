@@ -104,14 +104,21 @@ def main():
 
         native = jax.jit(lambda a, b, c, d, e: turbo_decode(
             a, b, c, d, e, iterations=8, window=64, guard=16)[0])
+        pallas = jax.jit(lambda a, b, c, d, e: turbo_decode(
+            a, b, c, d, e, iterations=8, window=64, guard=16,
+            bcjr_backend="pallas")[0])
         vmapped = jax.jit(jax.vmap(lambda a, b, c, d, e: turbo_decode(
             a, b, c, d, e, iterations=8, window=64, guard=16)[0]))
 
         dec = native(*args)
         ber = float((np.asarray(dec) != bits).mean())
         assert ber == 0.0, f"batched decode not clean: BER {ber}"
+        dec_p = pallas(*args)
+        agree = float((np.asarray(dec_p) == np.asarray(dec)).mean())
+        assert agree == 1.0, f"pallas != xla bits: {agree}"
 
         d_nat, nat_s = _time(native, args, digest)
+        d_pal, pal_s = _time(pallas, args, digest)
         if batch <= 256:  # the vmapped form at b1024 is prohibitively slow
             d_vm, vm_s = _time(vmapped, args, digest, rounds=2)
         else:
@@ -121,17 +128,21 @@ def main():
             "config": f"turbo n={n} 8it w64 g16 b{batch}",
             "native_ms": d_nat * 1e3,
             "native_info_mbit_s": info / d_nat / 1e6,
+            "pallas_ms": d_pal * 1e3,
+            "pallas_info_mbit_s": info / d_pal / 1e6,
             "vmapped_ms": None if d_vm is None else d_vm * 1e3,
             "vmapped_info_mbit_s": None if d_vm is None else info / d_vm / 1e6,
             "speedup_vs_vmapped": None if d_vm is None else d_vm / d_nat,
             "native_samples_ms": [s * 1e3 for s in nat_s],
+            "pallas_samples_ms": [s * 1e3 for s in pal_s],
             "vmapped_samples_ms": [s * 1e3 for s in vm_s],
         }
         results.append(row)
         vm_txt = "-" if d_vm is None else f"{d_vm*1e3:.1f} ms ({d_vm/d_nat:.1f}x)"
         print(f"b{batch}: native {d_nat*1e3:.2f} ms = "
-              f"{info/d_nat/1e6:.1f} Mbit/s info; vmapped {vm_txt}",
-              flush=True)
+              f"{info/d_nat/1e6:.1f} Mbit/s; pallas {d_pal*1e3:.2f} ms = "
+              f"{info/d_pal/1e6:.1f} Mbit/s (bits identical); "
+              f"vmapped {vm_txt}", flush=True)
 
     out = {
         "bench": "turbo batched-BCJR (lane-axis batch) vs vmapped, chip A/B",

@@ -148,3 +148,41 @@ def test_rx_frame_megakernel_matches_reference_interpret():
         )
     )
     assert (np.concatenate([b1, b2]) == ref).mean() == 1.0
+
+
+def test_bcjr_kernel_matches_xla_interpret(rng):
+    """The resident-metric Pallas BCJR (ops/pallas/bcjr.py) must be
+    BIT-identical to the XLA windowed scan — same expression tree, so no
+    tolerance: windowed LLRs and full turbo decodes both."""
+    from aether_primitives_tpu.ops import turbo as T
+
+    B, n = 3, 1000
+    ls = (rng.normal(size=(B, n)) * 3).astype(np.float32)
+    lp = (rng.normal(size=(B, n)) * 3).astype(np.float32)
+    la = rng.normal(size=(B, n)).astype(np.float32)
+    x = np.asarray(T._bcjr_maxlog_windowed(ls, lp, la, 64, 16,
+                                           backend="xla"))
+    p = np.asarray(T._bcjr_maxlog_windowed(ls, lp, la, 64, 16,
+                                           backend="pallas_interpret"))
+    assert np.array_equal(x, p)
+
+    # end-to-end: full iterative turbo decode through the kernel
+    bits = rng.integers(0, 2, (2, 512)).astype(np.uint8)
+    from aether_primitives_tpu.ops.turbo import turbo_decode, turbo_encode
+
+    encs = [[np.asarray(v) for v in turbo_encode(bits[i])] for i in range(2)]
+    sigma = 0.8
+    args = tuple(
+        np.stack([
+            (2.0 / sigma**2) * ((1.0 - 2.0 * encs[i][j].astype(np.float64))
+                                + sigma * rng.normal(size=encs[i][j].shape))
+            for i in range(2)
+        ]).astype(np.float32)
+        for j in range(5)
+    )
+    dx, lx = turbo_decode(*args, iterations=4, window=64, guard=16,
+                          bcjr_backend="xla")
+    dp_, lp_ = turbo_decode(*args, iterations=4, window=64, guard=16,
+                            bcjr_backend="pallas_interpret")
+    assert np.array_equal(np.asarray(dx), np.asarray(dp_))
+    assert np.array_equal(np.asarray(lx), np.asarray(lp_))
