@@ -4,7 +4,15 @@ reference's examples (modem loopback, waterfall)."""
 
 from . import modem
 from . import channelizer
-from .modem import Modem, ModemConfig, RxChain, RxChainConfig, TxChain, loopback_delay
+from .modem import (
+    Modem,
+    ModemConfig,
+    RxChain,
+    RxChainConfig,
+    TxChain,
+    loopback_delay,
+    pad_to_frames,
+)
 from .channelizer import (
     Channelizer,
     welch_psd,

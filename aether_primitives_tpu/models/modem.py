@@ -112,6 +112,16 @@ class RxChainConfig:
     # trades stage-1 contraction depth against stage-2 minor-dim lane
     # utilisation; sweep on hardware with benches/n1_sweep.py.
     stage_n1: Optional[int] = None
+    # Emit PACKED bits: uint8 bytes holding 8 bits each, LSB-first
+    # (np.unpackbits(..., bitorder="little") restores the flat stream) —
+    # the format a production modem hands to the MAC layer. Measured on
+    # chip (DEVNOTES round 5): unpacked per-bit u8 emission costs
+    # 650-750 us/4M-sample block in u8/u16 relayouts — 72% of the whole
+    # step — while the packed arithmetic epilogue costs ~116 us and
+    # cuts downstream HBM/host traffic 8x. Off by default: the
+    # reference's demod contract is one byte per bit
+    # (reference src/modulation.rs:133-144).
+    packed_bits: bool = False
 
 
 
@@ -184,6 +194,15 @@ class RxChain:
     def __init__(self, config: RxChainConfig = RxChainConfig()):
         self.config = config
         self.modulation, self.taps, self._plan, self.fir_mode = _resolve_chain(config)
+        if config.packed_bits:
+            bpf = self.modulation.bits_per_symbol * (
+                config.active_bins or config.fft_len
+            )
+            if bpf % 8:
+                raise ValueError(
+                    "packed_bits needs bits-per-frame divisible by 8, "
+                    f"got {bpf}"
+                )
 
     def _fir(self, x, history=None):
         taps = jnp.asarray(self.taps)
@@ -254,9 +273,26 @@ class RxChain:
             )
         return spec
 
+    @staticmethod
+    def _pack_flat(bits) -> jnp.ndarray:
+        """Flat per-bit u8 -> packed bytes (LSB-first). The portable
+        fallback packer; the fast path packs inside its epilogue."""
+        n = bits.shape[-1]
+        w = bits.reshape(bits.shape[:-1] + (n // 8, 8)).astype(jnp.uint32)
+        byte = w[..., 0]
+        for m in range(1, 8):
+            byte = byte | (w[..., m] << m)
+        return byte.astype(jnp.uint8)
+
+    def _emit(self, flat_bits) -> jnp.ndarray:
+        return (
+            self._pack_flat(flat_bits)
+            if self.config.packed_bits else flat_bits
+        )
+
     def _demod_frames(self, spec) -> jnp.ndarray:
         bits = self.modulation.demod(self._active(spec))
-        return bits.reshape(bits.shape[:-2] + (-1,))
+        return self._emit(bits.reshape(bits.shape[:-2] + (-1,)))
 
     def spectra(self, block) -> jnp.ndarray:
         """Front half of the chain: block -> per-frame active-bin spectra
@@ -266,9 +302,10 @@ class RxChain:
         return self._active(self._frames_spectra(x))
 
     def demod_spectra(self, active_spec) -> jnp.ndarray:
-        """Back half: (possibly equalized) active-bin spectra -> bits."""
+        """Back half: (possibly equalized) active-bin spectra -> bits
+        (packed bytes when ``config.packed_bits``)."""
         bits = self.modulation.demod(jnp.asarray(active_spec, dtype=cf32))
-        return bits.reshape(bits.shape[:-2] + (-1,))
+        return self._emit(bits.reshape(bits.shape[:-2] + (-1,)))
 
     def _sign_fast_path_ok(self) -> bool:
         """True when the staged-layout sign-demod fast path applies: fused
@@ -306,21 +343,112 @@ class RxChain:
             _staged_layout=True,
         )  # [n1, ..., nsym, r] — k1 leading
         re, im = jnp.real(zk), jnp.imag(zk)
+        n1 = re.shape[0]
         if cfg.modulation == "bpsk":
+            if cfg.packed_bits and n1 % 8 == 0:
+                # pack 8 adjacent k1 symbols per byte while k1 still
+                # leads: group slicing is free on the leading axis and
+                # the u32->u8 convert runs on a full-lane 2-D shape —
+                # the per-bit u8 emission costs 650+ us in relayouts
+                # (DEVNOTES r5 residue attribution)
+                b = (re + im < 0).astype(jnp.uint32)
+                g = b.reshape((n1 // 8, 8) + b.shape[1:])
+                byte = g[:, 0]
+                for m in range(1, 8):
+                    byte = byte | (g[:, m] << m)
+                byte = jnp.moveaxis(byte, 0, -1)  # [..., nsym, r, n1/8]
+                byte = byte.reshape(byte.shape[:-2] + (-1,)).astype(jnp.uint8)
+                return byte.reshape(byte.shape[:-2] + (-1,))
             b = (re + im < 0).astype(jnp.uint8)
             b = jnp.moveaxis(b, 0, -1)  # natural symbol order (d, k1)
-            return b.reshape(b.shape[:-3] + (-1,))
+            return self._emit(b.reshape(b.shape[:-3] + (-1,)))
+        if cfg.packed_bits and n1 % 4 == 0:
+            # QPSK: 4 adjacent k1 symbols (8 bits) per byte, LSB-first
+            s2 = (re < 0).astype(jnp.uint32) | (
+                (im < 0).astype(jnp.uint32) << 1
+            )
+            g = s2.reshape((n1 // 4, 4) + s2.shape[1:])
+            byte = g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)
+            byte = jnp.moveaxis(byte, 0, -1)  # [..., nsym, r, n1/4]
+            byte = byte.reshape(byte.shape[:-2] + (-1,)).astype(jnp.uint8)
+            return byte.reshape(byte.shape[:-2] + (-1,))
         v = (re < 0).astype(jnp.uint16) | ((im < 0).astype(jnp.uint16) << 8)
         v = jnp.moveaxis(v, 0, -1)  # [..., nsym, r, n1]
         bits = jax.lax.bitcast_convert_type(v, jnp.uint8)  # [..., r, n1, 2]
-        return bits.reshape(bits.shape[:-4] + (-1,))
+        return self._emit(bits.reshape(bits.shape[:-4] + (-1,)))
+
+    @property
+    def frame_span(self) -> int:
+        """Full-rate samples consumed per demodulated frame
+        (``decimation * fft_len``)."""
+        return self.config.decimation * self.config.fft_len
 
     def step(self, block) -> jnp.ndarray:
-        """The jittable single-device forward step (block -> bits)."""
+        """The jittable single-device forward step (block -> bits).
+
+        The block length must divide by :attr:`frame_span` — the
+        reference's contract (reference src/sampling.rs:32-36 asserts
+        divisibility). For ragged captures pick a policy explicitly:
+        :meth:`step_ragged` (drop-free: whole frames now, remainder
+        returned) or :meth:`step_padded` (zero-pad the tail frame, the
+        reference waterfall convention, reference src/util/plot.rs:50-57).
+        """
         x = jnp.asarray(block, dtype=cf32)
+        self._check_span(x.shape[-1])
         if self._sign_fast_path_ok():
             return self._bits_fast(x)
         return self.demod_spectra(self.spectra(x))
+
+    def _check_span(self, n: int, shards: int = 1) -> None:
+        span = self.frame_span
+        if shards > 1:
+            if n % shards:
+                raise ValueError(
+                    f"capture length {n} must divide over {shards} "
+                    f"time shards; pad with pad_to_frames(x, "
+                    f"{shards * span})"
+                )
+            n //= shards
+            what = f"per-shard span {n}"
+        else:
+            what = f"block length {n}"
+        if n % span:
+            raise ValueError(
+                f"{what} is not a multiple of frame_span "
+                f"{span} (= decimation {self.config.decimation} x "
+                f"fft_len {self.config.fft_len}); use step_ragged (keep "
+                "the remainder) or step_padded (zero-pad the tail frame)"
+            )
+
+    def step_ragged(self, block):
+        """Drop-free ragged-capture policy: demodulate every COMPLETE
+        frame and hand back the remainder — ``(bits, tail)`` with
+        ``tail = block[..., -(n % frame_span):]`` (length is static at
+        trace time, so this stays jittable). ``bits`` equals
+        :meth:`step` on the trimmed prefix; feed ``tail`` in front of the
+        next capture to lose nothing."""
+        x = jnp.asarray(block, dtype=cf32)
+        n = x.shape[-1]
+        r = n % self.frame_span
+        whole = n - r
+        if whole == 0:
+            bits = jnp.zeros(x.shape[:-1] + (0,), jnp.uint8)
+            return bits, x
+        return self.step(x[..., :whole]), x[..., whole:]
+
+    def step_padded(self, block) -> jnp.ndarray:
+        """Zero-pad ragged-capture policy (the reference waterfall's,
+        reference src/util/plot.rs:50-57): the tail frame is completed
+        with zeros and demodulated — output covers ``ceil(n /
+        frame_span)`` frames; tail bits past the real samples are the
+        demod of the filter ring-down into zeros."""
+        x = jnp.asarray(block, dtype=cf32)
+        n = x.shape[-1]
+        r = n % self.frame_span
+        if r:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, self.frame_span - r)]
+            x = jnp.pad(x, pad)
+        return self.step(x)
 
     # -------------------------------------------------- streaming state
 
@@ -350,6 +478,7 @@ class RxChain:
         device between calls, serializing nothing on the host.
         """
         x = jnp.asarray(block, dtype=cf32)
+        self._check_span(x.shape[-1])
         k = self.taps.shape[-1]
         h = jnp.asarray(state, dtype=cf32) if k > 1 else None
         if self._sign_fast_path_ok():
@@ -426,9 +555,16 @@ class RxChain:
         per-device spans; the FIR history crosses shard boundaries via an
         ICI halo exchange, so the output is identical to :meth:`step`.
 
-        Each device span must be divisible by ``decimation * fft_len``.
+        Each device span must be divisible by ``decimation * fft_len``
+        (:attr:`frame_span`); ragged captures must pick a tail policy
+        BEFORE sharding (:meth:`step_padded` semantics via
+        ``pad_to_frames(x, shards * frame_span)``, or trim the
+        :meth:`step_ragged` remainder off) — a precise error names the
+        required multiple otherwise.
         """
-        return self._sharded_step(jnp.asarray(block, dtype=cf32), mesh, axis_name)
+        x = jnp.asarray(block, dtype=cf32)
+        self._check_span(x.shape[-1], shards=int(mesh.shape[axis_name]))
+        return self._sharded_step(x, mesh, axis_name)
 
     def sharded_step_2d(
         self,
@@ -444,6 +580,8 @@ class RxChain:
         def shard_fn(x):
             return self._shard_bits(x, time_axis)
 
+        block = jnp.asarray(block, dtype=cf32)
+        self._check_span(block.shape[-1], shards=int(mesh.shape[time_axis]))
         nd = jnp.ndim(block)
         spec_in = P(*([channel_axis] + [None] * (nd - 2) + [time_axis]))
         fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=spec_in, out_specs=spec_in)
@@ -507,6 +645,9 @@ class RxChain:
         def shard_fn(x, s):
             return self._shard_streaming_bits(x, s, time_axis)
 
+        self._check_span(
+            jnp.shape(block)[-1], shards=int(mesh.shape[time_axis])
+        )
         nd = jnp.ndim(block)
         mid = [None] * (nd - 2)
         spec_blk = P(*([channel_axis] + mid + [time_axis]))
@@ -527,11 +668,11 @@ class RxChain:
         if cfg.modulation == "bpsk":
             b = (zr + zi < 0).astype(jnp.uint8)
             b = jnp.moveaxis(b, 0, -1)
-            return b.reshape(b.shape[:-3] + (-1,))
+            return self._emit(b.reshape(b.shape[:-3] + (-1,)))
         v = (zr < 0).astype(jnp.uint16) | ((zi < 0).astype(jnp.uint16) << 8)
         v = jnp.moveaxis(v, 0, -1)
         bits = jax.lax.bitcast_convert_type(v, jnp.uint8)
-        return bits.reshape(bits.shape[:-4] + (-1,))
+        return self._emit(bits.reshape(bits.shape[:-4] + (-1,)))
 
     def step_split(self, block_split):
         """:meth:`step` with an f32 :class:`~aether_primitives_tpu.boundary.Split`
@@ -637,6 +778,21 @@ class TxChain:
 
     def jitted(self, donate: bool = False):
         return jax.jit(self.step, donate_argnums=(0,) if donate else ())
+
+
+def pad_to_frames(block, multiple: int) -> jnp.ndarray:
+    """Zero-pad the last axis up to the next multiple of ``multiple`` —
+    the explicit ragged-tail policy for the SHARDED paths (pass
+    ``n_time_shards * chain.frame_span``): identical semantics to
+    :meth:`RxChain.step_padded`, applied before the mesh split so every
+    device span stays whole (the reference's zero-pad convention,
+    reference src/util/plot.rs:50-57)."""
+    x = jnp.asarray(block)
+    r = x.shape[-1] % int(multiple)
+    if not r:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, int(multiple) - r)]
+    return jnp.pad(x, pad)
 
 
 def loopback_delay(tx: "TxChain", rx: RxChain) -> int:
