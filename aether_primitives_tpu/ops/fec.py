@@ -119,6 +119,7 @@ def viterbi_decode(
     terminated: bool = True,
     window: int = 0,
     guard: int = 48,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Maximum-likelihood decode of a rate-``1/n`` convolutional code.
 
@@ -149,12 +150,40 @@ def viterbi_decode(
     ACS steps full-block but ~224 batched steps windowed).
     """
     llr = jnp.asarray(llrs, jnp.float32)
-    if llr.ndim != 1:
-        raise ValueError("viterbi_decode takes a flat LLR stream")
     n = len(polys)
     k = int(constraint)
     if llr.shape[-1] % n:
         raise ValueError(f"LLR count must be a multiple of n = {n}")
+    if backend == "auto":
+        # the resident-metric Pallas kernel (ops/pallas/viterbi.py) is
+        # bit-identical and runs both trellis passes in VMEM — the chip
+        # winner for batched/windowed decodes (benches/viterbi_kernel_ab).
+        # Single-stream full-block calls keep the XLA scan: they are the
+        # form that runs INSIDE vmapped graphs (PacketModem.rx), where a
+        # nested pallas_call batching rule is not a path we validate.
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        batched_or_windowed = llr.ndim > 1 or window
+        backend = (
+            "pallas" if platform == "tpu" and batched_or_windowed else "xla"
+        )
+    if backend.startswith("pallas"):
+        return _viterbi_pallas(
+            llr, tuple(int(p) for p in polys), k, terminated, window, guard,
+            interpret=backend == "pallas_interpret",
+        )
+    if llr.ndim != 1:
+        # the XLA scans are single-stream; batch via vmap (the portable
+        # reference path — batched throughput lives on the kernel)
+        fn = lambda v: viterbi_decode(  # noqa: E731
+            v, polys, constraint, terminated, window, guard, backend="xla"
+        )
+        lead = llr.shape[:-1]
+        flat = llr.reshape((-1, llr.shape[-1]))
+        out = jax.vmap(fn)(flat)
+        return out.reshape(lead + out.shape[-1:])
     t_steps = llr.shape[-1] // n
     if window:
         return _viterbi_windowed(
@@ -195,6 +224,73 @@ def viterbi_decode(
     if terminated:
         bits = bits[: t_steps - (k - 1)]
     return bits
+
+
+def _viterbi_pallas(llr, polys, k, terminated, window, guard,
+                    interpret=False):
+    """Bridge to the resident-metric kernel (ops/pallas/viterbi.py):
+    batched ``[..., L]`` full-block decodes put the BATCH on the lane
+    axis; ``window > 0`` additionally flattens the parallel windows onto
+    it (same span construction and boundary-forcing pad LLRs as
+    :func:`_viterbi_windowed`, so results are bit-identical to the XLA
+    scans — tested)."""
+    from .pallas.viterbi import viterbi_lanes
+
+    n = len(polys)
+    lead = llr.shape[:-1]
+    flat = llr.reshape((-1, llr.shape[-1]))
+    b_sz = flat.shape[0]
+    t_steps = flat.shape[-1] // n
+    sym = flat.reshape(b_sz, t_steps, n)
+
+    def run(spans, lw, init0, end0):
+        # spans [Lw, n, N] -> pad lanes to a tile multiple
+        n_lanes = spans.shape[-1]
+        tile = 256 if n_lanes >= 256 else 128
+        pad = -(-n_lanes // tile) * tile - n_lanes
+        spans = jnp.pad(spans, [(0, 0), (0, 0), (0, pad)])
+        bits = viterbi_lanes(spans, lw, n, polys, k, init0, end0,
+                             tile_n=tile, interpret=interpret)
+        return bits[:, :n_lanes]
+
+    if not window:
+        spans = jnp.transpose(sym, (1, 2, 0))  # [T, n, B]
+        bits = run(spans, t_steps, True, bool(terminated))
+        bits = bits.T.astype(jnp.uint8)  # [B, T]
+        if terminated:
+            bits = bits[:, : t_steps - (k - 1)]
+        return bits.reshape(lead + bits.shape[-1:])
+
+    n_win = -(-t_steps // window)
+    t_pad = n_win * window
+    lw = window + 2 * guard
+    big = jnp.float32(1e6)
+    head = jnp.full((b_sz, guard, n), big)
+    tail_len = guard + (t_pad - t_steps)
+    tail = jnp.full((b_sz, tail_len, n),
+                    big if terminated else jnp.float32(0.0))
+    symp = jnp.concatenate([head, sym, tail], axis=1)
+    # overlapped framing WITHOUT per-window slices (a 131k-bit stream has
+    # ~2050 windows — stacking dynamic slices dominated the kernel 10:1):
+    # ceil(Lw/window) shifted whole-array reshapes cover every span
+    n_cat = -(-lw // window)
+    ext_len = (n_win + n_cat) * window
+    symp = jnp.pad(symp, [(0, 0), (0, ext_len - symp.shape[1]), (0, 0)])
+    segs = [
+        symp[:, c * window:(c + n_win) * window].reshape(
+            b_sz, n_win, window, n
+        )
+        for c in range(n_cat)
+    ]
+    wins = jnp.concatenate(segs, axis=2)[:, :, :lw]  # [B, W, Lw, n]
+    spans = jnp.transpose(wins, (2, 3, 1, 0)).reshape(lw, n, n_win * b_sz)
+    bits = run(spans, lw, False, False)  # uniform init, argmin traceback
+    core = bits.reshape(lw, n_win, b_sz)[guard:guard + window]
+    out = jnp.transpose(core, (2, 1, 0)).reshape(b_sz, t_pad)
+    out = out[:, :t_steps].astype(jnp.uint8)
+    if terminated:
+        out = out[:, : t_steps - (k - 1)]
+    return out.reshape(lead + out.shape[-1:])
 
 
 def _viterbi_windowed(llr, polys, k, terminated, window, guard):

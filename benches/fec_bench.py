@@ -10,7 +10,7 @@ Rows (all decode-correctness-checked on chip before timing):
   25 iters at batch 64 / 1024;
 - 802.11n n=648 QC edge decoder batch 1024 (round-3 reference row).
 
-Writes benches/results_fec_r4.json. Mbit/s are INFO bits/s (payload);
+Writes benches/results_fec_r5.json. Mbit/s are INFO bits/s (payload);
 coded bits/s also recorded.
 """
 
@@ -161,7 +161,7 @@ def main():
         "results": results,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results_fec_r4.json")
+                        "results_fec_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}", flush=True)

@@ -92,8 +92,17 @@ def test_viterbi_unterminated(rng):
 def test_viterbi_rejects_bad_input(rng):
     with pytest.raises(ValueError, match="multiple"):
         fec.viterbi_decode(np.zeros(7, np.float32))
-    with pytest.raises(ValueError, match="flat"):
-        fec.viterbi_decode(np.zeros((2, 4), np.float32))
+    # 2-D input is the BATCHED contract now (round 5): leading axes
+    # decode independently and match per-stream decoding bit for bit
+    bits = rng.integers(0, 2, (2, 60)).astype(np.uint8)
+    encs = np.stack([np.asarray(fec.conv_encode(bits[i])) for i in range(2)])
+    llrs = (1 - 2.0 * encs).astype(np.float32) * 4
+    out = np.asarray(fec.viterbi_decode(llrs))
+    assert np.array_equal(out, bits)
+    for i in range(2):
+        assert np.array_equal(
+            np.asarray(fec.viterbi_decode(llrs[i])), bits[i]
+        )
 
 
 def test_interleaver_roundtrip_and_burst_spread(rng):

@@ -186,3 +186,49 @@ def test_bcjr_kernel_matches_xla_interpret(rng):
                             bcjr_backend="pallas_interpret")
     assert np.array_equal(np.asarray(dx), np.asarray(dp_))
     assert np.array_equal(np.asarray(lx), np.asarray(lp_))
+
+
+def test_viterbi_kernel_matches_xla_interpret(rng):
+    """The resident-metric Pallas Viterbi (ops/pallas/viterbi.py) must be
+    BIT-identical to the XLA scans in every mode: full-block and
+    windowed, single-stream and batched (batch on the lane axis)."""
+    from aether_primitives_tpu.ops import fec
+
+    bits = rng.integers(0, 2, 500).astype(np.uint8)
+    enc = np.asarray(fec.conv_encode(bits))
+    llr = ((1 - 2.0 * enc) * 3 + rng.normal(size=enc.shape)).astype(np.float32)
+    for kw in ({}, {"window": 64, "guard": 48}):
+        x = np.asarray(fec.viterbi_decode(llr, backend="xla", **kw))
+        p = np.asarray(fec.viterbi_decode(llr, backend="pallas_interpret",
+                                          **kw))
+        assert np.array_equal(x, p), kw
+
+    B = 3
+    bb = rng.integers(0, 2, (B, 400)).astype(np.uint8)
+    encs = np.stack([np.asarray(fec.conv_encode(bb[i])) for i in range(B)])
+    llrs = ((1 - 2.0 * encs) * 3
+            + rng.normal(size=encs.shape)).astype(np.float32)
+    for kw in ({}, {"window": 64, "guard": 48}):
+        x = np.asarray(fec.viterbi_decode(llrs, backend="xla", **kw))
+        p = np.asarray(fec.viterbi_decode(llrs, backend="pallas_interpret",
+                                          **kw))
+        assert np.array_equal(x, p), kw
+    assert np.array_equal(
+        np.asarray(fec.viterbi_decode(llrs, backend="pallas_interpret")), bb
+    )
+
+
+def test_viterbi_kernel_other_code_rates_interpret(rng):
+    """Kernel generality: K=5 rate-1/3 code decodes identically too (the
+    iota-parity branch metrics must track any polys/constraint)."""
+    from aether_primitives_tpu.ops import fec
+
+    polys, k = (0o25, 0o33, 0o37), 5
+    bits = rng.integers(0, 2, 300).astype(np.uint8)
+    enc = np.asarray(fec.conv_encode(bits, polys, k))
+    llr = ((1 - 2.0 * enc) * 3 + rng.normal(size=enc.shape)).astype(np.float32)
+    x = np.asarray(fec.viterbi_decode(llr, polys, k, backend="xla"))
+    p = np.asarray(fec.viterbi_decode(llr, polys, k,
+                                      backend="pallas_interpret"))
+    assert np.array_equal(x, p)
+    assert np.array_equal(p, bits)
