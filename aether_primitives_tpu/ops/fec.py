@@ -503,6 +503,12 @@ def _crc_matrices(poly: int, width: int, block: int):
     return a_b.astype(np.float32), m
 
 
+@functools.lru_cache(maxsize=None)
+def _crc_matrices_dev(poly: int, width: int, block: int):
+    a_b, m = _crc_matrices(poly, width, block)
+    return jnp.asarray(a_b), jnp.asarray(m)
+
+
 def crc_compute(
     bits,
     poly: int,
@@ -539,16 +545,22 @@ def crc_compute(
         x = x.at[:width].set(jnp.mod(x[:width] + jnp.asarray(iv_np), 2.0))
     pad = (-n) % block
     x = jnp.concatenate([jnp.zeros(pad, jnp.float32), x])  # leading 0s: no-op at state 0
-    a_b, m = _crc_matrices(int(poly), int(width), int(block))
-    a_b = jnp.asarray(a_b)
-    m = jnp.asarray(m)
+    # module-level jitted scan + cached device constants: a bare eager
+    # lax.scan retraces AND recompiles on every call (round-5 TX-loop
+    # leak; see sequence._lfsr_scan)
+    a_b, m = _crc_matrices_dev(int(poly), int(width), int(block))
+    state = _crc_scan(x.reshape(-1, block), a_b, m)
+    return _crc_finalize(state, width, xorout, reflect_out)
 
+
+@jax.jit
+def _crc_scan(x_blocks, a_b, m):
     def step(state, blk):
         return jnp.mod(a_b @ state + m @ blk, 2.0), None
 
-    state0 = jnp.zeros(width, jnp.float32)
-    state, _ = jax.lax.scan(step, state0, x.reshape(-1, block))
-    return _crc_finalize(state, width, xorout, reflect_out)
+    state, _ = jax.lax.scan(step, jnp.zeros(a_b.shape[0], jnp.float32),
+                            x_blocks)
+    return state
 
 
 def _crc_finalize(state, width: int, xorout: int, reflect_out: bool) -> jnp.ndarray:

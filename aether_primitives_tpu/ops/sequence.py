@@ -118,6 +118,23 @@ def _lfsr_block_matrices(delays: tuple, order: int, block: int):
     return m_out, jump.astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_blocks",))
+def _lfsr_scan(state0, m_out, m_jump, n_blocks: int):
+    def step(state, _):
+        out = jnp.mod(m_out @ state, 2.0)
+        new_state = jnp.mod(m_jump @ state, 2.0)
+        return new_state, out
+
+    _, blocks = jax.lax.scan(step, state0, None, length=n_blocks)
+    return blocks
+
+
+@functools.lru_cache(maxsize=None)
+def _lfsr_block_matrices_dev(delays: tuple, order: int, block: int):
+    m_out, m_jump = _lfsr_block_matrices(delays, order, block)
+    return jnp.asarray(m_out), jnp.asarray(m_jump)
+
+
 def lfsr_matrix_generate(
     init, delays: Sequence[int], length: int, block: int = 1024
 ) -> jnp.ndarray:
@@ -134,17 +151,16 @@ def lfsr_matrix_generate(
     if init.shape[-1] != order:
         raise ValueError(f"init length {init.shape[-1]} != max delay {order}")
     n_blocks = -(-length // block)
-    m_out, m_jump = _lfsr_block_matrices(delays, order, block)
-    m_out = jnp.asarray(m_out)
-    m_jump = jnp.asarray(m_jump)
-
-    def step(state, _):
-        out = jnp.mod(m_out @ state, 2.0)
-        new_state = jnp.mod(m_jump @ state, 2.0)
-        return new_state, out
+    # module-level jitted scan: a bare eager lax.scan RETRACES AND
+    # RECOMPILES on every call (the trace cache keys on the step
+    # closure's identity), leaking ~3.5 MB of executables per call until
+    # long TX loops died with 'LLVM compilation error: Cannot allocate
+    # memory' (round-5 finding; same fix in fec.crc_compute and
+    # scramble_multiplicative)
+    m_out, m_jump = _lfsr_block_matrices_dev(delays, order, block)
 
     state0 = init.astype(jnp.float32)
-    _, blocks = jax.lax.scan(step, state0, None, length=n_blocks)
+    blocks = _lfsr_scan(state0, m_out, m_jump, n_blocks)
     return blocks.reshape(-1)[:length].astype(jnp.uint8)
 
 
@@ -205,6 +221,14 @@ def _scramble_block_matrices(delays: tuple, order: int, block: int):
     return t_s, t_x, n_s, n_x
 
 
+@functools.lru_cache(maxsize=None)
+def _scramble_block_matrices_dev(delays: tuple, order: int, block: int):
+    return tuple(
+        jnp.asarray(m)
+        for m in _scramble_block_matrices(delays, order, block)
+    )
+
+
 def scramble_multiplicative(
     bits, delays: Sequence[int] = (14, 15), init=None, block: int = 256
 ) -> jnp.ndarray:
@@ -238,16 +262,25 @@ def scramble_multiplicative(
     n = int(x.shape[0])
     pad = (-n) % block
     x = jnp.concatenate([x, jnp.zeros(pad, jnp.float32)])
-    t_s, t_x, n_s, n_x = _scramble_block_matrices(delays, order, block)
-    t_s, t_x, n_s, n_x = map(jnp.asarray, (t_s, t_x, n_s, n_x))
+    # cached device constants (same recompile-leak reasoning as
+    # _lfsr_block_matrices_dev)
+    t_s, t_x, n_s, n_x = _scramble_block_matrices_dev(delays, order, block)
 
+    y = _scramble_scan(x.reshape(-1, block), state0, t_s, t_x, n_s, n_x)
+    return y.reshape(-1)[:n].astype(jnp.uint8)
+
+
+@jax.jit
+def _scramble_scan(x_blocks, state0, t_s, t_x, n_s, n_x):
+    # module-level jit: bare eager scans retrace+recompile per call
+    # (round-5 TX-loop leak; see _lfsr_scan)
     def step(s, blk):
         y = jnp.mod(t_s @ s + t_x @ blk, 2.0)
         s_next = jnp.mod(n_s @ s + n_x @ blk, 2.0)
         return s_next, y
 
-    _, y = jax.lax.scan(step, state0, x.reshape(-1, block))
-    return y.reshape(-1)[:n].astype(jnp.uint8)
+    _, y = jax.lax.scan(step, state0, x_blocks)
+    return y
 
 
 def descramble_multiplicative(

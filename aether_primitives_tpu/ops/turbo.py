@@ -69,12 +69,15 @@ def _trellis():
     return nxt, par, fb, prev_s, prev_u
 
 
+@functools.partial(jax.jit, static_argnames=("terminate",))
 def rsc_encode(bits, terminate: bool = True):
     """Systematic recursive convolutional encode of a flat {0,1} block:
     returns ``(parity, tail_sys, tail_par)`` (the systematic stream IS the
     input). With ``terminate`` the trellis is driven back to state 0 in
     ``K-1 = 3`` steps whose (data-dependent) systematic bits are returned
-    as ``tail_sys``."""
+    as ``tail_sys``. Jitted at module level so repeated per-burst encodes
+    reuse one executable (bare eager scans recompile per call — the
+    round-5 TX-loop leak)."""
     nxt, par, fb, _, _ = _trellis()
     u = jnp.asarray(bits).astype(jnp.int32) % 2
     nxt_j = jnp.asarray(nxt)
@@ -357,12 +360,18 @@ def turbo_decode(
         if backend == "auto":
             # the Pallas resident-metric kernel is bit-identical and 6-12x
             # the XLA scan on chip (benches/results_turbo_r5.json); off-TPU
-            # the scan is the portable path (interpret mode is test-only)
+            # the scan is the portable path (interpret mode is test-only).
+            # Single-codeword calls keep the scan: they are the form that
+            # runs INSIDE vmapped graphs (PacketModem.rx under rx_batch),
+            # where vmapping a pallas_call is not a path we validate —
+            # pass real batches here to engage the kernel.
             try:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
-            backend = "pallas" if platform == "tpu" else "xla"
+            backend = (
+                "pallas" if platform == "tpu" and b_sz > 1 else "xla"
+            )
 
         def _bcjr(ls_, lp_, la_, term_):
             return _bcjr_maxlog_windowed(ls_, lp_, la_, window, guard,
