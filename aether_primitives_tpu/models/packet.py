@@ -401,6 +401,14 @@ class PacketModem:
     def rx(self, capture):
         """Decode a capture containing one burst. Returns ``(payload,
         crc_ok, diag)``; ``diag`` is a dict of device scalars."""
+        llr, diag = self._rx_front(capture)
+        line = self._decode_llr(llr)
+        payload, ok = self._rx_tail(line)
+        return payload, ok, diag
+
+    def _rx_front(self, capture):
+        """Acquisition → CFO → equalize → soft demod → deinterleave: one
+        capture to coded-bit LLRs ``[coded_bits]`` plus the diag dict."""
         c = self.config
         x = jnp.asarray(capture, dtype=cf32)
         npre = self.preamble.size
@@ -441,6 +449,23 @@ class PacketModem:
         if self.inter_pad or c.interleave_rows > 1:
             llr = _fec.deinterleave(llr, c.interleave_rows)
             llr = llr[: self.coded_bits]
+        diag = {
+            "offset": offset,
+            "metric": metric,
+            "cfo": cfo + fine,
+            "gain": gain,
+            "noise_var": noise_var,
+        }
+        return llr, diag
+
+    def _decode_llr(self, llr):
+        """Coded-bit LLRs → descramble-ready line bits. The ``viterbi``
+        and ``turbo`` branches accept LEADING BATCH AXES (their decoders
+        batch natively with the batch on the lane axis — the serial-
+        trellis FECs :meth:`rx_batch` routes around ``vmap``); the other
+        branches are single-burst (``rx_batch`` vmaps them: their
+        decoders are plane-shaped and batch fine under vmap)."""
+        c = self.config
         if c.fec == "viterbi":
             line = _fec.viterbi_decode(llr)
         elif c.fec in ("ldpc", "ldpc11n"):
@@ -514,27 +539,25 @@ class PacketModem:
         elif c.fec == "turbo":
             nb = self.frame_bits
             line, _l = _turbo.turbo_decode(
-                llr[:nb],
-                llr[nb : 2 * nb],
-                llr[2 * nb : 3 * nb],
-                llr[3 * nb : 3 * nb + 3],
-                llr[3 * nb + 3 :],
+                llr[..., :nb],
+                llr[..., nb : 2 * nb],
+                llr[..., 2 * nb : 3 * nb],
+                llr[..., 3 * nb : 3 * nb + 3],
+                llr[..., 3 * nb + 3 :],
                 iterations=8,
                 window=64,  # parallel BCJR, measured-best window (DEVNOTES)
                 guard=16,
             )
         else:
             line = (llr < 0).astype(jnp.uint8)
+        return line
+
+    def _rx_tail(self, line):
+        """Line bits → descramble → CRC verdict (one burst)."""
+        c = self.config
         frame = _seq.descramble_multiplicative(line, c.scrambler)
         ok = _fec.crc_check(frame, c.crc)
-        diag = {
-            "offset": offset,
-            "metric": metric,
-            "cfo": cfo + fine,
-            "gain": gain,
-            "noise_var": noise_var,
-        }
-        return frame[: c.payload_bits], ok, diag
+        return frame[: c.payload_bits], ok
 
     def rx_batch(self, captures):
         """Batched burst RX: decode ``[B, window]`` captures in ONE jittable
@@ -559,6 +582,17 @@ class PacketModem:
             raise ValueError(
                 f"rx_batch takes [B, window] captures, got shape {x.shape}"
             )
+        if self.config.fec in ("viterbi", "turbo"):
+            # serial-trellis FECs: route the decode AROUND vmap so it
+            # runs natively batched with the burst axis on device lanes
+            # (viterbi: the resident-metric Pallas kernel; turbo: the
+            # lane-batched BCJR) — vmap would pin the batch to axis 0
+            # and fall back to the scan forms. Bit-identical either way
+            # (the kernels are pinned to the scans bit for bit).
+            llr, diag = jax.vmap(self._rx_front)(x)
+            line = self._decode_llr(llr)
+            payload, ok = jax.vmap(self._rx_tail)(line)
+            return payload, ok, diag
         return jax.vmap(self.rx)(x)
 
     def rx_batch_sharded(self, captures, mesh, axis_name: str = "channel"):

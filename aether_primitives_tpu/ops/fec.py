@@ -505,8 +505,12 @@ def _crc_matrices(poly: int, width: int, block: int):
 
 @functools.lru_cache(maxsize=None)
 def _crc_matrices_dev(poly: int, width: int, block: int):
-    a_b, m = _crc_matrices(poly, width, block)
-    return jnp.asarray(a_b), jnp.asarray(m)
+    # the first call may happen INSIDE a jit trace; without the
+    # guard jnp.asarray would cache a tracer and later escape it
+    # (UnexpectedTracerError in the batched burst bench)
+    with jax.ensure_compile_time_eval():
+        a_b, m = _crc_matrices(poly, width, block)
+        return jnp.asarray(a_b), jnp.asarray(m)
 
 
 def crc_compute(

@@ -131,8 +131,11 @@ def _lfsr_scan(state0, m_out, m_jump, n_blocks: int):
 
 @functools.lru_cache(maxsize=None)
 def _lfsr_block_matrices_dev(delays: tuple, order: int, block: int):
-    m_out, m_jump = _lfsr_block_matrices(delays, order, block)
-    return jnp.asarray(m_out), jnp.asarray(m_jump)
+    # concrete even when first called inside a trace (see
+    # fec._crc_matrices_dev)
+    with jax.ensure_compile_time_eval():
+        m_out, m_jump = _lfsr_block_matrices(delays, order, block)
+        return jnp.asarray(m_out), jnp.asarray(m_jump)
 
 
 def lfsr_matrix_generate(
@@ -223,10 +226,13 @@ def _scramble_block_matrices(delays: tuple, order: int, block: int):
 
 @functools.lru_cache(maxsize=None)
 def _scramble_block_matrices_dev(delays: tuple, order: int, block: int):
-    return tuple(
-        jnp.asarray(m)
-        for m in _scramble_block_matrices(delays, order, block)
-    )
+    # concrete even when first called inside a trace (see
+    # fec._crc_matrices_dev)
+    with jax.ensure_compile_time_eval():
+        return tuple(
+            jnp.asarray(m)
+            for m in _scramble_block_matrices(delays, order, block)
+        )
 
 
 def scramble_multiplicative(

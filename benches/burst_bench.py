@@ -7,7 +7,7 @@ Every row checks payload exactness on chip before it is timed; batch rows
 must be bit-identical to the per-burst path (the CPU test asserts this
 exactly; here the payload check catches any chip-side divergence).
 
-Writes benches/results_burst_r4.json.
+Writes benches/results_burst_r5.json.
 """
 
 import json
@@ -28,7 +28,7 @@ from aether_primitives_tpu.models.packet import PacketConfig, PacketModem
 PAYLOAD_BITS = 600
 CAPTURE = 16384
 BATCHES = (16, 64, 256)
-FECS = ("viterbi", "ldpc11n", "rs", "ccsds")
+FECS = ("viterbi", "turbo", "ldpc11n", "rs", "ccsds")
 
 
 def _channel(burst, rng, delay, cfo, snr_sigma=0.05):
@@ -189,7 +189,7 @@ def main():
         "results": results,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results_burst_r4.json")
+                        "results_burst_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     p(f"wrote {path}")
