@@ -171,11 +171,14 @@ class PacketModem:
     def _ccsds_dilv(self, x):
         c = self.config
         if c.ccsds_interleaver == "conv":
-            syms = x.reshape(-1, 8).T
+            # batched over leading axes: bit planes of each GF(2^8)
+            # symbol move to axis -2, the circular Forney permutation
+            # acts on the symbol (last) axis
+            syms = jnp.swapaxes(x.reshape(x.shape[:-1] + (-1, 8)), -1, -2)
             out = _fec.conv_deinterleave_block(
                 syms, c.ccsds_interleave_rows, c.ccsds_interleave_cell
             )
-            return out.T.reshape(-1)
+            return jnp.swapaxes(out, -1, -2).reshape(x.shape)
         return _fec.deinterleave(x, c.ccsds_interleave_rows)
 
     def __init__(self, config: PacketConfig = PacketConfig()):
@@ -459,12 +462,13 @@ class PacketModem:
         return llr, diag
 
     def _decode_llr(self, llr):
-        """Coded-bit LLRs → descramble-ready line bits. The ``viterbi``
-        and ``turbo`` branches accept LEADING BATCH AXES (their decoders
-        batch natively with the batch on the lane axis — the serial-
-        trellis FECs :meth:`rx_batch` routes around ``vmap``); the other
-        branches are single-burst (``rx_batch`` vmaps them: their
-        decoders are plane-shaped and batch fine under vmap)."""
+        """Coded-bit LLRs → descramble-ready line bits. The ``viterbi``,
+        ``turbo``, ``rs`` and ``ccsds`` branches accept LEADING BATCH
+        AXES (their serial-trellis decoders batch natively with the
+        batch on the lane axis — :meth:`rx_batch` routes them around
+        ``vmap``); the other branches are single-burst (``rx_batch``
+        vmaps them: their decoders are plane-shaped and batch fine
+        under vmap)."""
         c = self.config
         if c.fec == "viterbi":
             line = _fec.viterbi_decode(llr)
@@ -481,37 +485,55 @@ class PacketModem:
                 )
             line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
         elif c.fec in ("rs", "ccsds"):
+            lead = llr.shape[:-1]
             if c.fec == "ccsds":
                 # inner decode (soft in) -> deinterleave -> outer RS:
                 # the deinterleaver scatters the inner decoder's burst
-                # errors across RS codeword symbols
+                # errors across RS codeword symbols. Inner decoders run
+                # WINDOWED (round 5): batched throughput needs the scan
+                # length bounded (T -> window + 2*guard with the windows
+                # on device lanes through the Pallas kernels), and the
+                # generous guards keep the survivor/metric merge exact on
+                # the operating channels (sign-identical in tests; the
+                # outer RS + CRC guard any window-seam residue either way)
                 rs_len = self.rs_frames * c.rs_n * 8
                 if c.rs_erasures:
                     # max-log BCJR: per-bit a-posteriori LLRs survive to
                     # the RS stage, so low-|LLR| symbols (the fade/burst
                     # footprint) can be flagged as erasures below
-                    inner_llr = _fec.conv_decode_soft(llr)
+                    inner_llr = _fec.conv_decode_soft(
+                        llr, window=96, guard=64
+                    )
                     inner_llr = self._ccsds_dilv(inner_llr)
-                    llr = inner_llr[:rs_len]
+                    llr = inner_llr[..., :rs_len]
                     hard = (llr < 0).astype(jnp.uint8)
                 else:
-                    inner_bits = _fec.viterbi_decode(llr)
+                    inner_bits = _fec.viterbi_decode(
+                        llr, window=64, guard=48
+                    )
                     inner_bits = self._ccsds_dilv(inner_bits)
-                    hard = inner_bits[:rs_len]
+                    hard = inner_bits[..., :rs_len]
                     llr = _fec.hard_to_llr(hard)
             else:
                 hard = (llr < 0).astype(jnp.uint8)  # RS decodes hard symbols
-            syms = _rs.bits_to_symbols(hard).reshape(self.rs_frames, c.rs_n)
+            syms = _rs.bits_to_symbols(hard).reshape(
+                lead + (self.rs_frames, c.rs_n)
+            )
             if c.rs_erasures:
                 rel = jnp.min(
-                    jnp.abs(llr).reshape(self.rs_frames, c.rs_n, 8), axis=-1
+                    jnp.abs(llr).reshape(
+                        lead + (self.rs_frames, c.rs_n, 8)
+                    ),
+                    axis=-1,
                 )
                 med = jnp.median(rel, axis=-1, keepdims=True)
                 erased = rel < c.rs_erasure_threshold * med
                 dec, _rs_ok, _ = self._rs.decode_erasures(syms, erased)
             else:
                 dec, _rs_ok, _ = self._rs.decode(syms)
-            line = _rs.symbols_to_bits(dec).reshape(-1)[: self.frame_bits]
+            line = _rs.symbols_to_bits(dec).reshape(
+                lead + (-1,)
+            )[..., : self.frame_bits]
         elif c.fec == "bch":
             frames = llr.reshape(self.bch_frames, -1)
             if c.bch_chase > 0:
@@ -582,7 +604,7 @@ class PacketModem:
             raise ValueError(
                 f"rx_batch takes [B, window] captures, got shape {x.shape}"
             )
-        if self.config.fec in ("viterbi", "turbo"):
+        if self.config.fec in ("viterbi", "turbo", "rs", "ccsds"):
             # serial-trellis FECs: route the decode AROUND vmap so it
             # runs natively batched with the burst axis on device lanes
             # (viterbi: the resident-metric Pallas kernel; turbo: the

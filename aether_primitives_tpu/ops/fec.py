@@ -166,8 +166,16 @@ def viterbi_decode(
         except Exception:
             platform = "cpu"
         batched_or_windowed = llr.ndim > 1 or window
+        # full-block kernels keep the whole decision history in VMEM —
+        # blocks too long for even a 128-lane tile must stay on the XLA
+        # scan (the windowed mode is the right tool there)
+        t_steps_probe = llr.shape[-1] // n
+        lw_probe = (window + 2 * guard) if window else t_steps_probe
+        fits_vmem = lw_probe * (1 << (k - 1)) * 128 <= 12_000_000
         backend = (
-            "pallas" if platform == "tpu" and batched_or_windowed else "xla"
+            "pallas"
+            if platform == "tpu" and batched_or_windowed and fits_vmem
+            else "xla"
         )
     if backend.startswith("pallas"):
         return _viterbi_pallas(
@@ -390,11 +398,154 @@ def _trellis_fwd(polys: Tuple[int, ...], k: int):
     return nxt, sgn
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_soft_coeffs(polys: Tuple[int, ...], k: int):
+    """The rate-1/2 feedforward trellis as the generic hashable
+    ``(nxt, prev_s, fw0, fw1, bw0, bw1)`` coefficient tables the Pallas
+    BCJR kernel and the windowed scan consume: ``bw_m[s][u] = 0.5 *
+    sgn[s, u, m]`` (the conv branch metric ``0.5 Σ_m sgn·llr_m``), and
+    the forward entries re-read through the predecessor structure
+    ``prev_s[s', j] = (s' >> 1) | (j << (K-2))``, ``prev_u = s' & 1``."""
+    if len(polys) != 2:
+        raise ValueError(
+            "windowed soft decode supports rate-1/2 codes (two LLR "
+            f"streams); got {len(polys)} generators"
+        )
+    nxt, sgn = _trellis_fwd(polys, k)
+    s_count = nxt.shape[0]
+    half = s_count >> 1
+    prev_s = np.array(
+        [[(sp >> 1) | (j * half) for j in (0, 1)] for sp in range(s_count)],
+        np.int64,
+    )
+    bw0 = 0.5 * sgn[:, :, 0]
+    bw1 = 0.5 * sgn[:, :, 1]
+    fw0 = np.array(
+        [[bw0[prev_s[sp, j], sp & 1] for j in (0, 1)]
+         for sp in range(s_count)], np.float64,
+    )
+    fw1 = np.array(
+        [[bw1[prev_s[sp, j], sp & 1] for j in (0, 1)]
+         for sp in range(s_count)], np.float64,
+    )
+    return (
+        tuple(map(tuple, nxt.tolist())),
+        tuple(map(tuple, prev_s.tolist())),
+        tuple(map(tuple, fw0.tolist())),
+        tuple(map(tuple, fw1.tolist())),
+        tuple(map(tuple, bw0.tolist())),
+        tuple(map(tuple, bw1.tolist())),
+    )
+
+
+def _conv_soft_windowed(llr, polys, k, terminated, window, guard,
+                        backend="xla"):
+    """Windowed parallel max-log BCJR for the feedforward trellis,
+    BATCHED: ``llr [B, T*n]`` → a-posteriori LLRs ``[B, T]``. Same
+    window construction and boundary-forcing pads as
+    :func:`_viterbi_windowed` (head: known state-0 history as huge
+    bit-0 LLRs; tail: flush constraints when terminated), uniform
+    initial metrics converged by the guards. ``backend="pallas"`` runs
+    the generic resident-metric kernel (ops/pallas/bcjr.py) —
+    bit-identical to the scan here (tested)."""
+    tables = _conv_soft_coeffs(polys, k)
+    nxt, prev_s, fw0, fw1, bw0, bw1 = tables
+    s_count = len(nxt)
+    b_sz = llr.shape[0]
+    n = len(polys)
+    t_steps = llr.shape[-1] // n
+    sym = llr.reshape(b_sz, t_steps, n)
+    n_win = -(-t_steps // window)
+    t_pad = n_win * window
+    lw = window + 2 * guard
+    big = jnp.float32(1e6)
+    head = jnp.full((b_sz, guard, n), big)
+    tail_len = guard + (t_pad - t_steps)
+    tail = jnp.full((b_sz, tail_len, n),
+                    big if terminated else jnp.float32(0.0))
+    symp = jnp.concatenate([head, sym, tail], axis=1)
+    n_cat = -(-lw // window)
+    ext_len = (n_win + n_cat) * window
+    symp = jnp.pad(symp, [(0, 0), (0, ext_len - symp.shape[1]), (0, 0)])
+    segs = [
+        symp[:, c * window:(c + n_win) * window].reshape(
+            b_sz, n_win, window, n
+        )
+        for c in range(n_cat)
+    ]
+    wins = jnp.concatenate(segs, axis=2)[:, :, :lw]  # [B, W, Lw, n]
+
+    if backend.startswith("pallas"):
+        from .pallas.bcjr import bcjr_windowed_llr
+
+        spans = jnp.transpose(wins, (2, 3, 1, 0)).reshape(
+            lw, n, n_win * b_sz
+        )
+        n_cols = spans.shape[-1]
+        tile = 512 if n_cols >= 512 else 128
+        pad_cols = -(-n_cols // tile) * tile - n_cols
+        l0 = jnp.pad(spans[:, 0], [(0, 0), (0, pad_cols)])
+        l1 = jnp.pad(spans[:, 1], [(0, 0), (0, pad_cols)])
+        llr_all = bcjr_windowed_llr(
+            l0, l1, lw, tables=tables,
+            interpret=backend == "pallas_interpret",
+        )[:, :n_cols]
+        llr_c = llr_all.reshape(lw, n_win, b_sz)[guard:guard + window]
+        out = jnp.transpose(llr_c, (2, 1, 0)).reshape(b_sz, t_pad)
+        return out[:, :t_steps]
+
+    l0 = jnp.transpose(wins[..., 0], (2, 1, 0))  # [Lw, W, B]
+    l1 = jnp.transpose(wins[..., 1], (2, 1, 0))
+
+    def step(carry, inp):
+        alpha, beta = carry  # [S, W, B]
+        l0t, l1t, l0r, l1r = inp
+        a_new = jnp.stack([
+            jnp.maximum(
+                alpha[prev_s[sp][0]] + (fw0[sp][0] * l0t + fw1[sp][0] * l1t),
+                alpha[prev_s[sp][1]] + (fw0[sp][1] * l0t + fw1[sp][1] * l1t),
+            )
+            for sp in range(s_count)
+        ])
+        a_new = a_new - jnp.max(a_new, axis=0, keepdims=True)
+        b_new = jnp.stack([
+            jnp.maximum(
+                beta[nxt[s][0]] + (bw0[s][0] * l0r + bw1[s][0] * l1r),
+                beta[nxt[s][1]] + (bw0[s][1] * l0r + bw1[s][1] * l1r),
+            )
+            for s in range(s_count)
+        ])
+        b_new = b_new - jnp.max(b_new, axis=0, keepdims=True)
+        return (a_new, b_new), (alpha, beta)
+
+    a0 = jnp.zeros((s_count, n_win, b_sz), jnp.float32)
+    _, (alphas, betas_rev) = jax.lax.scan(
+        step, (a0, a0), (l0, l1, l0[::-1], l1[::-1])
+    )
+    betas = betas_rev[::-1]
+    core = slice(guard, guard + window)
+    l0c, l1c = l0[core], l1[core]
+    a_c, b_c = alphas[core], betas[core]
+    m0 = jnp.max(jnp.stack([
+        a_c[:, s] + (bw0[s][0] * l0c + bw1[s][0] * l1c) + b_c[:, nxt[s][0]]
+        for s in range(s_count)
+    ]), axis=0)
+    m1 = jnp.max(jnp.stack([
+        a_c[:, s] + (bw0[s][1] * l0c + bw1[s][1] * l1c) + b_c[:, nxt[s][1]]
+        for s in range(s_count)
+    ]), axis=0)
+    out = jnp.transpose(m0 - m1, (2, 1, 0)).reshape(b_sz, t_pad)
+    return out[:, :t_steps]
+
+
 def conv_decode_soft(
     llrs,
     polys: Sequence[int] = DEFAULT_POLYS,
     constraint: int = DEFAULT_K,
     terminated: bool = True,
+    window: int = 0,
+    guard: int = 64,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Soft-OUTPUT decode of a rate-``1/n`` convolutional code: per-bit
     a-posteriori LLRs via max-log BCJR over the feedforward trellis.
@@ -419,12 +570,39 @@ def conv_decode_soft(
     vs input-1 transition families.
     """
     llr = jnp.asarray(llrs, jnp.float32)
-    if llr.ndim != 1:
-        raise ValueError("conv_decode_soft takes a flat LLR stream")
     n = len(polys)
     k = int(constraint)
     if llr.shape[-1] % n:
         raise ValueError(f"LLR count must be a multiple of n = {n}")
+    if window:
+        # windowed parallel form (the streaming/batched-throughput mode;
+        # guard >= ~8 constraint lengths makes the uniform-init windows
+        # converge onto the exact metrics — sign-identical on the test
+        # channels, magnitudes approximate only at window seams)
+        lead = llr.shape[:-1]
+        flat = llr.reshape((-1, llr.shape[-1]))
+        if backend == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                platform = "cpu"
+            backend = "pallas" if platform == "tpu" else "xla"
+        out = _conv_soft_windowed(
+            flat, tuple(int(p) for p in polys), k, terminated, window,
+            guard, backend=backend,
+        )
+        if terminated:
+            out = out[:, : out.shape[-1] - (k - 1)]
+        return out.reshape(lead + out.shape[-1:])
+    if llr.ndim != 1:
+        # full-block exact path is single-stream; batch via vmap (the
+        # windowed mode is the batched-throughput form)
+        fn = lambda v: conv_decode_soft(  # noqa: E731
+            v, polys, constraint, terminated
+        )
+        lead = llr.shape[:-1]
+        out = jax.vmap(fn)(llr.reshape((-1, llr.shape[-1])))
+        return out.reshape(lead + out.shape[-1:])
     t_steps = llr.shape[-1] // n
     nxt, sgn = _trellis_fwd(tuple(int(p) for p in polys), k)
     s_count = nxt.shape[0]

@@ -32,11 +32,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_N_STATES = 8
 
 
 def _bcjr_kernel(ls_ref, lp_ref, llr_ref, beta_buf, *, lw: int,
-                 nxt, prev_s, cu, cp, du, dp):
+                 s_count: int, nxt, prev_s, fw0, fw1, bw0, bw1):
+    # Trellis-generic: fw{0,1}[s'][j] weight streams 0/1 on the forward
+    # transition INTO s' via predecessor slot j; bw{0,1}[s][u] weight them
+    # on the transition FROM s with input u (also the completion step).
+    # The RSC-8 turbo trellis and the feedforward conv trellises are both
+    # instances (ops/turbo._step_coeffs / ops/fec._conv_soft_coeffs).
     n = ls_ref.shape[-1]
 
     def bwd(i, beta):
@@ -47,25 +51,25 @@ def _bcjr_kernel(ls_ref, lp_ref, llr_ref, beta_buf, *, lw: int,
         b_new = jnp.concatenate([
             jnp.maximum(
                 beta[nxt[s][0]:nxt[s][0] + 1, :]
-                + (du[0] * ls_t + dp[s][0] * lp_t),
+                + (bw0[s][0] * ls_t + bw1[s][0] * lp_t),
                 beta[nxt[s][1]:nxt[s][1] + 1, :]
-                + (du[1] * ls_t + dp[s][1] * lp_t),
+                + (bw0[s][1] * ls_t + bw1[s][1] * lp_t),
             )
-            for s in range(_N_STATES)
+            for s in range(s_count)
         ], axis=0)
         return b_new - jnp.max(b_new, axis=0, keepdims=True)
 
-    jax.lax.fori_loop(0, lw, bwd, jnp.zeros((_N_STATES, n), jnp.float32))
+    jax.lax.fori_loop(0, lw, bwd, jnp.zeros((s_count, n), jnp.float32))
 
     def fwd(t, alpha):
         ls_t = ls_ref[pl.ds(t, 1), :]
         lp_t = lp_ref[pl.ds(t, 1), :]
-        beta_t = beta_buf[t]  # [8, n]
+        beta_t = beta_buf[t]  # [S, n]
         m0 = m1 = None
-        for s in range(_N_STATES):
-            c0 = (alpha[s:s + 1, :] + (du[0] * ls_t + dp[s][0] * lp_t)
+        for s in range(s_count):
+            c0 = (alpha[s:s + 1, :] + (bw0[s][0] * ls_t + bw1[s][0] * lp_t)
                   + beta_t[nxt[s][0]:nxt[s][0] + 1, :])
-            c1 = (alpha[s:s + 1, :] + (du[1] * ls_t + dp[s][1] * lp_t)
+            c1 = (alpha[s:s + 1, :] + (bw0[s][1] * ls_t + bw1[s][1] * lp_t)
                   + beta_t[nxt[s][1]:nxt[s][1] + 1, :])
             m0 = c0 if m0 is None else jnp.maximum(m0, c0)
             m1 = c1 if m1 is None else jnp.maximum(m1, c1)
@@ -73,44 +77,72 @@ def _bcjr_kernel(ls_ref, lp_ref, llr_ref, beta_buf, *, lw: int,
         a_new = jnp.concatenate([
             jnp.maximum(
                 alpha[prev_s[sp][0]:prev_s[sp][0] + 1, :]
-                + (cu[sp][0] * ls_t + cp[sp][0] * lp_t),
+                + (fw0[sp][0] * ls_t + fw1[sp][0] * lp_t),
                 alpha[prev_s[sp][1]:prev_s[sp][1] + 1, :]
-                + (cu[sp][1] * ls_t + cp[sp][1] * lp_t),
+                + (fw0[sp][1] * ls_t + fw1[sp][1] * lp_t),
             )
-            for sp in range(_N_STATES)
+            for sp in range(s_count)
         ], axis=0)
         return a_new - jnp.max(a_new, axis=0, keepdims=True)
 
-    jax.lax.fori_loop(0, lw, fwd, jnp.zeros((_N_STATES, n), jnp.float32))
+    jax.lax.fori_loop(0, lw, fwd, jnp.zeros((s_count, n), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("lw", "tile_n", "interpret"))
-def bcjr_windowed_llr(ls, lp, lw: int, tile_n: int = 512,
-                      interpret: bool = False):
-    """Per-position max-log a-posteriori LLRs for the windowed BCJR.
-
-    ``ls, lp [Lw, N]``: systematic+a-priori and parity LLR spans, windows
-    flattened onto the lane axis (``N = n_windows * batch``, padded by the
-    caller to a multiple of ``tile_n``). Returns ``[Lw, N]`` — the core
-    slice / reassembly stays in XLA. Uniform (all-zero) initial metrics at
-    both ends, exactly the windowed contract.
-    """
+def _rsc8_tables():
+    """Coefficient tables for the turbo RSC-8 trellis in the generic
+    (fw0, fw1, bw0, bw1) form."""
     from ..turbo import _step_coeffs
 
     nxt, prev_s, cu, cp, du, dp = _step_coeffs()
+    s_count = nxt.shape[0]
+    bw0 = np.broadcast_to(np.asarray(du)[None, :], (s_count, 2))
+    return (
+        tuple(map(tuple, nxt.tolist())),
+        tuple(map(tuple, prev_s.tolist())),
+        tuple(map(tuple, cu.tolist())),
+        tuple(map(tuple, cp.tolist())),
+        tuple(map(tuple, bw0.tolist())),
+        tuple(map(tuple, np.asarray(dp).tolist())),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lw", "tables", "tile_n", "interpret")
+)
+def bcjr_windowed_llr(ls, lp, lw: int, tables=None, tile_n: int = 512,
+                      interpret: bool = False):
+    """Per-position max-log a-posteriori LLRs for the windowed BCJR.
+
+    ``ls, lp [Lw, N]``: the two LLR streams' spans, windows flattened
+    onto the lane axis (``N = n_windows * batch``, padded by the caller
+    to a multiple of ``tile_n``). ``tables``: the trellis as hashable
+    ``(nxt, prev_s, fw0, fw1, bw0, bw1)`` coefficient tuples (None = the
+    turbo RSC-8 trellis). Returns ``[Lw, N]`` — the core slice /
+    reassembly stays in XLA. Uniform (all-zero) initial metrics at both
+    ends, exactly the windowed contract.
+    """
+    if tables is None:
+        tables = _rsc8_tables()
+    nxt, prev_s, fw0, fw1, bw0, bw1 = tables
+    s_count = len(nxt)
     if ls.shape != lp.shape or ls.shape[0] != lw:
         raise ValueError(f"bad spans {ls.shape} {lp.shape} for Lw={lw}")
     n = ls.shape[1]
+    # clamp the lane tile to the ~12 MB VMEM budget (beta history
+    # lw * S * tile * 4 bytes dominates; K=7 soft decodes have S=64)
+    per_lane = lw * s_count * 4 + lw * 3 * 4
+    tile_fit = max(128, (12_000_000 // per_lane) // 128 * 128)
+    tile_n = min(tile_n, tile_fit)
+    if lw * s_count * 128 * 4 > 12_000_000:
+        raise ValueError(
+            f"{lw} steps x {s_count} states cannot fit VMEM at tile 128 "
+            "— shrink the window"
+        )
     if n % tile_n:
         raise ValueError(f"N={n} must divide by tile_n={tile_n}")
     kernel = functools.partial(
-        _bcjr_kernel, lw=lw,
-        nxt=tuple(map(tuple, nxt.tolist())),
-        prev_s=tuple(map(tuple, prev_s.tolist())),
-        cu=tuple(map(tuple, cu.tolist())),
-        cp=tuple(map(tuple, cp.tolist())),
-        du=tuple(du.tolist()),
-        dp=tuple(map(tuple, dp.tolist())),
+        _bcjr_kernel, lw=lw, s_count=s_count,
+        nxt=nxt, prev_s=prev_s, fw0=fw0, fw1=fw1, bw0=bw0, bw1=bw1,
     )
     return pl.pallas_call(
         kernel,
@@ -125,7 +157,7 @@ def bcjr_windowed_llr(ls, lp, lw: int, tile_n: int = 512,
         out_specs=pl.BlockSpec((lw, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((lw, _N_STATES, tile_n), jnp.float32),
+            pltpu.VMEM((lw, s_count, tile_n), jnp.float32),
         ],
         interpret=interpret,
     )(ls, lp)

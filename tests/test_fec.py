@@ -327,3 +327,42 @@ def test_conv_interleaver_block_permutation_and_spreading(rng):
     d = np.asarray(fec.conv_deinterleave_block(err, i_br, m))
     pos = np.sort(np.where(d)[0])
     assert np.diff(pos).min() >= m * i_br - 1
+
+
+def test_conv_soft_windowed_matches_full_block(rng):
+    """Windowed parallel max-log BCJR (round 5): sign-identical to the
+    exact full-block recursion at the operating guard, batched ==
+    per-stream, and the Pallas kernel bit-identical to the XLA scan."""
+    bits = rng.integers(0, 2, 800).astype(np.uint8)
+    enc = np.asarray(fec.conv_encode(bits))
+    llr = ((1 - 2.0 * enc) * 2
+           + rng.normal(size=enc.shape)).astype(np.float32)
+    full = np.asarray(fec.conv_decode_soft(llr))
+    wx = np.asarray(fec.conv_decode_soft(llr, window=96, guard=64,
+                                         backend="xla"))
+    wp = np.asarray(fec.conv_decode_soft(llr, window=96, guard=64,
+                                         backend="pallas_interpret"))
+    assert np.array_equal(wx, wp)  # kernel == scan, bit for bit
+    assert ((wx < 0) == (full < 0)).all()  # signs exact at this guard
+    assert np.corrcoef(wx, full)[0, 1] > 0.999
+
+    B = 3
+    bb = rng.integers(0, 2, (B, 500)).astype(np.uint8)
+    encs = np.stack([np.asarray(fec.conv_encode(bb[i])) for i in range(B)])
+    llrs = ((1 - 2.0 * encs) * 2
+            + rng.normal(size=encs.shape)).astype(np.float32)
+    wb = np.asarray(fec.conv_decode_soft(llrs, window=96, guard=64,
+                                         backend="xla"))
+    for i in range(B):
+        assert np.array_equal(
+            wb[i],
+            np.asarray(fec.conv_decode_soft(llrs[i], window=96, guard=64,
+                                            backend="xla")),
+        )
+    assert np.array_equal((wb < 0).astype(np.uint8), bb)
+
+
+def test_conv_soft_windowed_rejects_non_rate_half():
+    with pytest.raises(ValueError, match="rate-1/2"):
+        fec.conv_decode_soft(np.zeros(300, np.float32), (0o7, 0o5, 0o7), 3,
+                             window=32)
