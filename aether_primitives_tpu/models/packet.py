@@ -474,16 +474,16 @@ class PacketModem:
             line = _fec.viterbi_decode(llr)
         elif c.fec in ("ldpc", "ldpc11n"):
             h, g, info = self._ldpc
+            lead = llr.shape[:-1]
+            frames = llr.reshape(lead + (self.ldpc_frames, -1))
             if self._ldpc_qc is not None:
                 base, zf = self._ldpc_qc
-                hard, _ok = _ldpc.qc_ldpc_decode(
-                    llr.reshape(self.ldpc_frames, -1), base, zf, iters=30
-                )
+                hard, _ok = _ldpc.qc_ldpc_decode(frames, base, zf, iters=30)
             else:
-                hard, _ok = _ldpc.ldpc_decode(
-                    llr.reshape(self.ldpc_frames, -1), h, iters=30
-                )
-            line = _ldpc.extract_info(hard, info).reshape(-1)[: self.frame_bits]
+                hard, _ok = _ldpc.ldpc_decode(frames, h, iters=30)
+            line = _ldpc.extract_info(hard, info).reshape(
+                lead + (-1,)
+            )[..., : self.frame_bits]
         elif c.fec in ("rs", "ccsds"):
             lead = llr.shape[:-1]
             if c.fec == "ccsds":
@@ -604,7 +604,8 @@ class PacketModem:
             raise ValueError(
                 f"rx_batch takes [B, window] captures, got shape {x.shape}"
             )
-        if self.config.fec in ("viterbi", "turbo", "rs", "ccsds"):
+        if self.config.fec in ("viterbi", "turbo", "rs", "ccsds",
+                               "ldpc", "ldpc11n"):
             # serial-trellis FECs: route the decode AROUND vmap so it
             # runs natively batched with the burst axis on device lanes
             # (viterbi: the resident-metric Pallas kernel; turbo: the
