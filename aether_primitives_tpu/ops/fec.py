@@ -177,6 +177,10 @@ def viterbi_decode(
             if platform == "tpu" and batched_or_windowed and fits_vmem
             else "xla"
         )
+    if backend not in ("xla", "pallas", "pallas_interpret"):
+        # a typo would silently select the XLA path and invalidate any
+        # comparison (the polar_decoder review-finding class)
+        raise ValueError(f"unknown backend {backend!r}")
     if backend.startswith("pallas"):
         return _viterbi_pallas(
             llr, tuple(int(p) for p in polys), k, terminated, window, guard,
@@ -587,6 +591,8 @@ def conv_decode_soft(
             except Exception:
                 platform = "cpu"
             backend = "pallas" if platform == "tpu" else "xla"
+        if backend not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown backend {backend!r}")
         out = _conv_soft_windowed(
             flat, tuple(int(p) for p in polys), k, terminated, window,
             guard, backend=backend,

@@ -372,6 +372,8 @@ def turbo_decode(
             backend = (
                 "pallas" if platform == "tpu" and b_sz > 1 else "xla"
             )
+        if backend not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown bcjr_backend {backend!r}")
 
         def _bcjr(ls_, lp_, la_, term_):
             return _bcjr_maxlog_windowed(ls_, lp_, la_, window, guard,

@@ -366,3 +366,18 @@ def test_conv_soft_windowed_rejects_non_rate_half():
     with pytest.raises(ValueError, match="rate-1/2"):
         fec.conv_decode_soft(np.zeros(300, np.float32), (0o7, 0o5, 0o7), 3,
                              window=32)
+
+
+def test_decoder_backend_typos_rejected():
+    # a backend typo must raise, not silently select the XLA path
+    from aether_primitives_tpu.ops import turbo as _turbo
+
+    llr = np.zeros(64, np.float32)
+    with pytest.raises(ValueError, match="backend"):
+        fec.viterbi_decode(llr, backend="palas")
+    with pytest.raises(ValueError, match="backend"):
+        fec.conv_decode_soft(llr, window=16, guard=8, backend="palas")
+    with pytest.raises(ValueError, match="backend"):
+        _turbo.turbo_decode(llr[:20], llr[:20], llr[:20],
+                            iterations=1, window=8, guard=4,
+                            bcjr_backend="palas")

@@ -166,3 +166,25 @@ def test_sharded_rx_chain_matches_single(mesh8):
     sharded = np.asarray(chain.sharded_step(x, mesh8))
     agree = (single == sharded).mean()
     assert agree == 1.0, f"bit agreement {agree}"
+
+
+def test_sharded_packed_bits_matches_single(mesh8):
+    """packed_bits emission composes with the (channel, time) mesh: the
+    per-shard byte streams concatenate to exactly the single-device
+    packed output (bits per shard divide by 8 by construction)."""
+    from aether_primitives_tpu.models import RxChain, RxChainConfig
+
+    chain = RxChain(RxChainConfig(fft_len=128, decimation=4, fir_mode="os",
+                                  packed_bits=True))
+    m = mesh_mod.make_mesh({"channel": 2, "time": 4})
+    rng = np.random.default_rng(6)
+    n = 4 * 4 * 128
+    x = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))).astype(np.complex64)
+    single = np.asarray(chain.step(x))
+    sharded = np.asarray(chain.sharded_step_2d(x, m))
+    assert np.array_equal(sharded, single)
+    # and the stream form
+    st = chain.init_state((2,))
+    bits_s, _ = chain.sharded_streaming_step_2d(x, st, m)
+    bits_1, _ = chain.streaming_step(x, chain.init_state((2,)))
+    assert np.array_equal(np.asarray(bits_s), np.asarray(bits_1))
