@@ -291,8 +291,8 @@ def microbench_main(argv=None):
     vb_llr = (4.0 * (1.0 - 2.0 * vb_coded.astype(np.float32))).astype(np.float32)
     timed(
         f"viterbi K=7 decode [{nfr} x 1024 bits]",
-        jax.vmap(_fec.viterbi_decode),
-        vb_llr,
+        _fec.viterbi_decode,  # natively batched: batch on the lane axis
+        vb_llr,               # (the Pallas trellis kernel on TPU)
         nfr * 1024,
         iters=10,
     )

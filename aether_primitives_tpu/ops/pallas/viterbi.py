@@ -16,8 +16,8 @@ probe rejected captured array constants): encoder output ``o_m`` of the
 transition INTO state ``s'`` from predecessor half ``j`` is the parity
 of ``(s' | j << (K-1)) & poly_m`` — computed per ``[S, 1]`` column once
 per kernel with XOR chains over iota bits, then each step's metric is
-``Σ_m (1 − 2 o_m) · llr_m[t]``: two broadcast FMAs per predecessor
-half.
+``Σ_m o_m · llr_m[t]`` (the XLA decoder's affine-equivalent cost, kept
+exactly so tie-breaks match): two broadcast FMAs per predecessor half.
 
 Same decision rule and tie-breaks as the XLA path (``argmin`` keeps the
 first of equal candidates ⇔ ``cand1 < cand0``), so outputs are
@@ -31,7 +31,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
